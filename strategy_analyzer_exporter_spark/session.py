@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` (single JVM); the configuration is
+written so the same code scales to a multi-executor cluster: AQE for
+runtime re-planning and skew joins, Arrow for the Python boundary, UTC
+session time zone so timestamp semantics match the DuckDB oracle
+(DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply the correctness-critical runtime confs to a session we did
+    not create (the driver passes its own). UTC pins timestamp-field
+    extraction to match DuckDB's naive timestamps; nanosAsLong lets
+    Spark 4 read the corpus' TIMESTAMP(NANOS) parquet columns."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def get_spark(
+    app_name: str = "strategy_analyzer_exporter_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Settings that matter for correctness vs the DuckDB oracle:
+    - ``spark.sql.session.timeZone=UTC`` — parquet timestamps are read
+      identically by both engines.
+    - Arrow enabled — pandas UDF boundary is vectorized.
+
+    Settings that matter at scale (100 TB design point):
+    - AQE + coalesce + skew-join handling enabled.
+    - shuffle partitions sized from the environment rather than the
+      Spark default of 200.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the corpus' events.parquet uses TIMESTAMP(NANOS) which Spark 4
+        # rejects by default; read as int64 nanos and convert in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

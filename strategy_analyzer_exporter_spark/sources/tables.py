@@ -1,0 +1,54 @@
+"""Parquet table loaders for the driver-generated test data.
+
+The reference's only source is a NinjaTrader bar stream (S1,
+StrategyAnalyzerExporter.cs:179-217); our engine's batch sources are the
+parquet tables documented in TESTDATA.md. Loading is plain
+``spark.read.parquet`` so Catalyst gets predicate pushdown, column
+pruning, and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. ``name`` must be one of TABLES.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet, which Spark 4 reads
+    as int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``). Convert to
+    a microsecond timestamp with *integer* division (ns since epoch
+    exceeds 2^53, so float division would lose precision) — the same
+    truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP."""
+    from strategy_analyzer_exporter_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (for the SQL API)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
