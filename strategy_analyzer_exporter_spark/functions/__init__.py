@@ -200,14 +200,20 @@ def ema_fold_sql(prefix_arr: str, span: int) -> str:
 
 def dsum(col: Column | str, scale: int = 10) -> Column:
     """Order-independent exact sum: cast each double to DECIMAL(38,scale),
-    sum exactly, cast the total back to double. Both engines perform one
-    identical rounding at the end, so parallel partial aggregation cannot
-    perturb the result. Used by every oracle-checked relational query."""
-    return F.sum(_c(col).cast(f"decimal(38,{scale})")).cast("double")
+    sum exactly, cast the total back to double — so parallel partial
+    aggregation cannot perturb the result. The final decimal→double cast
+    goes THROUGH A STRING: engines' direct decimal→double conversions can
+    disagree by 1 ulp (DuckDB divides a float-converted int128 by 10^scale
+    — two roundings — while the JVM rounds correctly once), but
+    decimal→string is exact and string→double is correctly rounded in
+    both. Used by every oracle-checked relational query."""
+    return F.sum(_c(col).cast(f"decimal(38,{scale})")).cast("string").cast("double")
 
 
 def dsum_sql(expr: str, scale: int = 10) -> str:
-    return f"CAST(sum(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+    return (
+        f"CAST(CAST(sum(CAST(({expr}) AS DECIMAL(38,{scale}))) AS VARCHAR) AS DOUBLE)"
+    )
 
 
 def davg(col: Column | str, scale: int = 10) -> Column:
@@ -216,13 +222,13 @@ def davg(col: Column | str, scale: int = 10) -> Column:
     (decimal *division* scale rules differ between engines, so the
     division itself must happen in double)."""
     c = _c(col)
-    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double") / F.count(
-        c
-    ).cast("double")
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("string").cast(
+        "double"
+    ) / F.count(c).cast("double")
 
 
 def davg_sql(expr: str, scale: int = 10) -> str:
     return (
-        f"(CAST(sum(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE) "
+        f"(CAST(CAST(sum(CAST(({expr}) AS DECIMAL(38,{scale}))) AS VARCHAR) AS DOUBLE) "
         f"/ CAST(count({expr}) AS DOUBLE))"
     )

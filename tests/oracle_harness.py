@@ -32,8 +32,15 @@ def duckdb_con(sf_dir: str = SF_DIR) -> duckdb.DuckDBPyConnection:
     return con
 
 
+_NULL = "\x00<NULL>"
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if not pd.api.types.is_float_dtype(df[c]) and not pd.api.types.is_datetime64_any_dtype(df[c]):
+            if df[c].isna().any():
+                df[c] = df[c].astype(object).where(pd.notna(df[c]), _NULL)
     if len(df):
         df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
