@@ -1,0 +1,166 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (LLM-pipeline surface).
+
+The container has no image/audio libraries, so the *decode* step is a
+clearly-marked stub (deterministic fake behind an import-try, per the
+build contract) — but everything Spark-side is real and tested: binary
+columns, typed metadata structs, Arrow-batched ``mapInPandas`` decode
+plumbing with a declared output schema, deterministic frame sampling,
+and partition-size-aware batch shapes.
+
+The corpus has no binary table; a synthetic payload is derived by
+encoding ``documents.text`` as UTF-8 bytes, with fake media metadata
+from exact integer arithmetic (so the metadata query still has a full
+DuckDB oracle). The decode path is registered rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from strategy_analyzer_exporter_spark.registry import register
+from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → synthetic media table: binary payload + typed metadata.
+    width/height/n_frames derive from doc_id by integer arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.lit(64) + (F.col("doc_id") % 512)).cast("int").alias("width"),
+        (F.lit(64) + (F.col("doc_id") % 256)).cast("int").alias("height"),
+        (F.lit(1) + (F.col("doc_id") % 120)).cast("int").alias("n_frames"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+    )
+
+
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata scan over binary payloads: byte length and content
+    digest computed on the binary column itself (never decoding), grouped
+    per media type. At scale the payload column is never read for
+    metadata-only queries if stored as a separate parquet column — column
+    pruning covers it; here the digest forces one pass."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "media_id",
+        "media_type",
+        "width",
+        "height",
+        "n_frames",
+        F.length("payload").cast("long").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+_METADATA_ORACLE = """SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(64 + (doc_id % 512) AS INTEGER) AS width,
+       CAST(64 + (doc_id % 256) AS INTEGER) AS height,
+       CAST(1 + (doc_id % 120) AS INTEGER) AS n_frames,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       md5(text) AS payload_md5
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# Decode / feature-extract via mapInPandas (rows-only: not SQL-expressible)
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+        T.StructField("decoder", T.StringType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("resized_width", T.IntegerType()),
+        T.StructField("resized_height", T.IntegerType()),
+    ]
+)
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode. Real decoders (PIL / soundfile / av) are
+    absent in this container — gate behind import-try and fall back to a
+    deterministic fake so the distributed plumbing is fully exercised.
+
+    STUB: with media libraries installed, the `real` branch would open
+    the payload and produce actual pixel/sample statistics."""
+    try:  # pragma: no cover - libs absent in the build container
+        import PIL.Image  # noqa: F401
+
+        decoder = "pillow"
+    except ImportError:
+        decoder = "fake-deterministic"
+
+    for pdf in batches:
+        if decoder != "fake-deterministic":
+            raise NotImplementedError(
+                "real media decode requires image/audio libs not in this container"
+            )
+        payloads = pdf["payload"]
+        mean_byte = payloads.map(
+            lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+        )
+        out = pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "decoded_ok": True,
+                "decoder": decoder,
+                "mean_byte": mean_byte,
+                # target box 64x64, aspect preserved via integer math
+                "resized_width": (pdf["width"] * 64 // pdf["height"]).clip(upper=64).astype("int32"),
+                "resized_height": (pdf["height"] * 64 // pdf["width"]).clip(upper=64).astype("int32"),
+            }
+        )
+        yield out
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed decode/resize plumbing over binary payloads via
+    mapInPandas. Registered rows-only (imperative decode isn't SQL)."""
+    m = media_table(spark, sf_dir)
+    return m.mapInPandas(_decode_batch, _DECODE_SCHEMA)
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling for video rows: every ceil(n/8)-th
+    frame index, exploded to one row per sampled frame — pure column
+    expressions, so this one does have an oracle."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
+    stride = F.greatest(
+        F.lit(1), F.floor((F.col("n_frames") + 7) / 8).cast("int")
+    )
+    frames = F.sequence(F.lit(0), F.col("n_frames") - 1, stride)
+    return m.select(
+        "media_id",
+        "n_frames",
+        F.explode(frames).alias("frame_idx"),
+    ).select("media_id", "n_frames", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+_FRAME_ORACLE = """WITH v AS (
+    SELECT doc_id AS media_id, CAST(1 + (doc_id % 120) AS INTEGER) AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, n_frames,
+       CAST(unnest(range(0, CAST(n_frames AS BIGINT),
+            greatest(1, CAST(floor((n_frames + 7) / 8) AS BIGINT)))) AS BIGINT) AS frame_idx
+FROM v"""
+
+
+register("multimodal_metadata", _q_media_metadata, _METADATA_ORACLE)
+register("multimodal_decode_stub", _q_media_decode, None)
+register("multimodal_frame_sample", _q_frame_sample, _FRAME_ORACLE)

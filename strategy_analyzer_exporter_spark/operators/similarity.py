@@ -1,0 +1,250 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Vector math is expressed with array expressions (``zip_with`` +
+left-fold ``aggregate``) — pure JVM codegen, no UDF, and the fold order
+matches the DuckDB oracle so cosines agree bit-for-bit (+, *, / and
+sqrt are all correctly-rounded IEEE ops in both engines).
+
+Two search paths:
+- brute-force cosine top-k: exact baseline; broadcast the query set and
+  stream the corpus — at 100 TB this is one scan, no shuffle of the
+  corpus, O(k) state per partition via TakeOrdered-per-query.
+- LSH-bucketed ANN: 8 deterministic random-hyperplane signs → 8-bit
+  bucket key; candidates share a bucket (expected 1/256 of the corpus),
+  then exact cosine re-rank. The hyperplane matrix is generated from
+  md5 at *query-build time* (public, deterministic) and embedded as a
+  literal, so both engines see identical planes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strategy_analyzer_exporter_spark.registry import register
+from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+DIM = 64
+N_PLANES = 8
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+NEARDUP_COS = 0.98
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign(p,d) = +1 iff the first hex
+    nibble of md5('p:d') is odd. Reproducible anywhere, no RNG state."""
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) & 1 else -1.0
+            for d in range(DIM)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+def _dot_fold(a: Column, b: Column) -> Column:
+    """Left-fold dot product over double-cast elements."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _dot_fold_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, {DIM} + 1), "
+        f"i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot_fold(a, b) / (
+        F.sqrt(_dot_fold(a, a)) * F.sqrt(_dot_fold(b, b))
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_fold_sql(a, b)} / "
+        f"(sqrt({_dot_fold_sql(a, a)}) * sqrt({_dot_fold_sql(b, b)})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k
+
+
+def _q_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 10).
+    The query side is broadcast; the corpus is scanned once. Ranking uses
+    a (cos desc, vec_id) total order so the row set is deterministic."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "cand_id", "cos_sim", "rn")
+    )
+
+
+_BRUTE_ORACLE = f"""WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, c.vec_id AS cand_id,
+           {_cosine_sql('q.qv', 'c.embedding')} AS cos_sim
+    FROM q, embeddings c
+    WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+    FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rn FROM ranked WHERE rn <= {TOP_K}"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN
+
+
+def _bucket_expr(v: Column) -> Column:
+    planes = _hyperplanes()
+    bits = []
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(x) for x in planes[p]])
+        bits.append(F.when(_dot_fold(v, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _bucket_sql(v: str) -> str:
+    planes = _hyperplanes()
+    bits = []
+    for p in range(N_PLANES):
+        lit = "[" + ", ".join(f"CAST({x:.1f} AS DOUBLE)" for x in planes[p]) + "]"
+        bits.append(
+            f"CASE WHEN {_dot_fold_sql(v, lit)} > 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: candidates restricted to the query's LSH bucket
+    (random-hyperplane signature). One shuffle on the 8-bit bucket key;
+    scales as corpus/256 per bucket with exact re-rank inside."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    withb = emb.select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    q = withb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "bucket",
+    )
+    c = withb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "cand_id", "cos_sim", "rn")
+    )
+
+
+def _lsh_oracle() -> str:
+    return f"""WITH withb AS (
+    SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS qv, bucket FROM withb WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, c.vec_id AS cand_id,
+           {_cosine_sql('q.qv', 'c.embedding')} AS cos_sim
+    FROM q JOIN withb c USING (bucket)
+    WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+    FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rn FROM ranked WHERE rn <= {TOP_K}"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup vector pairs (cosine ≥ 0.98) with LSH-bucket candidate
+    generation — the embedding-space analogue of MinHash dedup. All-pairs
+    never materializes; only same-bucket pairs are scored."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    withb = emb.select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
+    )
+
+
+def _dedup_emb_oracle() -> str:
+    return f"""WITH withb AS (
+    SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+FROM withb a JOIN withb b USING (bucket)
+WHERE a.vec_id < b.vec_id
+  AND {_cosine_sql('a.embedding', 'b.embedding')} >= {NEARDUP_COS}"""
+
+
+register("similarity_bruteforce_topk", _q_bruteforce_topk, _BRUTE_ORACLE)
+register("similarity_lsh_ann", _q_lsh_ann, _lsh_oracle())
+register("dedup_embedding_cosine", _q_dedup_embedding, _dedup_emb_oracle())

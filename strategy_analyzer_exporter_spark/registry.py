@@ -27,8 +27,12 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 def _load_all() -> None:
     """Import every operator module for its registration side effects."""
     from strategy_analyzer_exporter_spark.operators import (  # noqa: F401
+        dedup,
         feature_queries,
+        multimodal,
         relational,
+        similarity,
+        text,
     )
 
 

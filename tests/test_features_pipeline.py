@@ -1,0 +1,132 @@
+"""End-to-end feature-pipeline semantics (SURVEY.md §2.3, FIXTURES.md §4):
+warm-up boundaries, day reset, EMA impl equivalence, export discipline."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import py_oracle as O
+from strategy_analyzer_exporter_spark.operators.features import (
+    FeatureConfig,
+    TESTDATA_CONFIG,
+    features_df,
+    with_ema,
+    with_ema_fold,
+)
+from strategy_analyzer_exporter_spark.sources.bars import bars_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mini_bars(spark, days):
+    """days: {day_int: n_rows}; close follows a deterministic walk."""
+    rows = []
+    for day, n in days.items():
+        for i in range(n):
+            close = 100.0 + (i * 7 % 13) - (i % 3)
+            rows.append(
+                (day, 93000 + i * 100, i, 0, close - 0.5, close + 1.0, close - 1.0, close, 10.0)
+            )
+    return spark.createDataFrame(
+        rows,
+        "day: int, time: int, event_id: long, user_id: long, open: double, "
+        "high: double, low: double, close: double, volume: double",
+    )
+
+
+def test_ema_pandas_equals_fold_bit_for_bit(spark):
+    """The O(n) applyInPandas EMA and the pure-expression prefix-fold EMA
+    must agree exactly — same float ops in the same order."""
+    bars = _mini_bars(spark, {20240101: 40, 20240102: 25, 20240103: 19})
+    a = with_ema(bars).orderBy("day", "time").collect()
+    b = with_ema_fold(bars).orderBy("day", "time").collect()
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra["moving_average"] == rb["moving_average"]
+        assert ra["slow_moving_average"] == rb["slow_moving_average"]
+
+
+def test_ema_matches_python_oracle(spark):
+    bars = _mini_bars(spark, {20240101: 30})
+    got = with_ema(bars).orderBy("time").collect()
+    closes = [r["close"] for r in got]
+    assert [r["moving_average"] for r in got] == O.ema(closes, 9)
+    assert [r["slow_moving_average"] for r in got] == O.ema(closes, 21)
+
+
+def test_warmup_gate_emits_from_20th_row(spark):
+    """P5: a 25-row day emits rows 20..25 (6 rows); a 19-row day emits
+    nothing (FeaturesBarService.cs:44); frame is 20 rows on the first
+    emitted row, 21 afterwards."""
+    cfg = FeatureConfig(time_start=0, time_end=235959)
+    spark.createDataFrame([], "x: int")  # noqa - keep session warm
+    bars = _mini_bars(spark, {20240101: 25, 20240102: 19})
+
+    from strategy_analyzer_exporter_spark.operators import features as FT
+
+    sess = bars
+    ma = FT.with_ema(sess, cfg)
+    from pyspark.sql import Window
+
+    w_day = Window.partitionBy("day").orderBy("time")
+    out = (
+        ma.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") >= cfg.bars_required)
+        .groupBy("day")
+        .count()
+        .collect()
+    )
+    counts = {r["day"]: r["count"] for r in out}
+    assert counts.get(20240101) == 6
+    assert 20240102 not in counts
+
+
+def test_flagship_schema_discipline(spark):
+    df = features_df(spark, SF, TESTDATA_CONFIG)
+    assert df.columns == sorted(df.columns)  # alphabetical (ordinal) order
+    assert df.columns == [
+        "close", "day", "f_close_location_value",
+        "f_moving_average_autocorrelation", "f_moving_average_distance",
+        "f_moving_average_slope", "f_moving_average_slow_autocorrelation",
+        "f_moving_average_slow_distance", "f_open_location_value",
+        "high", "low", "open", "time", "volume",
+    ]
+    types = dict(df.dtypes)
+    assert types["day"] == "int" and types["time"] == "int"
+    assert all(t == "float" for c, t in types.items() if c not in ("day", "time"))
+    rows = df.count()
+    assert rows > 0
+
+
+def test_day_partition_isolation(spark):
+    """W8: feature values for a day are unaffected by other days'
+    presence (buffers reset at day boundary)."""
+    one = _mini_bars(spark, {20240105: 30})
+    two = _mini_bars(spark, {20240104: 27, 20240105: 30})
+    cfg = FeatureConfig(time_start=0, time_end=235959)
+
+    def run(bars):
+        from pyspark.sql import Window
+
+        ma = with_ema(bars, cfg)
+        w = Window.partitionBy("day").orderBy("time").rowsBetween(-(cfg.window - 1), 0)
+        from strategy_analyzer_exporter_spark import functions as X
+
+        return {
+            (r["day"], r["time"]): r["v"]
+            for r in ma.select(
+                "day", "time", X.autocorr(F.collect_list("moving_average").over(w)).alias("v")
+            ).collect()
+            if r["day"] == 20240105
+        }
+
+    assert run(one) == run(two)
+
+
+def test_bars_derivation_deterministic(spark):
+    a = bars_df(spark, SF).orderBy("day", "time").collect()
+    b = bars_df(spark, SF).orderBy("day", "time").collect()
+    assert a == b
+    for r in a[:100]:
+        assert r["high"] >= max(r["open"], r["close"])
+        assert r["low"] <= min(r["open"], r["close"])
