@@ -30,6 +30,19 @@ def _c(col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Text tokenization (shared by dedup + text-analysis operators)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped. The corpus is single-space
+    separated lowercase words, and both engines split identically."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+# ---------------------------------------------------------------------------
 # Row-local price features (W6/W7)
 
 

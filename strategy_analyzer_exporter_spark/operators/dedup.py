@@ -35,13 +35,8 @@ SIMHASH_BANDS = 4
 HAMMING_THRESHOLD = 6
 
 
-def _tokens(text: Column) -> Column:
-    """Whitespace tokens, empties dropped. The corpus is single-space
-    separated lowercase words, and both engines split identically."""
-    return F.filter(F.split(text, " "), lambda t: t != "")
-
-
-_TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
+from strategy_analyzer_exporter_spark.functions import TOKENS_SQL as _TOKENS_SQL
+from strategy_analyzer_exporter_spark.functions import tokens as _tokens
 
 
 def _shingles(tokens: Column, k: int = SHINGLE_K) -> Column:
@@ -68,25 +63,58 @@ def _shingles_sql(tokens: str, k: int = SHINGLE_K) -> str:
 # MinHash + LSH
 
 
-def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs: shingle → 12 seeded md5 min-hashes →
-    4 band keys → equi-join on band key → exact Jaccard ≥ 0.5 verify.
-
-    Candidate generation is one shuffle on the band key (size ≈ docs ×
-    bands), so no all-pairs comparison ever materializes."""
+def _gram_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, gram) rows — distinct word-k-gram shingles, exploded.
+    The row form is the scale representation: hashing/minhashing become
+    aggregations with map-side partial combine instead of per-row array
+    lambdas, and nothing ever re-materializes a whole document."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(_tokens(F.col("text")))
-    docs = (
-        d.select("doc_id", sh.alias("sh"))
-        .filter(F.size("sh") >= 1)
+    # the test corpus is one small parquet file → one input partition;
+    # spread the hash-heavy shingling across cores. (At real scale the
+    # scan already yields many partitions and this coalesces to a no-op
+    # shuffle of row-ids; results are partitioning-independent.)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh = _shingles(_tokens(F.col("text")), k=k)
+    return d.select("doc_id", F.explode(sh).alias("gram"))
+
+
+def _verify_jaccard(cand: DataFrame, grams: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs via co-grouped gram counts:
+    |A∩B| = count of shared grams, |A∪B| = |A|+|B|−|A∩B|. Joins stay on
+    (doc_id | gram) keys — no document arrays are shuffled."""
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    mh = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
-        ).alias(f"mh{j}")
-        for j in range(NUM_HASHES)
-    ]
-    sigs = docs.select("doc_id", "sh", *mh)
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle rows → 12 seeded md5
+    min-aggregates (ONE shuffle on doc_id, map-side combine) → 4 band
+    keys → equi-join on band key → exact Jaccard ≥ 0.5 verify via gram
+    co-counts. No all-pairs product, no document arrays in shuffles."""
+    grams = _gram_rows(spark, sf_dir)
+    sigs = grams.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("gram")))).alias(f"mh{j}")
+            for j in range(NUM_HASHES)
+        ]
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -98,35 +126,18 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(NUM_BANDS)
         ]
     )
-    bands = sigs.select(
-        "doc_id", "sh", F.explode(band_structs).alias("bk")
-    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
-    a, b = bands.alias("a"), bands.alias("b")
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    )
-    return (
-        cand.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(cand, grams, JACCARD_THRESHOLD)
 
 
 def _minhash_oracle() -> str:
@@ -183,30 +194,16 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram itself), then exact Jaccard ≥ 0.6 verify. Compared to
     MinHash this has no false negatives; the candidate join is bigger, so
     it suits high-threshold dedup where shared long grams are rare."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(_tokens(F.col("text")), k=5)
-    docs = d.select("doc_id", sh.alias("sh")).filter(F.size("sh") >= 1)
-    inv = docs.select("doc_id", "sh", F.explode("sh").alias("gram"))
-    a, b = inv.alias("a"), inv.alias("b")
+    grams = _gram_rows(spark, sf_dir, k=5)
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
     cand = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    )
-    return (
-        cand.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.6)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(cand, grams, 0.6)
 
 
 _NGRAM_ORACLE = f"""WITH toks AS (
@@ -237,56 +234,79 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.6"""
 # SimHash
 
 
-def _simhash(tokens: Column) -> Column:
-    """64-bit SimHash as a '0'/'1' string: per token, md5's first 16 hex
-    chars are its 64 feature bits; each bit position votes ±1; the sign
-    of the vote is the fingerprint bit. Integer votes are order-
-    independent, so engine-native sums would also work — folds keep the
-    implementation uniform."""
-    hexes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, 16))
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sim) — 64-bit SimHash as a '0'/'1' string, row-form.
 
-    def bit_char(p: Column) -> Column:
-        # floor() then cast: DuckDB's CAST(double AS INTEGER) *rounds*
-        # while Spark's truncates — floor makes both exact
-        digit_idx = F.floor(p / 4).cast("int") + 1  # 1-based hex char
-        mask = (
-            F.when(p % 4 == 0, 8)
-            .when(p % 4 == 1, 4)
-            .when(p % 4 == 2, 2)
-            .otherwise(1)
+    Per token *occurrence*, md5's first 16 hex chars are its 64 feature
+    bits; each bit position votes ±1; the sign of the vote is the
+    fingerprint bit. The token is hashed ONCE, then the 64 positions
+    explode to codegen'd rows; votes aggregate with map-side combine
+    (integer sums — order-independent). An earlier array-lambda form
+    recomputed md5 per (token × position) and ran 25× slower."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    hx = toks.select("doc_id", F.substring(F.md5("tok"), 1, 16).alias("h"))
+    pos = hx.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("p"),
+    )
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.col("h").substr(F.floor(F.col("p") / 4).cast("int") + 1, F.lit(1)),
         )
-        vote = F.aggregate(
-            hexes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                (
-                    F.instr(F.lit("0123456789abcdef"), F.substring(h, digit_idx, 1))
-                    - 1
-                ).bitwiseAND(mask)
-                != 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-        return F.when(vote > 0, F.lit("1")).otherwise(F.lit("0"))
-
-    return F.array_join(
-        F.transform(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)), bit_char), ""
+        - 1
+    )
+    mask = (
+        F.when(F.col("p") % 4 == 0, 8)
+        .when(F.col("p") % 4 == 1, 4)
+        .when(F.col("p") % 4 == 2, 2)
+        .otherwise(1)
+    )
+    vote = F.when(digit.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
+    votes = pos.select("doc_id", "p", vote.alias("v")).groupBy("doc_id", "p").agg(
+        F.sum("v").alias("v")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("p").alias("p"), F.col("v").alias("v"))
+                    )
+                ),
+                lambda s: F.when(s["v"] > 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+            "",
+        ).alias("sim")
     )
 
 
-def _simhash_sql(tokens: str) -> str:
-    hexes = f"list_transform({tokens}, t -> substring(md5(t), 1, 16))"
-    vote = (
-        f"list_reduce([0] || list_transform({hexes}, h -> "
-        f"CASE WHEN ((strpos('0123456789abcdef', substring(h, CAST(floor(p/4) AS INTEGER) + 1, 1)) - 1) "
-        f"& (CASE WHEN p%4=0 THEN 8 WHEN p%4=1 THEN 4 WHEN p%4=2 THEN 2 ELSE 1 END)) <> 0 "
-        f"THEN 1 ELSE -1 END), (acc, x) -> acc + x)"
-    )
-    return (
-        f"array_to_string(list_transform(range(0, {SIMHASH_BITS}), "
-        f"p -> CASE WHEN {vote} > 0 THEN '1' ELSE '0' END), '')"
-    )
+_SIMHASH_CTE = f"""toks AS (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+hx AS (
+    SELECT doc_id, substring(md5(tok), 1, 16) AS h FROM toks
+),
+pos AS (
+    SELECT doc_id, h, r.p FROM hx, range(0, {SIMHASH_BITS}) r(p)
+),
+votes AS (
+    SELECT doc_id, p,
+           sum(CASE WHEN ((strpos('0123456789abcdef',
+                     substring(h, CAST(floor(p/4) AS INTEGER) + 1, 1)) - 1)
+                 & (CASE WHEN p%4=0 THEN 8 WHEN p%4=1 THEN 4 WHEN p%4=2 THEN 2 ELSE 1 END)) <> 0
+               THEN 1 ELSE -1 END) AS v
+    FROM pos GROUP BY doc_id, p
+),
+sims AS (
+    SELECT doc_id,
+           string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sim
+    FROM votes GROUP BY doc_id
+)"""
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,10 +315,7 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole, recall is guaranteed for pairs with Hamming ≤ 3; pairs at
     4-6 are kept when they happen to collide on a band (standard banded
     SimHash trade-off — more bands for more recall)."""
-    d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id", _simhash(_tokens(F.col("text"))).alias("sim")
-    )
+    docs = _simhash_df(spark, sf_dir)
     band_w = SIMHASH_BITS // SIMHASH_BANDS
     bands = docs.select(
         "doc_id",
@@ -353,12 +370,7 @@ def _simhash_oracle() -> str:
         f"SELECT doc_id, sim, {b} AS band, substring(sim, {1 + b * band_w}, {band_w}) AS key FROM sims"
         for b in range(SIMHASH_BANDS)
     )
-    return f"""WITH toks AS (
-    SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
-),
-sims AS (
-    SELECT doc_id, {_simhash_sql('t')} AS sim FROM toks
-),
+    return f"""WITH {_SIMHASH_CTE},
 bands AS (
     {band_selects}
 ),

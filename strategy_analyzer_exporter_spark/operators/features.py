@@ -130,6 +130,77 @@ def with_ema_fold(df: DataFrame, cfg: FeatureConfig = FeatureConfig()) -> DataFr
 # Full pipeline
 
 
+def _dec_to_double(c: Column) -> Column:
+    """decimal → double THROUGH a string (see functions.dsum: engines'
+    direct decimal→double casts can differ by 1 ulp)."""
+    return c.cast("string").cast("double")
+
+
+def _window_stat_cols(
+    ma_col: str, y_col: str, sfx: str, w_day, cfg: FeatureConfig
+) -> dict[str, Column]:
+    """The five window statistics feeding lag-1 autocorrelation + slope,
+    as pure window aggregates (no arrays, no interpreted lambdas —
+    everything stays in WindowExec / whole-stage codegen).
+
+    Emitted as *named columns in their own projection stage*: Catalyst
+    does NOT dedupe textually-identical window expressions, so inlining
+    these into the autocorr arithmetic would multiply each sliding sum
+    ~15× in the physical plan (observed: 62 window exprs vs 11).
+
+    The sums are computed over DECIMAL(38,12) so they are exact and
+    order-independent — Spark folds a sliding frame sequentially while
+    DuckDB uses a segment tree, so double sums would disagree in the
+    last bit; decimal sums cannot."""
+    w21 = w_day.rowsBetween(-(cfg.window - 1), 0)
+    w20 = w_day.rowsBetween(-(cfg.window - 2), 0)
+    x = F.col(ma_col)
+    dec = "decimal(38,12)"
+    # y_col = x·(previous x in day), pre-staged (window functions can't
+    # nest); null on the day's first row, so the 20-row sum automatically
+    # covers frame positions 1..n−1
+    y = F.col(y_col).cast(dec)
+    return {
+        f"_n_{sfx}": F.count(x).over(w21).cast("double"),
+        f"_s_{sfx}": _dec_to_double(F.sum(x.cast(dec)).over(w21)),
+        f"_ss_{sfx}": _dec_to_double(F.sum((x * x).cast(dec)).over(w21)),
+        f"_p_{sfx}": _dec_to_double(
+            F.coalesce(F.sum(y).over(w20), F.lit(0).cast(dec))
+        ),
+        f"_first_{sfx}": F.first(x).over(w21),
+    }
+
+
+def _autocorr_from_stats(ma_col: str, sfx: str, cfg: FeatureConfig) -> Column:
+    """Lag-1 autocorrelation from the staged window stats.
+
+    Algebra (identical formula to Common.cs:29-60, expanded):
+      m   = s/n
+      num = Σ x_i·x_{i−1} − m(Σ_{i≥1}x_i + Σ_{i≥1}x_{i−1}) + (n−1)m²
+          = p − m(2s − first − x) + (n−1)m²
+      den = Σx² − 2ms + nm²
+    Versus the array fold form (functions.autocorr, used by the
+    standalone feature_autocorr query) the VALUES may differ by ~1e-15:
+    same formula, different-but-pinned rounding order. Each query matches
+    its own oracle exactly."""
+    x = F.col(ma_col)
+    n, s, ss, p, first = (
+        F.col(f"_n_{sfx}"),
+        F.col(f"_s_{sfx}"),
+        F.col(f"_ss_{sfx}"),
+        F.col(f"_p_{sfx}"),
+        F.col(f"_first_{sfx}"),
+    )
+    m = s / n
+    num = p - m * (F.lit(2.0) * s - first - x) + (n - F.lit(1.0)) * m * m
+    den = ss - F.lit(2.0) * m * s + n * m * m
+    return (
+        F.when(n <= F.lit(float(cfg.autocorr_lag)), F.lit(0.0))
+        .when(F.abs(den) < X.TOLERANCE, F.lit(0.0))
+        .otherwise(num / den)
+    )
+
+
 def features_df(
     spark: SparkSession,
     sf_dir: str,
@@ -137,7 +208,16 @@ def features_df(
     ema_impl: str = "pandas",
 ) -> DataFrame:
     """bars → session filter → EMA → window features → warm-up gate →
-    alphabetical float32 export projection (FIXTURES.md §2 schema)."""
+    alphabetical float32 export projection (FIXTURES.md §2 schema).
+
+    One logical day-partitioning serves the whole plan: bars derivation,
+    EMA grouping, and every window feature share hash(day), so after the
+    first exchange everything is sorts + window aggregates within
+    partitions. Requires cfg.autocorr_lag == 1 (the windowed-sums
+    expansion is lag-1; the general-lag array form lives in
+    functions.autocorr)."""
+    if cfg.autocorr_lag != 1:
+        raise ValueError("features_df implements lag-1 autocorrelation")
     bars = bars_df(spark, sf_dir)
     # P3 — session predicate first, like the reference (bars outside the
     # session never enter the buffers). Also lets Catalyst push the
@@ -148,11 +228,34 @@ def features_df(
     ma = (with_ema if ema_impl == "pandas" else with_ema_fold)(sess, cfg)
 
     w_day = Window.partitionBy("day").orderBy("time")
-    w_frame = w_day.rowsBetween(-(cfg.window - 1), 0)
-    arr_f = F.collect_list("moving_average").over(w_frame)
-    arr_s = F.collect_list("slow_moving_average").over(w_frame)
+    ma = ma.withColumns(
+        {
+            "_y_f": F.col("moving_average") * F.lag("moving_average").over(w_day),
+            "_y_s": F.col("slow_moving_average")
+            * F.lag("slow_moving_average").over(w_day),
+        }
+    )
+    # one Window stage with exactly 11 window expressions (5 stats × 2
+    # MAs + row_number), all sharing one (day, time) sort
+    stats = {
+        **_window_stat_cols("moving_average", "_y_f", "f", w_day, cfg),
+        **_window_stat_cols("slow_moving_average", "_y_s", "s", w_day, cfg),
+        "_rn": F.row_number().over(w_day),
+    }
+    staged = ma.withColumns(stats)
 
-    feat = ma.select(
+    slope_tol = float(cfg.slope_tolerance)
+    slope = (
+        F.when(F.col("_n_f") < F.lit(2.0), F.lit(0.0))
+        .when(F.abs(F.col("_first_f")) < F.lit(slope_tol), F.lit(0.0))
+        .otherwise(
+            (F.col("moving_average") - F.col("_first_f"))
+            / F.col("_first_f")
+            * F.lit(100.0)
+        )
+    )
+
+    feat = staged.select(
         "day",
         "time",
         "open",
@@ -160,16 +263,18 @@ def features_df(
         "low",
         "close",
         "volume",
-        F.row_number().over(w_day).alias("_rn"),
+        "_rn",
         X.ma_distance("close", "moving_average").alias("f_moving_average_distance"),
         X.ma_distance("close", "slow_moving_average").alias(
             "f_moving_average_slow_distance"
         ),
-        X.autocorr(arr_f, cfg.autocorr_lag).alias("f_moving_average_autocorrelation"),
-        X.autocorr(arr_s, cfg.autocorr_lag).alias(
+        _autocorr_from_stats("moving_average", "f", cfg).alias(
+            "f_moving_average_autocorrelation"
+        ),
+        _autocorr_from_stats("slow_moving_average", "s", cfg).alias(
             "f_moving_average_slow_autocorrelation"
         ),
-        X.slope(arr_f, cfg.slope_tolerance).alias("f_moving_average_slope"),
+        slope.alias("f_moving_average_slope"),
         X.location_value("open", "high", "low").alias("f_open_location_value"),
         X.location_value("close", "high", "low").alias("f_close_location_value"),
     )
@@ -180,11 +285,39 @@ def features_df(
     return export_select(gated, use_float32=cfg.use_float32)
 
 
+def _autocorr_win_sql(sfx: str, lag: int) -> str:
+    """DuckDB mirror of _windowed_autocorr_cols' double arithmetic."""
+    m = f"(s_{sfx} / n_{sfx})"
+    x = "moving_average" if sfx == "f" else "slow_moving_average"
+    num = f"(p_{sfx} - {m} * (2.0 * s_{sfx} - first_{sfx} - {x}) + (n_{sfx} - 1.0) * {m} * {m})"
+    den = f"(ss_{sfx} - 2.0 * {m} * s_{sfx} + n_{sfx} * {m} * {m})"
+    return (
+        f"CASE WHEN n_{sfx} <= {float(lag)!r} THEN 0.0 "
+        f"WHEN abs({den}) < 1e-6 THEN 0.0 "
+        f"ELSE {num} / {den} END"
+    )
+
+
 def features_sql(cfg: FeatureConfig = TESTDATA_CONFIG) -> str:
-    """DuckDB oracle for :func:`features_df` — same ops, same fold order."""
+    """DuckDB oracle for :func:`features_df` — same op sequence: EMA by
+    left-fold over prefix lists, autocorrelation by exact-decimal window
+    sums expanded exactly like _windowed_autocorr_cols."""
     ema_f = X.ema_fold_sql("_closes", cfg.span_fast)
     ema_s = X.ema_fold_sql("_closes", cfg.span_slow)
     real = "REAL" if cfg.use_float32 else "DOUBLE"
+    dec = "DECIMAL(38,12)"
+    d2d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    win_cols = []
+    for sfx, x in (("f", "moving_average"), ("s", "slow_moving_average")):
+        win_cols += [
+            f"CAST(count({x}) OVER w21 AS DOUBLE) AS n_{sfx}",
+            f"{d2d(f'sum(CAST({x} AS {dec})) OVER w21')} AS s_{sfx}",
+            f"{d2d(f'sum(CAST({x} * {x} AS {dec})) OVER w21')} AS ss_{sfx}",
+            f"{d2d(f'coalesce(sum(CAST(_y_{sfx} AS {dec})) OVER w20, CAST(0 AS {dec}))')} AS p_{sfx}",
+            f"first_value({x}) OVER w21 AS first_{sfx}",
+        ]
+    win_cols_sql = ",\n           ".join(win_cols)
+    slope_tol = float(cfg.slope_tolerance)
     return f"""
 WITH {BARS_CTE},
 sess AS (
@@ -203,22 +336,33 @@ ma AS (
            {ema_s} AS slow_moving_average
     FROM pfx
 ),
+ma2 AS (
+    SELECT *,
+           moving_average * lag(moving_average) OVER wd AS _y_f,
+           slow_moving_average * lag(slow_moving_average) OVER wd AS _y_s
+    FROM ma
+    WINDOW wd AS (PARTITION BY day ORDER BY time)
+),
 win AS (
     SELECT *,
-           list(moving_average) OVER w AS _arr_f,
-           list(slow_moving_average) OVER w AS _arr_s,
+           {win_cols_sql},
            row_number() OVER (PARTITION BY day ORDER BY time) AS _rn
-    FROM ma
-    WINDOW w AS (PARTITION BY day ORDER BY time
-                 ROWS BETWEEN {cfg.window - 1} PRECEDING AND CURRENT ROW)
+    FROM ma2
+    WINDOW w21 AS (PARTITION BY day ORDER BY time
+                 ROWS BETWEEN {cfg.window - 1} PRECEDING AND CURRENT ROW),
+           w20 AS (PARTITION BY day ORDER BY time
+                 ROWS BETWEEN {cfg.window - 2} PRECEDING AND CURRENT ROW)
 ),
 feat AS (
     SELECT day, time, open, high, low, close, volume,
            {X.ma_distance_sql('close', 'moving_average')} AS f_moving_average_distance,
            {X.ma_distance_sql('close', 'slow_moving_average')} AS f_moving_average_slow_distance,
-           {X.autocorr_sql('_arr_f', cfg.autocorr_lag)} AS f_moving_average_autocorrelation,
-           {X.autocorr_sql('_arr_s', cfg.autocorr_lag)} AS f_moving_average_slow_autocorrelation,
-           {X.slope_sql('_arr_f', cfg.slope_tolerance)} AS f_moving_average_slope,
+           {_autocorr_win_sql('f', cfg.autocorr_lag)} AS f_moving_average_autocorrelation,
+           {_autocorr_win_sql('s', cfg.autocorr_lag)} AS f_moving_average_slow_autocorrelation,
+           CASE WHEN n_f < 2.0 THEN 0.0
+                WHEN abs(first_f) < CAST({slope_tol!r} AS DOUBLE) THEN 0.0
+                ELSE (moving_average - first_f) / first_f * 100.0
+           END AS f_moving_average_slope,
            {X.location_value_sql('open', 'high', 'low')} AS f_open_location_value,
            {X.location_value_sql('close', 'high', 'low')} AS f_close_location_value
     FROM win

