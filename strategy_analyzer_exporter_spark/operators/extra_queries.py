@@ -1,0 +1,283 @@
+"""Additional operator queries: streaming parity, per-instrument EMA,
+reference-quirk variants, sessionization, exact stats, unpivot.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from strategy_analyzer_exporter_spark import functions as X
+from strategy_analyzer_exporter_spark.codecs import ts_to_day, ts_to_time
+from strategy_analyzer_exporter_spark.operators.features import (
+    TESTDATA_CONFIG,
+    FeatureConfig,
+    features_sql,
+)
+from strategy_analyzer_exporter_spark.registry import register
+from strategy_analyzer_exporter_spark.sources.bars import BARS_CTE, bars_df
+from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Streaming pipeline (W1-W9 + P3/P5 incrementally, §2.5): bit-exact vs
+# batch, so it shares the batch oracle.
+
+
+def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strategy_analyzer_exporter_spark.streaming import (
+        BAR_SCHEMA,
+        run_stream_to_memory,
+    )
+
+    stage = os.path.join("/root/repo/.tmp", "bars_stream_" + sf_dir.strip("/").split("/")[-1])
+    bars = bars_df(spark, sf_dir).select([f.name for f in BAR_SCHEMA.fields])
+    # one file per day → every day's bars arrive time-ordered within one
+    # micro-batch; days may split across batches arbitrarily
+    bars.write.mode("overwrite").partitionBy("day").parquet(stage)
+    name = "stream_features_" + abs(hash(sf_dir)).__str__()[:8]
+    return run_stream_to_memory(spark, stage, TESTDATA_CONFIG, query_name=name)
+
+
+register("streaming_features", _q_streaming, features_sql(TESTDATA_CONFIG))
+
+
+# ---------------------------------------------------------------------------
+# W1/W2 at instrument granularity: EMA over the FULL series per user_id
+# (the reference's EMA is not day-reset; user_id plays the instrument
+# key, SURVEY.md §2.3 W1). applyInPandas per instrument = the scale
+# path (parallelism = #instruments); oracle = per-user prefix-list fold.
+
+
+def _q_ema_instrument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        ts_to_day("ts").alias("day"),
+        ts_to_time("ts").alias("time"),
+        (F.lit(100.0) + F.col("value")).alias("close"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("day", T.IntegerType()),
+            T.StructField("time", T.IntegerType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("ema_fast", T.DoubleType()),
+            T.StructField("ema_slow", T.DoubleType()),
+        ]
+    )
+    a_f = 2.0 / (9 + 1.0)
+    a_s = 2.0 / (21 + 1.0)
+
+    def ema_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["day", "time", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        for alpha, col in ((a_f, "ema_fast"), (a_s, "ema_slow")):
+            out = [0.0] * len(pdf)
+            acc = None
+            for i, c in enumerate(float(v) for v in pdf["close"]):
+                acc = c if acc is None else acc + alpha * (c - acc)
+                out[i] = acc
+            pdf[col] = pd.Series(out, dtype="float64")
+        return pdf
+
+    return base.groupBy("user_id").applyInPandas(ema_user, out_schema)
+
+
+register(
+    "feature_ema_full_series",
+    _q_ema_instrument,
+    f"""WITH base AS (
+    SELECT user_id, event_id,
+           CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS INTEGER) AS day,
+           CAST(hour(ts)*10000 + minute(ts)*100 + second(ts) AS INTEGER) AS time,
+           CAST(100.0 AS DOUBLE) + value AS close
+    FROM events
+),
+pfx AS (
+    SELECT *, list(close) OVER (
+        PARTITION BY user_id ORDER BY day, time, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _c
+    FROM base
+)
+SELECT user_id, event_id, day, time, close,
+       {X.ema_fold_sql('_c', 9)} AS ema_fast,
+       {X.ema_fold_sql('_c', 21)} AS ema_slow
+FROM pfx""",
+)
+
+
+# ---------------------------------------------------------------------------
+# The reference's slope-tolerance quirk, reproduced bit-for-bit
+# (MovingAverage.cs:30 passes LookbackPeriodSlow as tolerance;
+# SURVEY.md §2.3 quirk note): |first| < 21 zeroes the slope.
+
+_QUIRK_CFG = FeatureConfig(
+    time_start=TESTDATA_CONFIG.time_start,
+    time_end=TESTDATA_CONFIG.time_end,
+    strict_reference_tolerance=True,
+)
+
+
+def _q_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strategy_analyzer_exporter_spark.operators.features import features_df
+
+    return features_df(spark, sf_dir, _QUIRK_CFG)
+
+
+register("features_strict_reference_quirk", _q_quirk, features_sql(_QUIRK_CFG))
+
+
+# ---------------------------------------------------------------------------
+# P4 — strategy-level global warm-up gate (CurrentBars ≥ N over the whole
+# series, StrategyAnalyzerExporter.cs:86,186). A global row_number is a
+# single-partition window — fine for the one-time prefix trim it exists
+# for, wrong for anything hot; flagged in SURVEY.md §2.2.
+
+
+def _q_warmup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("day", "time")
+    return (
+        bars_df(spark, sf_dir)
+        .withColumn("_g", F.row_number().over(w))
+        .filter(F.col("_g") > 20)
+        .select("day", "time", "close")
+    )
+
+
+register(
+    "feature_warmup_global",
+    _q_warmup_global,
+    f"""WITH {BARS_CTE},
+g AS (SELECT day, time, close, row_number() OVER (ORDER BY day, time) AS _g FROM bars)
+SELECT day, time, close FROM g WHERE _g > 20""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap > 30 min starts a new session) — the lag+cumsum
+# pattern; one window partitioning on user_id.
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess_id = F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.withColumn("session_id", sess_id.cast("long"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        X.dsum("value").alias("session_value"),
+    )
+
+
+register(
+    "sessionization",
+    _q_sessionize,
+    f"""WITH marked AS (
+    SELECT *, CASE WHEN lagged IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS _new
+    FROM (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER w AS lagged,
+               epoch(ts) - epoch(lag(ts) OVER w) AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+),
+sess AS (
+    SELECT *, CAST(sum(_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM marked
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       {X.dsum_sql('value')} AS session_value
+FROM sess GROUP BY user_id, session_id""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact distribution stats: stddev/variance from decimal sums (engine
+# stddev aggregates have engine-specific summation order, so compute
+# from exact sums + one double op sequence).
+
+
+def _q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,10)"
+    s = F.sum(F.col("l_quantity").cast(dec)).cast("string").cast("double")
+    ss = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec)).cast(
+        "string"
+    ).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    grouped = li.groupBy("l_returnflag").agg(
+        s.alias("_s"), ss.alias("_ss"), n.alias("_n")
+    )
+    mean = F.col("_s") / F.col("_n")
+    var = (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n")) / (
+        F.col("_n") - F.lit(1.0)
+    )
+    return grouped.select(
+        "l_returnflag",
+        F.col("_n").cast("long").alias("n"),
+        mean.alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )
+
+
+register(
+    "agg_exact_stats",
+    _q_stats,
+    """WITH g AS (
+    SELECT l_returnflag,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS _s,
+           CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS _ss,
+           CAST(count(*) AS DOUBLE) AS _n
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(_n AS BIGINT) AS n,
+       _s / _n AS mean_qty,
+       (_ss - _s * _s / _n) / (_n - 1.0) AS var_qty,
+       sqrt((_ss - _s * _s / _n) / (_n - 1.0)) AS stddev_qty
+FROM g""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (stack): wide → long on part price/size.
+
+
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE))"
+        ).alias("measure", "val"),
+    )
+
+
+register(
+    "unpivot_stack",
+    _q_unpivot,
+    """SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part""",
+)

@@ -28,6 +28,7 @@ def _load_all() -> None:
     """Import every operator module for its registration side effects."""
     from strategy_analyzer_exporter_spark.operators import (  # noqa: F401
         dedup,
+        extra_queries,
         feature_queries,
         multimodal,
         relational,

@@ -1,0 +1,145 @@
+"""Sinks: parquet export + DuckDB ingestion (reference §2.1 S2-S9 parity).
+
+The reference writes row-at-a-time into DuckDB through an appender with
+batched commits and periodic CHECKPOINTs (DatabaseWriter.cs:141-181,
+396-464). The Spark-first equivalent splits responsibilities:
+
+- executors write PARQUET in parallel (vectorized, atomic per job) —
+  this is the distributed bulk path; DuckDB reads parquet natively, so
+  a parquet directory IS a DuckDB-queryable table at rest;
+- an optional driver-side INGEST step loads the parquet into a real
+  .duckdb file in one `CREATE TABLE ... AS SELECT * FROM read_parquet`
+  statement — columnar, transactional, and orders of magnitude faster
+  than row appends;
+- the streaming path (streaming/) commits per micro-batch epoch via
+  foreachBatch with the reference's commit/checkpoint cadence knobs.
+
+At 100 TB only the parquet path runs distributed; a single-file .duckdb
+is inherently single-writer, so it exists for tool-compat exports of
+aggregated/filtered results, not for raw fact data.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from strategy_analyzer_exporter_spark.schema import export_select, quote_ident
+
+
+@dataclass(frozen=True)
+class CommitPolicy:
+    """Reference ingestion knobs (StrategyAnalyzerExporter.cs:110-117).
+
+    flush_size / flush_interval_s govern micro-batch sizing upstream;
+    commit_every_rows / checkpoint_every_commits govern the DuckDB
+    transaction cadence in the streaming sink."""
+
+    flush_size: int = 50_000
+    flush_interval_s: int = 60
+    commit_every_rows: int = 10_000
+    max_tx_duration_s: int = 30
+    idle_tail_commit_s: int = 15
+    checkpoint_every_commits: int = 10
+
+
+_SPARK_TO_DUCKDB: dict[type, str] = {
+    T.StringType: "VARCHAR",
+    T.BinaryType: "BLOB",
+    T.BooleanType: "BOOLEAN",
+    T.ByteType: "TINYINT",
+    T.ShortType: "SMALLINT",
+    T.IntegerType: "INTEGER",
+    T.LongType: "BIGINT",
+    T.FloatType: "REAL",
+    T.DoubleType: "DOUBLE",
+    T.DateType: "DATE",
+    T.TimestampType: "TIMESTAMP",
+}
+
+
+def spark_schema_to_duckdb_ddl(schema: T.StructType, table: str) -> str:
+    """Spark StructType → `CREATE TABLE IF NOT EXISTS` DDL (the engine-side
+    twin of schema.derive_create_table, which starts from a Python record
+    class like the reference's reflection path DatabaseWriter.cs:217-256)."""
+    cols = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.DecimalType):
+            d = f"DECIMAL({f.dataType.precision},{f.dataType.scale})"
+        else:
+            d = _SPARK_TO_DUCKDB.get(type(f.dataType), "VARCHAR")
+        cols.append(f"{quote_ident(f.name)} {d}")
+    return f"CREATE TABLE IF NOT EXISTS {quote_ident(table)} ({', '.join(cols)})"
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    use_float32: bool = True,
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Bulk export with the sink's column discipline: ordinal column
+    order + double→float32 narrowing (S4, ≈50% size, README.md:68).
+
+    partition_by=("day",) gives partition pruning for the reference's
+    day/time predicates on read-back. max_records_per_file bounds file
+    size so a 1000-executor read parallelizes."""
+    out = export_select(df, use_float32=use_float32)
+    w = out.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def ingest_parquet_to_duckdb(
+    parquet_path: str, db_path: str, table: str, mode: str = "replace"
+) -> int:
+    """Load a parquet export into a .duckdb file (driver-side, bulk).
+    Returns the row count. `mode`: replace | append."""
+    import duckdb
+
+    con = duckdb.connect(db_path)
+    try:
+        glob = os.path.join(parquet_path, "**", "*.parquet")
+        if mode == "replace":
+            con.execute(f"DROP TABLE IF EXISTS {quote_ident(table)}")
+        con.execute(
+            f"CREATE TABLE IF NOT EXISTS {quote_ident(table)} AS "
+            f"SELECT * FROM read_parquet('{glob}', hive_partitioning=true) LIMIT 0"
+        )
+        con.execute(
+            f"INSERT INTO {quote_ident(table)} "
+            f"SELECT * FROM read_parquet('{glob}', hive_partitioning=true)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM {quote_ident(table)}"
+        ).fetchone()[0]
+        try:
+            # S7: checkpoint on close (DatabaseWriter.cs:388-392)
+            con.execute("CHECKPOINT")
+        except duckdb.TransactionException:
+            # another connection holds a write txn; durability is already
+            # transactional — the checkpoint is only a WAL-truncation
+            # optimization, so skip rather than FORCE-abort their work
+            pass
+        return int(n)
+    finally:
+        con.close()
+
+
+def export_to_duckdb(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    staging_dir: str,
+    use_float32: bool = True,
+) -> int:
+    """End-to-end batch export (reference entry point 1, SURVEY.md §3.1):
+    distributed parquet write → single bulk DuckDB ingest → CHECKPOINT."""
+    write_parquet(df, staging_dir, use_float32=use_float32)
+    return ingest_parquet_to_duckdb(staging_dir, db_path, table)

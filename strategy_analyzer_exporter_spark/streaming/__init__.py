@@ -1,0 +1,272 @@
+"""Structured Streaming feature pipeline (reference entry point 2,
+SURVEY.md §3.2: real-time incremental export).
+
+The reference's realtime path runs the same per-bar dataflow with
+time-driven commits (StrategyAnalyzerExporter.cs:234-246,
+DatabaseWriter.cs:396-414). Here the per-(day) sliding-window state —
+the three capacity-21 circular buffers (FeaturesBarService.cs:22-26) —
+lives in Spark streaming state via ``applyInPandasWithState`` keyed by
+``day``; the session filter, feature math, and warm-up gate are applied
+incrementally per micro-batch.
+
+Numeric parity: the incremental math is written so its float64 op
+sequence matches the BATCH pipeline bit-for-bit —
+- EMA: the same ``acc + α(x − acc)`` left-fold;
+- window sums quantized to DECIMAL(38,12) exactly like the batch
+  pipeline (each double rounded HALF_UP to 12 decimal places, summed as
+  exact integers, converted to double once) — ``math.fsum`` of the raw
+  doubles would NOT match, because the batch path quantizes each term
+  before summing;
+- num/den/slope arithmetic in the exact expression order of
+  operators/features.py.
+So a streaming run over in-order bars produces byte-identical rows to
+``features_df`` — asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable, Iterator
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from strategy_analyzer_exporter_spark.operators.features import (
+    FeatureConfig,
+    TESTDATA_CONFIG,
+)
+
+TOL = 1e-6
+
+BAR_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.IntegerType()),
+        T.StructField("time", T.IntegerType()),
+        T.StructField("open", T.DoubleType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("volume", T.DoubleType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("close", T.FloatType()),
+        T.StructField("day", T.IntegerType()),
+        T.StructField("f_close_location_value", T.FloatType()),
+        T.StructField("f_moving_average_autocorrelation", T.FloatType()),
+        T.StructField("f_moving_average_distance", T.FloatType()),
+        T.StructField("f_moving_average_slope", T.FloatType()),
+        T.StructField("f_moving_average_slow_autocorrelation", T.FloatType()),
+        T.StructField("f_moving_average_slow_distance", T.FloatType()),
+        T.StructField("f_open_location_value", T.FloatType()),
+        T.StructField("high", T.FloatType()),
+        T.StructField("low", T.FloatType()),
+        T.StructField("open", T.FloatType()),
+        T.StructField("time", T.IntegerType()),
+        T.StructField("volume", T.FloatType()),
+    ]
+)
+
+# state per day: row count, two EMA accumulators, and the trailing
+# window of (ma_fast, ma_slow) values — the reference's circular buffers
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_rows", T.IntegerType()),
+        T.StructField("ema_f", T.DoubleType()),
+        T.StructField("ema_s", T.DoubleType()),
+        T.StructField("wf", T.ArrayType(T.DoubleType())),
+        T.StructField("ws", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _loc(anchor: float, high: float, low: float) -> float:
+    rng = high - low
+    if abs(rng) < TOL:
+        return 0.0
+    return (2.0 * anchor - high - low) / rng
+
+
+def _dist(close: float, ma: float) -> float:
+    if math.isnan(close) or math.isinf(close) or math.isnan(ma) or math.isinf(ma):
+        return 0.0
+    if abs(ma) < TOL:
+        return 0.0
+    return (close - ma) / ma * 100.0
+
+
+_Q12 = Decimal("1e-12")
+
+
+def _q12(x: float) -> int:
+    """double → DECIMAL(38,12) as a scaled exact integer (the quantize
+    step Spark's cast performs with BigDecimal HALF_UP)."""
+    return int(Decimal(x).quantize(_Q12, rounding=ROUND_HALF_UP).scaleb(12))
+
+
+def _d12(i: int) -> float:
+    """scaled-int decimal → double, one correctly-rounded conversion
+    (the batch path's decimal→string→double)."""
+    return float(Decimal(i).scaleb(-12))
+
+
+def _autocorr_windowed(win: list[float], prev_products: list[float]) -> float:
+    """Exactly the batch windowed-sums arithmetic
+    (operators/features.py::_autocorr_from_stats): per-term DECIMAL(38,12)
+    quantization, exact integer sums, one conversion to double, then the
+    same num/den expression order — bit-identical to the batch output."""
+    n = float(len(win))
+    if n <= 1.0:
+        return 0.0
+    x = win[-1]
+    first = win[0]
+    s = _d12(sum(_q12(v) for v in win))
+    ss = _d12(sum(_q12(v * v) for v in win))
+    p = _d12(sum(_q12(v) for v in prev_products))
+    m = s / n
+    num = p - m * (2.0 * s - first - x) + (n - 1.0) * m * m
+    den = ss - 2.0 * m * s + n * m * m
+    if abs(den) < TOL:
+        return 0.0
+    return num / den
+
+
+def _slope(win: list[float], current: float, tolerance: float) -> float:
+    if len(win) < 2:
+        return 0.0
+    first = win[0]
+    if abs(first) < tolerance:
+        return 0.0
+    return (current - first) / first * 100.0
+
+
+def make_feature_updater(cfg: FeatureConfig = TESTDATA_CONFIG):
+    """Build the applyInPandasWithState update function: key = (day,),
+    state = circular buffers + EMA accumulators. Bars must arrive in
+    time order within a micro-batch stream (the reference's contract —
+    Calculate.OnBarClose delivers closed bars strictly in order)."""
+    a_f = 2.0 / (cfg.span_fast + 1.0)
+    a_s = 2.0 / (cfg.span_slow + 1.0)
+    cap = cfg.window
+    slope_tol = float(cfg.slope_tolerance)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        day = int(key[0])
+        if state.exists:
+            n_rows, ema_f, ema_s, wf, ws = state.get
+            wf, ws = list(wf), list(ws)
+        else:
+            n_rows, ema_f, ema_s, wf, ws = 0, None, None, [], []
+
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("time", kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                t, o, h, lo, c, v = (
+                    int(row.time),
+                    float(row.open),
+                    float(row.high),
+                    float(row.low),
+                    float(row.close),
+                    float(row.volume),
+                )
+                if not (cfg.time_start <= t <= cfg.time_end):
+                    continue
+                n_rows += 1
+                ema_f = c if ema_f is None else ema_f + a_f * (c - ema_f)
+                ema_s = c if ema_s is None else ema_s + a_s * (c - ema_s)
+                wf.append(ema_f)
+                ws.append(ema_s)
+                if len(wf) > cap:
+                    wf.pop(0)
+                    ws.pop(0)
+                if n_rows < cfg.bars_required:
+                    continue
+                # prev-products over frame positions 1..n−1 (the batch
+                # pipeline's 20-row window of x_i·x_{i−1})
+                pp_f = [wf[i] * wf[i - 1] for i in range(1, len(wf))]
+                pp_s = [ws[i] * ws[i - 1] for i in range(1, len(ws))]
+                out_rows.append(
+                    {
+                        "close": c,
+                        "day": day,
+                        "f_close_location_value": _loc(c, h, lo),
+                        "f_moving_average_autocorrelation": _autocorr_windowed(wf, pp_f),
+                        "f_moving_average_distance": _dist(c, ema_f),
+                        "f_moving_average_slope": _slope(wf, ema_f, slope_tol),
+                        "f_moving_average_slow_autocorrelation": _autocorr_windowed(ws, pp_s),
+                        "f_moving_average_slow_distance": _dist(c, ema_s),
+                        "f_open_location_value": _loc(o, h, lo),
+                        "high": h,
+                        "low": lo,
+                        "open": o,
+                        "time": t,
+                        "volume": v,
+                    }
+                )
+
+        state.update((n_rows, ema_f, ema_s, wf, ws))
+        # always yield a correctly-dtyped frame (even empty) — pyspark
+        # concatenates yielded batches, and untyped empties trip pandas'
+        # all-NA-concat dtype inference
+        cols = [f.name for f in FEATURE_SCHEMA.fields]
+        out = pd.DataFrame(out_rows, columns=cols)
+        for col in cols:
+            out[col] = out[col].astype("int32" if col in ("day", "time") else "float32")
+        yield out
+
+    return update
+
+
+def stream_features(
+    bars_stream: DataFrame, cfg: FeatureConfig = TESTDATA_CONFIG
+) -> DataFrame:
+    """Streaming bars → streaming features. ``bars_stream`` must be a
+    streaming DataFrame with BAR_SCHEMA columns."""
+    return bars_stream.groupBy("day").applyInPandasWithState(
+        make_feature_updater(cfg),
+        outputStructType=FEATURE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: FeatureConfig = TESTDATA_CONFIG,
+    query_name: str = "stream_features_out",
+) -> DataFrame:
+    """Drive a file-source stream of bar parquet through the stateful
+    pipeline into a memory sink, synchronously (availableNow semantics
+    via processAllAvailable). Returns the materialized result table."""
+    stream = (
+        spark.readStream.schema(BAR_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(source_dir)
+    )
+    q = (
+        stream_features(stream, cfg)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

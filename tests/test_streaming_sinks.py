@@ -1,0 +1,115 @@
+"""Streaming pipeline parity + sink round-trips (SURVEY.md §2.1, §2.5)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from strategy_analyzer_exporter_spark.operators.features import (
+    TESTDATA_CONFIG,
+    features_df,
+)
+from strategy_analyzer_exporter_spark.sinks import (
+    export_to_duckdb,
+    spark_schema_to_duckdb_ddl,
+    write_parquet,
+)
+from strategy_analyzer_exporter_spark.sources.bars import bars_df
+
+SF = "/root/testdata/sf0.001"
+TMP = "/root/repo/.tmp"
+
+
+def _norm(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(["day", "time"], kind="mergesort").reset_index(drop=True)
+
+
+def test_streaming_bit_equals_batch(spark):
+    """The incremental stateful pipeline must produce byte-identical rows
+    to the batch pipeline (quantized window sums, same fold order)."""
+    from strategy_analyzer_exporter_spark.streaming import BAR_SCHEMA, run_stream_to_memory
+
+    stage = os.path.join(TMP, "bars_stream_test")
+    bars = bars_df(spark, SF).select([f.name for f in BAR_SCHEMA.fields])
+    bars.write.mode("overwrite").partitionBy("day").parquet(stage)
+    got = _norm(run_stream_to_memory(spark, stage, query_name="t_stream").toPandas())
+    want = _norm(features_df(spark, SF, TESTDATA_CONFIG).toPandas())
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+        else:
+            assert (a == b).all(), c
+
+
+def test_streaming_updater_cross_batch_state(spark):
+    """Feeding a day's bars in two chunks must equal feeding them at once
+    (state carries the circular buffers across micro-batches)."""
+    import pandas as pd
+
+    from strategy_analyzer_exporter_spark.streaming import make_feature_updater
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    rows = [
+        {"time": 90000 + i * 100, "open": 100.0 + i, "high": 101.0 + i,
+         "low": 99.0 + i, "close": 100.5 + i, "volume": 10.0}
+        for i in range(30)
+    ]
+    upd = make_feature_updater(TESTDATA_CONFIG)
+
+    def run(chunks):
+        st = FakeState()
+        out = []
+        for ch in chunks:
+            out += list(upd((20240101,), [pd.DataFrame(ch)], st))
+        return pd.concat(out).reset_index(drop=True)
+
+    once = run([rows])
+    split = run([rows[:13], rows[13:]])
+    assert once.equals(split)
+    assert len(once) == 11  # 30 rows, warm-up 20 → rows 20..30
+
+
+def test_write_parquet_roundtrip(spark):
+    path = os.path.join(TMP, "feat_export")
+    df = features_df(spark, SF, TESTDATA_CONFIG)
+    write_parquet(df, path, use_float32=True, partition_by=("day",))
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    # partition pruning: day filter must prune files, not scan all
+    plan = back.filter("day = 20240102")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+
+
+def test_export_to_duckdb(spark, tmp_path):
+    import duckdb
+
+    df = features_df(spark, SF, TESTDATA_CONFIG)
+    db = str(tmp_path / "out.duckdb")
+    n = export_to_duckdb(df, db, "features", os.path.join(TMP, "duck_stage"))
+    assert n == df.count()
+    con = duckdb.connect(db)
+    cols = [r[0] for r in con.execute("DESCRIBE features").fetchall()]
+    assert cols == sorted(cols)  # alphabetical discipline survives
+    types = {r[0]: r[1] for r in con.execute("DESCRIBE features").fetchall()}
+    assert types["close"] == "FLOAT" or types["close"] == "REAL"
+    con.close()
+
+
+def test_schema_to_ddl(spark):
+    df = features_df(spark, SF, TESTDATA_CONFIG)
+    ddl = spark_schema_to_duckdb_ddl(df.schema, "features")
+    assert ddl.startswith('CREATE TABLE IF NOT EXISTS "features"')
+    assert '"close" REAL' in ddl and '"day" INTEGER' in ddl
