@@ -245,6 +245,174 @@ WHERE a.vec_id < b.vec_id
   AND {_cosine_sql('a.embedding', 'b.embedding')} >= {NEARDUP_COS}"""
 
 
+# ---------------------------------------------------------------------------
+# Multi-table LSH: T tables of fewer planes each. A single 8-bit table
+# has ~2.5% same-bucket probability for a cos≈0.4 neighbor (uniform
+# random corpus) — fine for near-dups, useless for top-k recall. With
+# T=4 tables × 6 planes, P(collide in ≥1 table) ≈ 23% per neighbor at
+# 4× candidate cost: the standard recall/cost dial.
+
+N_TABLES = 4
+PLANES_PER_TABLE = 6
+
+
+def _mt_hyperplanes() -> list[list[list[float]]]:
+    return [
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[0], 16) & 1
+                else -1.0
+                for d in range(DIM)
+            ]
+            for p in range(PLANES_PER_TABLE)
+        ]
+        for t in range(N_TABLES)
+    ]
+
+
+def _q_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tables = _mt_hyperplanes()
+    bucket_cols = []
+    for t in range(N_TABLES):
+        bits = []
+        for p in range(PLANES_PER_TABLE):
+            plane = F.array(*[F.lit(x) for x in tables[t][p]])
+            bits.append(
+                F.when(_dot_fold(F.col("embedding"), plane) > 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+            )
+        bucket_cols.append(F.concat(*bits).alias(f"b{t}"))
+    withb = emb.select("vec_id", "embedding", *bucket_cols)
+    tb = withb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"b{t}").alias("key"))
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "vec_id", "embedding", F.col("bk.tbl").alias("tbl"), F.col("bk.key").alias("key")
+    )
+    q = tb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "tbl", "key"
+    )
+    c = tb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "tbl", "key"
+    )
+    scored = (
+        q.join(c, ["tbl", "key"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", "qv", "cv")
+        .dropDuplicates(["query_id", "cand_id"])  # union candidates across tables
+        .select(
+            "query_id", "cand_id", _cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "cand_id", "cos_sim", "rn")
+    )
+
+
+def _mt_oracle() -> str:
+    tables = _mt_hyperplanes()
+    bucket_exprs = []
+    for t in range(N_TABLES):
+        bits = []
+        for p in range(PLANES_PER_TABLE):
+            lit = "[" + ", ".join(f"CAST({x:.1f} AS DOUBLE)" for x in tables[t][p]) + "]"
+            bits.append(f"CASE WHEN {_dot_fold_sql('embedding', lit)} > 0 THEN '1' ELSE '0' END")
+        bucket_exprs.append(" || ".join(bits) + f" AS b{t}")
+    tb_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, b{t} AS key FROM withb"
+        for t in range(N_TABLES)
+    )
+    return f"""WITH withb AS (
+    SELECT vec_id, embedding, {', '.join(bucket_exprs)} FROM embeddings
+),
+tb AS (
+    {tb_selects}
+),
+cand AS (
+    SELECT q.vec_id AS query_id, min(q.embedding) AS qv,
+           c.vec_id AS cand_id, min(c.embedding) AS cv
+    FROM tb q JOIN tb c ON q.tbl = c.tbl AND q.key = c.key
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+    SELECT query_id, cand_id, {_cosine_sql('qv', 'cv')} AS cos_sim FROM cand
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+    FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rn FROM ranked WHERE rn <= {TOP_K}"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: the `label` column plays the coarse-quantizer cell
+# (at scale the assignment comes from k-means centroids; the search
+# pattern — route the query to its cell, rank within — is identical).
+
+
+def _q_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "label"
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "label"
+    )
+    scored = (
+        q.join(c, "label")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "label",
+            _cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "cand_id", "label", "cos_sim", "rn")
+    )
+
+
+_IVF_ORACLE = f"""WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, c.vec_id AS cand_id, q.label,
+           {_cosine_sql('q.qv', 'c.embedding')} AS cos_sim
+    FROM q JOIN embeddings c USING (label)
+    WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+    FROM scored
+)
+SELECT query_id, cand_id, label, cos_sim, rn FROM ranked WHERE rn <= 3"""
+
+
 register("similarity_bruteforce_topk", _q_bruteforce_topk, _BRUTE_ORACLE)
 register("similarity_lsh_ann", _q_lsh_ann, _lsh_oracle())
+register("similarity_lsh_multitable", _q_lsh_multitable, _mt_oracle())
+register("similarity_ivf_label", _q_ivf_label, _IVF_ORACLE)
 register("dedup_embedding_cosine", _q_dedup_embedding, _dedup_emb_oracle())

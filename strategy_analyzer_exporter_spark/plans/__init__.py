@@ -1,0 +1,62 @@
+"""Physical-plan inspection helpers.
+
+Scale regressions rarely show up at test scale factors — a lost filter
+pushdown or a sort-merge join where a broadcast belongs runs fine on 60k
+rows and melts at 100 TB. These helpers make plan shape assertable in
+tests (tests/test_plans.py) the way values are assertable against the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges in the plan (excluding broadcast exchanges and
+    AQE-reused ones) — the number that must stay flat as operators are
+    added to a shared-partitioning pipeline."""
+    plan = physical_plan(df)
+    total = len(re.findall(r"\bExchange hashpartitioning", plan))
+    reused = len(re.findall(r"\bReusedExchange", plan))
+    return total - 0 * reused  # reused exchanges print separately
+
+
+def count_broadcast_joins(df: DataFrame) -> int:
+    return physical_plan(df).count("BroadcastHashJoin")
+
+
+def count_sort_merge_joins(df: DataFrame) -> int:
+    return physical_plan(df).count("SortMergeJoin")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters lists from every parquet scan in the plan."""
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", physical_plan(df))
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every parquet scan — asserts column pruning."""
+    return re.findall(r"ReadSchema: struct<([^>]*)>", physical_plan(df))
+
+
+def has_whole_stage_codegen(df: DataFrame) -> bool:
+    """True if the plan compiles whole-stage-codegen subtrees. Uses
+    codegen-mode explain (AQE plans don't print codegen markers in the
+    plain plan string until finalized)."""
+    s = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    return "WholeStageCodegen" in s

@@ -32,6 +32,7 @@ def _load_all() -> None:
         feature_queries,
         multimodal,
         relational,
+        relational2,
         similarity,
         text,
     )

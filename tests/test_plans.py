@@ -1,0 +1,89 @@
+"""Plan-shape assertions: pushdown, pruning, broadcast choice, exchange
+counts. These guard the 100 TB properties that value-correctness tests
+can't see (SURVEY.md §4)."""
+
+import pyspark.sql.functions as F
+
+from strategy_analyzer_exporter_spark import plans as P
+from strategy_analyzer_exporter_spark.operators.features import (
+    TESTDATA_CONFIG,
+    features_df,
+)
+from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_quantity") < 24).select("l_orderkey", "l_quantity")
+    pushed = P.pushed_filters(q)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_parquet(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    schemas = P.read_schemas(q)
+    assert schemas and all(
+        set(s.split(",")) <= {"l_orderkey:bigint", "l_quantity:double"} for s in schemas
+    ), schemas
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["join_multiway"](spark, SF)
+    assert P.count_broadcast_joins(q) >= 3  # supplier/nation/region at least
+    # the two fact joins may be SMJ at scale; at tiny sf AQE may broadcast
+    # them too — what must NOT happen is a dim going sort-merge
+    assert P.count_sort_merge_joins(q) <= 2
+
+
+def test_feature_pipeline_exchange_budget(spark):
+    """The whole feature pipeline must stay within its fixed exchange
+    budget: dedupe on (day,time), day repartitions around the Python EMA
+    boundary, and nothing else. Adding a window feature must NOT add an
+    exchange (they all share the day partitioning)."""
+    df = features_df(spark, SF, TESTDATA_CONFIG)
+    n = P.count_exchanges(df)
+    assert n <= 3, P.physical_plan(df)
+
+
+def test_feature_pipeline_time_filter_pushdown(spark):
+    """The session filter lands before the heavy windows; the bars
+    derivation needs raw events, so the filter can't reach the scan, but
+    it must appear below the EMA python node (i.e. python sees only
+    session rows)."""
+    plan = P.physical_plan(features_df(spark, SF, TESTDATA_CONFIG))
+    flat = plan.replace("\n", " ")
+    fmg = flat.index("FlatMapGroupsInPandas")
+    tf = flat.index("time#")  # first time-filter mention
+    assert tf > 0
+    # the Filter with the session predicate must occur in the subtree
+    # BELOW (printed after) the pandas node
+    assert ">= 20000" in flat and "<= 235500" in flat
+    assert flat.index(">= 20000") > fmg
+
+
+def test_whole_stage_codegen_active(spark):
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["agg_pricing_summary"](spark, SF)
+    assert P.has_whole_stage_codegen(q)
+
+
+def test_global_topk_uses_take_ordered(spark):
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["sort_global_topk"](spark, SF)
+    assert "TakeOrderedAndProject" in P.physical_plan(q)
+
+
+def test_export_partition_pruning(spark, tmp_path):
+    from strategy_analyzer_exporter_spark.sinks import write_parquet
+
+    path = str(tmp_path / "feat")
+    write_parquet(features_df(spark, SF, TESTDATA_CONFIG), path, partition_by=("day",))
+    back = spark.read.parquet(path).filter(F.col("day") == 20240102)
+    assert "PartitionFilters: [isnotnull(day" in P.physical_plan(back)
