@@ -46,6 +46,24 @@ def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("streaming_features", _q_streaming, features_sql(TESTDATA_CONFIG))
 
 
+def _q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strategy_analyzer_exporter_spark.streaming import (
+        run_windowed_counts_to_memory,
+    )
+
+    name = "stream_counts_" + abs(hash(sf_dir)).__str__()[:8]
+    return run_windowed_counts_to_memory(spark, sf_dir, query_name=name)
+
+
+register(
+    "streaming_windowed_counts",
+    _q_streaming_counts,
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2""",
+)
+
+
 # ---------------------------------------------------------------------------
 # W1/W2 at instrument granularity: EMA over the FULL series per user_id
 # (the reference's EMA is not day-reset; user_id plays the instrument

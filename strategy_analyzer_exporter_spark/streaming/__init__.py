@@ -243,6 +243,99 @@ def stream_features(
     )
 
 
+def windowed_counts(events_stream: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time windows with a watermark: the standard
+    streaming aggregation (late data beyond the watermark is dropped;
+    the corpus has none, so complete-mode output equals the batch
+    GROUP BY date_trunc('hour') — which is the oracle)."""
+    return (
+        events_stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_windowed_counts_to_memory(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_counts_out"
+) -> DataFrame:
+    """Drive the events parquet as a stream through the windowed
+    aggregation (complete mode → all windows emitted)."""
+    import os
+
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    # stage the events with ts normalized to a plain timestamp column
+    stage = os.path.join("/root/repo/.tmp", "events_stream_" + sf_dir.strip("/").split("/")[-1])
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    ev.write.mode("overwrite").parquet(stage)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    q = (
+        windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def foreach_batch_duckdb_sink(
+    db_path: str, table: str, commit_policy=None
+):
+    """foreachBatch sink: each micro-batch epoch lands in DuckDB as one
+    transaction (the reference's commit cadence, S6), checkpointing every
+    N commits (S7, CommitPolicy.checkpoint_every_commits)."""
+    from strategy_analyzer_exporter_spark.sinks import (
+        CommitPolicy,
+        spark_schema_to_duckdb_ddl,
+    )
+
+    policy = commit_policy or CommitPolicy()
+    commits = {"n": 0}
+
+    def write_epoch(df: DataFrame, epoch_id: int) -> None:
+        import duckdb
+
+        pdf = df.toPandas()
+        con = duckdb.connect(db_path)
+        try:
+            con.execute(spark_schema_to_duckdb_ddl(df.schema, table))
+            if len(pdf):
+                con.register("_epoch", pdf)
+                cols = ", ".join(f'"{c}"' for c in pdf.columns)
+                con.execute(
+                    f'INSERT INTO "{table}" ({cols}) SELECT {cols} FROM _epoch'
+                )
+            commits["n"] += 1
+            if commits["n"] % policy.checkpoint_every_commits == 0:
+                try:
+                    con.execute("CHECKPOINT")
+                except duckdb.TransactionException:
+                    pass
+        finally:
+            con.close()
+
+    return write_epoch
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_dir: str,

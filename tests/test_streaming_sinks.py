@@ -108,6 +108,61 @@ def test_export_to_duckdb(spark, tmp_path):
     con.close()
 
 
+def test_foreach_batch_duckdb_sink(spark, tmp_path):
+    """Streaming features → foreachBatch → DuckDB: per-epoch transactions
+    with the reference's checkpoint cadence (S6/S7)."""
+    import duckdb
+
+    from strategy_analyzer_exporter_spark.streaming import (
+        BAR_SCHEMA,
+        foreach_batch_duckdb_sink,
+        stream_features,
+    )
+
+    stage = os.path.join(TMP, "fb_bars_test")
+    bars_df(spark, SF).select([f.name for f in BAR_SCHEMA.fields]).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(stage)
+    db = str(tmp_path / "stream.duckdb")
+    stream = spark.readStream.schema(BAR_SCHEMA).option("maxFilesPerTrigger", 5).parquet(stage)
+    q = (
+        stream_features(stream)
+        .writeStream.foreachBatch(foreach_batch_duckdb_sink(db, "features"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    con = duckdb.connect(db)
+    n = con.execute("SELECT count(*) FROM features").fetchone()[0]
+    con.close()
+    assert n == features_df(spark, SF, TESTDATA_CONFIG).count()
+
+
+def test_streaming_windowed_counts_matches_batch(spark):
+    from strategy_analyzer_exporter_spark.streaming import run_windowed_counts_to_memory
+
+    got = run_windowed_counts_to_memory(spark, SF, query_name="t_counts")
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    import pyspark.sql.functions as F
+
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    want = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).count()
+    assert got.count() == want.count()
+    assert (
+        got.join(
+            want,
+            ["window_start", "event_type"],
+        )
+        .filter(F.col("n_events") != F.col("count"))
+        .count()
+        == 0
+    )
+
+
 def test_schema_to_ddl(spark):
     df = features_df(spark, SF, TESTDATA_CONFIG)
     ddl = spark_schema_to_duckdb_ddl(df.schema, "features")
