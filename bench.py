@@ -53,11 +53,14 @@ def main() -> None:
     extras: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # warm-up run: JVM JIT compilation of generated code dominates the
-        # first execution (observed 107s cold vs 2.6s warm for the md5-heavy
-        # minhash plan); steady-state throughput is the meaningful number
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        # warm-up: JVM JIT of generated code dominates cold runs (observed
+        # 50-100s cold vs ~3s warm on md5-heavy plans). Reuse the SAME
+        # DataFrame for warm-up and timing — rebuilding the plan would
+        # re-generate (and re-JIT) the code. Two warm-ups: C2 compilation
+        # is still finishing after the first.
         df = fn(spark, SF_DIR)
+        for _ in range(2):
+            df.write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0

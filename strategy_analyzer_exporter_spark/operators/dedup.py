@@ -85,8 +85,12 @@ def _verify_jaccard(cand: DataFrame, grams: DataFrame, threshold: float) -> Data
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    # candidate pairs are LSH-thresholded → small by construction; hint
+    # them broadcast so AQE never flips these joins to sort-merge (the
+    # flip was observed intermittently and cost 5×)
     inter = (
-        cand.join(ga, "doc_a")
+        F.broadcast(cand)
+        .join(ga, "doc_a")
         .join(gb, ["doc_b", "gram"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -95,8 +99,18 @@ def _verify_jaccard(cand: DataFrame, grams: DataFrame, threshold: float) -> Data
         F.col("na") + F.col("nb") - F.col("n_inter")
     ).cast("double")
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+            ),
+            "doc_b",
+        )
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -111,6 +111,47 @@ def with_ema(df: DataFrame, cfg: FeatureConfig = FeatureConfig()) -> DataFrame:
     return df.groupBy("day").applyInPandas(ema_group, out_schema)
 
 
+def _with_ema_and_lag_products(df: DataFrame, cfg: FeatureConfig) -> DataFrame:
+    """EMA columns + their within-day lag products (_y_f = maᵢ·maᵢ₋₁) in
+    ONE grouped-map pass — the products fall out of the same loop, saving
+    a whole WindowExec pass vs computing them with lag() afterwards."""
+    a_fast = 2.0 / (cfg.span_fast + 1.0)
+    a_slow = 2.0 / (cfg.span_slow + 1.0)
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("moving_average", T.DoubleType(), False),
+            T.StructField("slow_moving_average", T.DoubleType(), False),
+            T.StructField("_y_f", T.DoubleType(), True),
+            T.StructField("_y_s", T.DoubleType(), True),
+        ]
+    )
+
+    def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time", kind="mergesort").reset_index(drop=True)
+        closes = [float(v) for v in pdf["close"]]
+        n = len(closes)
+        for alpha, ma_name, y_name in (
+            (a_fast, "moving_average", "_y_f"),
+            (a_slow, "slow_moving_average", "_y_s"),
+        ):
+            ma = [0.0] * n
+            y: list[float | None] = [None] * n
+            if n:
+                acc = closes[0]
+                ma[0] = acc
+                for i in range(1, n):
+                    nxt = acc + alpha * (closes[i] - acc)
+                    ma[i] = nxt
+                    y[i] = nxt * acc
+                    acc = nxt
+            pdf[ma_name] = pd.Series(ma, dtype="float64")
+            pdf[y_name] = pd.Series(y, dtype="float64")
+        return pdf
+
+    return df.groupBy("day").applyInPandas(ema_group, out_schema)
+
+
 def with_ema_fold(df: DataFrame, cfg: FeatureConfig = FeatureConfig()) -> DataFrame:
     """Pure-expression EMA via prefix-array left-fold — no Python at all,
     O(n²) memory per day. Used to cross-check :func:`with_ema` (both must
@@ -225,16 +266,17 @@ def features_df(
     sess = bars.filter(
         (F.col("time") >= cfg.time_start) & (F.col("time") <= cfg.time_end)
     )
-    ma = (with_ema if ema_impl == "pandas" else with_ema_fold)(sess, cfg)
-
     w_day = Window.partitionBy("day").orderBy("time")
-    ma = ma.withColumns(
-        {
-            "_y_f": F.col("moving_average") * F.lag("moving_average").over(w_day),
-            "_y_s": F.col("slow_moving_average")
-            * F.lag("slow_moving_average").over(w_day),
-        }
-    )
+    if ema_impl == "pandas":
+        ma = _with_ema_and_lag_products(sess, cfg)
+    else:
+        ma = with_ema_fold(sess, cfg).withColumns(
+            {
+                "_y_f": F.col("moving_average") * F.lag("moving_average").over(w_day),
+                "_y_s": F.col("slow_moving_average")
+                * F.lag("slow_moving_average").over(w_day),
+            }
+        )
     # one Window stage with exactly 11 window expressions (5 stats × 2
     # MAs + row_number), all sharing one (day, time) sort
     stats = {

@@ -33,6 +33,7 @@ def _load_all() -> None:
         multimodal,
         relational,
         relational2,
+        relational3,
         resample,
         similarity,
         text,

@@ -57,7 +57,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local mode = driver-only, so this is the whole executor heap;
+        # 16g showed GC-bound bimodal latency (2s vs 50s on identical
+        # plans) once several heavy queries shared a session — 48g keeps
+        # old-gen churn out of the measurement on the 128 GiB test host
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # keep the default-sized broadcast threshold: benchmarking showed
         # 64MB lets mid-size fact-side tables (e.g. 500k-row gram/shingle

@@ -76,11 +76,16 @@ def bars_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.lit(100.0) + F.col("value")).alias("close"),
     )
-    w_dedup = Window.partitionBy("day", "time").orderBy("event_id")
+    # dedupe to the lowest event_id per (day, time) WITHIN the day
+    # partition: sorting by (time, event_id) and keeping each time's
+    # first row is equivalent to row_number()=1 over (day, time) but
+    # shares the hash(day) exchange with everything downstream — one
+    # shuffle for the whole bars+features pipeline instead of two
+    w_seq = Window.partitionBy("day").orderBy("time", "event_id")
     dedup = (
-        raw.withColumn("_rn", F.row_number().over(w_dedup))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        raw.withColumn("_prev_t", F.lag("time").over(w_seq))
+        .filter(F.col("_prev_t").isNull() | (F.col("_prev_t") != F.col("time")))
+        .drop("_prev_t")
     )
     w_day = Window.partitionBy("day").orderBy("time")
     prev = F.coalesce(F.lag("close").over(w_day), F.col("close"))

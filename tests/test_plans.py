@@ -42,12 +42,13 @@ def test_multiway_join_broadcasts_dims(spark):
 
 def test_feature_pipeline_exchange_budget(spark):
     """The whole feature pipeline must stay within its fixed exchange
-    budget: dedupe on (day,time), day repartitions around the Python EMA
-    boundary, and nothing else. Adding a window feature must NOT add an
-    exchange (they all share the day partitioning)."""
+    budget: one hash(day) shuffle feeding dedupe/lag/EMA, and one after
+    the Python EMA boundary (grouped-map output partitioning is opaque
+    to Catalyst). Adding a window feature must NOT add an exchange (they
+    all share the day partitioning)."""
     df = features_df(spark, SF, TESTDATA_CONFIG)
     n = P.count_exchanges(df)
-    assert n <= 3, P.physical_plan(df)
+    assert n <= 2, P.physical_plan(df)
 
 
 def test_feature_pipeline_time_filter_pushdown(spark):
