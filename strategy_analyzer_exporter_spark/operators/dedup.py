@@ -16,6 +16,7 @@ salted by doc-length bucket if needed.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,15 +68,41 @@ def _gram_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFram
     """(doc_id, gram) rows — distinct word-k-gram shingles, exploded.
     The row form is the scale representation: hashing/minhashing become
     aggregations with map-side partial combine instead of per-row array
-    lambdas, and nothing ever re-materializes a whole document."""
+    lambdas, and nothing ever re-materializes a whole document.
+
+    Shingling runs in Arrow-batched Python (mapInPandas), NOT the
+    equivalent higher-order-function expression (transform/sequence/
+    element_at): HOFs never enter whole-stage codegen, so their
+    interpreted eval path is hostage to C2 JIT ramp-up — measured 60-170s
+    cold vs 2.5s hot at sf0.1 for identical plans. Python string ops are
+    deterministic-speed and the downstream md5 min-agg stays JVM-side.
+    The result is persisted: four subtrees (candidate generation, both
+    intersection probes, size counts) consume it, and caching one copy
+    beats recomputing the scan+shingle fan-out — exactly a materialized
+    CTE, which is what the DuckDB oracle does with its `sh` CTE."""
     d = load_table(spark, sf_dir, "documents")
     # the test corpus is one small parquet file → one input partition;
-    # spread the hash-heavy shingling across cores. (At real scale the
-    # scan already yields many partitions and this coalesces to a no-op
-    # shuffle of row-ids; results are partitioning-independent.)
+    # spread the shingling across cores. (At real scale the scan already
+    # yields many partitions; results are partitioning-independent.)
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sh = _shingles(_tokens(F.col("text")), k=k)
-    return d.select("doc_id", F.explode(sh).alias("gram"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            grams: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in (text or "").split(" ") if t]
+                seen = set()
+                for i in range(len(toks) - k + 1):
+                    g = " ".join(toks[i : i + k])
+                    if g not in seen:
+                        seen.add(g)
+                        ids.append(doc_id)
+                        grams.append(g)
+            yield pd.DataFrame({"doc_id": ids, "gram": grams})
+
+    out = d.mapInPandas(gen, "doc_id bigint, gram string")
+    return out.persist()
 
 
 def _verify_jaccard(cand: DataFrame, grams: DataFrame, threshold: float) -> DataFrame:
@@ -85,12 +112,13 @@ def _verify_jaccard(cand: DataFrame, grams: DataFrame, threshold: float) -> Data
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
-    # candidate pairs are LSH-thresholded → small by construction; hint
-    # them broadcast so AQE never flips these joins to sort-merge (the
-    # flip was observed intermittently and cost 5×)
+    # deliberately NO broadcast hints here: `grams` feeds four subtrees
+    # (cand's shingling, ga, gb, sizes) and plain shuffle joins let Spark
+    # reuse one gram exchange for all of them, while broadcast(cand)
+    # forces a separate driver-collected recompute of the whole LSH
+    # upstream — measured 82s vs 2.3s warm at sf0.1
     inter = (
-        F.broadcast(cand)
-        .join(ga, "doc_a")
+        cand.join(ga, "doc_a")
         .join(gb, ["doc_b", "gram"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -99,18 +127,8 @@ def _verify_jaccard(cand: DataFrame, grams: DataFrame, threshold: float) -> Data
         F.col("na") + F.col("nb") - F.col("n_inter")
     ).cast("double")
     return (
-        inter.join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-            ),
-            "doc_b",
-        )
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -260,7 +278,11 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    # explode-then-filter, not explode(filter(...)): the array-filter HOF
+    # never codegens, while row-level explode + filter is whole-stage
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
     hx = toks.select("doc_id", F.substring(F.md5("tok"), 1, 16).alias("h"))
     pos = hx.select(
         "doc_id",

@@ -34,6 +34,7 @@ def _load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         resample,
         similarity,
         text,
