@@ -64,6 +64,22 @@ FROM events GROUP BY 1, 2""",
 )
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strategy_analyzer_exporter_spark.streaming import (
+        run_streaming_dedup_to_memory,
+    )
+
+    name = "stream_dedup_" + abs(hash(sf_dir)).__str__()[:8]
+    return run_streaming_dedup_to_memory(spark, sf_dir, query_name=name)
+
+
+register(
+    "streaming_dedup",
+    _q_streaming_dedup,
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+
+
 # ---------------------------------------------------------------------------
 # W1/W2 at instrument granularity: EMA over the FULL series per user_id
 # (the reference's EMA is not day-reset; user_id plays the instrument

@@ -38,6 +38,7 @@ def _load_all() -> None:
         resample,
         similarity,
         text,
+        udf_surface,
     )
 
 

@@ -96,6 +96,31 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Bucketed parquet table (saveAsTable — bucketing needs catalog
+    metadata). The 100 TB co-location story: two fact tables bucketed on
+    the same join key with the same bucket count join WITHOUT a shuffle —
+    each task zips matching buckets. That turns the biggest recurring
+    cost of fact-fact joins (full repartition of both sides) into a
+    bucket-local sort-merge; with sort_cols matching the join key the
+    sort disappears too. tests/test_plans.py asserts the zero-exchange
+    plan."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def ingest_parquet_to_duckdb(
     parquet_path: str, db_path: str, table: str, mode: str = "replace"
 ) -> int:

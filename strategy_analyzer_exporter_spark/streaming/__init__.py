@@ -297,6 +297,49 @@ def run_windowed_counts_to_memory(
     return spark.table(query_name)
 
 
+def run_streaming_dedup_to_memory(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup_out"
+) -> DataFrame:
+    """Streaming stateful exact dedup: ``dropDuplicates`` over a file
+    stream keeps one row per (user_id, event_type) in the state store
+    across micro-batches. The projection IS the dedup key, so whichever
+    arrival survives is value-identical — arrival-order-independent and
+    equal to batch SELECT DISTINCT (the oracle). At scale this is the
+    standard streaming dedup: state partitioned by key hash, one state
+    row per distinct key; bound state with a watermark + event-time key
+    when keys churn (the corpus key domain is small and eternal)."""
+    import os
+
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    stage = os.path.join(
+        "/root/repo/.tmp", "events_dedup_stream_" + sf_dir.strip("/").split("/")[-1]
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ev.write.mode("overwrite").parquet(stage)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    q = (
+        stream.dropDuplicates(["user_id", "event_type"])
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def foreach_batch_duckdb_sink(
     db_path: str, table: str, commit_policy=None
 ):

@@ -81,6 +81,32 @@ def test_global_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in P.physical_plan(q)
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located fact-fact join: both sides bucketed on the join key
+    with equal bucket counts must join with ZERO exchanges (each task
+    zips matching buckets) — the 100 TB answer to repartitioning two
+    fact tables on every join."""
+    from strategy_analyzer_exporter_spark.sinks import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed_table(li, "b_lineitem", ("l_orderkey",), 8, ("l_orderkey",))
+        write_bucketed_table(o, "b_orders", ("o_orderkey",), 8, ("o_orderkey",))
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = P.physical_plan(j)
+        assert P.count_exchanges(j) == 0, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
 def test_export_partition_pruning(spark, tmp_path):
     from strategy_analyzer_exporter_spark.sinks import write_parquet
 
