@@ -31,6 +31,7 @@ def _load_all() -> None:
         extra_queries,
         feature_queries,
         multimodal,
+        profiling,
         relational,
         relational2,
         relational3,
