@@ -242,6 +242,166 @@ def _autocorr_from_stats(ma_col: str, sfx: str, cfg: FeatureConfig) -> Column:
     )
 
 
+def features_df_fused(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: FeatureConfig = TESTDATA_CONFIG,
+) -> DataFrame:
+    """ONE-shuffle variant of :func:`features_df`: the whole per-day
+    computation (EMA fold, sliding window, autocorr/slope/distance/
+    location values, warm-up gate) runs inside a single Arrow-batched
+    ``applyInPandas`` group pass, reusing the bit-exact Python math in
+    functions/exact.py (the same functions that make the streaming
+    operator byte-identical to batch).
+
+    vs the windowed impl: saves the post-Python hash(day) exchange and
+    the WindowExec pass — the grouped-map output feeds the export
+    projection directly. Per-day groups are tiny (≤ a session of bars),
+    so the Python loop is O(window) per row with bounded state, exactly
+    the reference's CircularBuffer loop (FeaturesBarService.cs:29-47).
+    tests/test_features_pipeline.py asserts fused == windowed to the
+    byte."""
+    from strategy_analyzer_exporter_spark.functions import exact
+
+    a_f = 2.0 / (cfg.span_fast + 1.0)
+    a_s = 2.0 / (cfg.span_slow + 1.0)
+    cap = cfg.window
+    slope_tol = float(cfg.slope_tolerance)
+    bars_required = cfg.bars_required
+
+    bars = bars_df(spark, sf_dir)
+    sess = bars.filter(
+        (F.col("time") >= cfg.time_start) & (F.col("time") <= cfg.time_end)
+    ).select("day", "time", "open", "high", "low", "close", "volume")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("day", T.IntegerType()),
+            T.StructField("time", T.IntegerType()),
+            T.StructField("open", T.DoubleType()),
+            T.StructField("high", T.DoubleType()),
+            T.StructField("low", T.DoubleType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("volume", T.DoubleType()),
+            T.StructField("f_moving_average_distance", T.DoubleType()),
+            T.StructField("f_moving_average_slow_distance", T.DoubleType()),
+            T.StructField("f_moving_average_autocorrelation", T.DoubleType()),
+            T.StructField("f_moving_average_slow_autocorrelation", T.DoubleType()),
+            T.StructField("f_moving_average_slope", T.DoubleType()),
+            T.StructField("f_open_location_value", T.DoubleType()),
+            T.StructField("f_close_location_value", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    q12, d12 = exact.q12, exact.d12
+    ma_distance, loc_value, sl = exact.ma_distance, exact.loc_value, exact.slope
+    TOL = exact.TOL
+
+    class _Win:
+        """Sliding window with INCREMENTAL exact-integer decimal sums:
+        per row only 3 quantizations (v, v², v·prev) instead of re-summing
+        the whole frame — exact-integer add/subtract is associative, so
+        the sums are bit-identical to recomputing them from scratch."""
+
+        __slots__ = ("vals", "qv", "qvv", "qp", "s", "ss", "p")
+
+        def __init__(self) -> None:
+            self.vals: list[float] = []  # window of MA doubles
+            self.qv: list[int] = []  # q12(v) per position
+            self.qvv: list[int] = []  # q12(v*v) per position
+            self.qp: list[int] = []  # q12(v·prev) per gap (len-1 entries)
+            self.s = self.ss = self.p = 0
+
+        def push(self, v: float) -> None:
+            if self.vals:
+                qp = q12(v * self.vals[-1])
+                self.qp.append(qp)
+                self.p += qp
+            a, b = q12(v), q12(v * v)
+            self.vals.append(v)
+            self.qv.append(a)
+            self.qvv.append(b)
+            self.s += a
+            self.ss += b
+            if len(self.vals) > cap:
+                self.s -= self.qv.pop(0)
+                self.ss -= self.qvv.pop(0)
+                self.p -= self.qp.pop(0)
+                self.vals.pop(0)
+
+        def autocorr(self) -> float:
+            n = float(len(self.vals))
+            if n <= 1.0:
+                return 0.0
+            s = d12(self.s)
+            ss = d12(self.ss)
+            p = d12(self.p)
+            m = s / n
+            first, x = self.vals[0], self.vals[-1]
+            num = p - m * (2.0 * s - first - x) + (n - 1.0) * m * m
+            den = ss - 2.0 * m * s + n * m * m
+            if abs(den) < TOL:
+                return 0.0
+            return num / den
+
+    def day_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time", kind="mergesort")
+        time_a = pdf["time"].to_numpy()
+        day_a = pdf["day"].to_numpy()
+        open_a = pdf["open"].to_numpy()
+        high_a = pdf["high"].to_numpy()
+        low_a = pdf["low"].to_numpy()
+        close_a = pdf["close"].to_numpy()
+        vol_a = pdf["volume"].to_numpy()
+        ema_f = ema_s = None
+        win_f, win_s = _Win(), _Win()
+        out: list[tuple] = []
+        for i in range(len(time_a)):
+            c = float(close_a[i])
+            if ema_f is None:
+                ema_f = ema_s = c
+            else:
+                ema_f = ema_f + a_f * (c - ema_f)
+                ema_s = ema_s + a_s * (c - ema_s)
+            win_f.push(ema_f)
+            win_s.push(ema_s)
+            if i + 1 < bars_required:
+                continue
+            o, h, lo, v = (
+                float(open_a[i]),
+                float(high_a[i]),
+                float(low_a[i]),
+                float(vol_a[i]),
+            )
+            out.append(
+                (
+                    int(day_a[i]),
+                    int(time_a[i]),
+                    o,
+                    h,
+                    lo,
+                    c,
+                    v,
+                    ma_distance(c, ema_f),
+                    ma_distance(c, ema_s),
+                    win_f.autocorr(),
+                    win_s.autocorr(),
+                    sl(win_f.vals, ema_f, slope_tol),
+                    loc_value(o, h, lo),
+                    loc_value(c, h, lo),
+                )
+            )
+        res = pd.DataFrame(out, columns=cols)
+        # explicit dtypes so empty groups (all rows gated) serialize too
+        for col in cols:
+            res[col] = res[col].astype("int32" if col in ("day", "time") else "float64")
+        return res
+
+    feat = sess.groupBy("day").applyInPandas(day_group, out_schema)
+    return export_select(feat, use_float32=cfg.use_float32)
+
+
 def features_df(
     spark: SparkSession,
     sf_dir: str,

@@ -41,7 +41,15 @@ from strategy_analyzer_exporter_spark.operators.features import (
     TESTDATA_CONFIG,
 )
 
-TOL = 1e-6
+from strategy_analyzer_exporter_spark.functions.exact import (
+    TOL,
+    autocorr_windowed as _autocorr_windowed,
+    d12 as _d12,
+    loc_value as _loc,
+    ma_distance as _dist,
+    q12 as _q12,
+    slope as _slope,
+)
 
 BAR_SCHEMA = T.StructType(
     [
@@ -85,66 +93,6 @@ STATE_SCHEMA = T.StructType(
         T.StructField("ws", T.ArrayType(T.DoubleType())),
     ]
 )
-
-
-def _loc(anchor: float, high: float, low: float) -> float:
-    rng = high - low
-    if abs(rng) < TOL:
-        return 0.0
-    return (2.0 * anchor - high - low) / rng
-
-
-def _dist(close: float, ma: float) -> float:
-    if math.isnan(close) or math.isinf(close) or math.isnan(ma) or math.isinf(ma):
-        return 0.0
-    if abs(ma) < TOL:
-        return 0.0
-    return (close - ma) / ma * 100.0
-
-
-_Q12 = Decimal("1e-12")
-
-
-def _q12(x: float) -> int:
-    """double → DECIMAL(38,12) as a scaled exact integer (the quantize
-    step Spark's cast performs with BigDecimal HALF_UP)."""
-    return int(Decimal(x).quantize(_Q12, rounding=ROUND_HALF_UP).scaleb(12))
-
-
-def _d12(i: int) -> float:
-    """scaled-int decimal → double, one correctly-rounded conversion
-    (the batch path's decimal→string→double)."""
-    return float(Decimal(i).scaleb(-12))
-
-
-def _autocorr_windowed(win: list[float], prev_products: list[float]) -> float:
-    """Exactly the batch windowed-sums arithmetic
-    (operators/features.py::_autocorr_from_stats): per-term DECIMAL(38,12)
-    quantization, exact integer sums, one conversion to double, then the
-    same num/den expression order — bit-identical to the batch output."""
-    n = float(len(win))
-    if n <= 1.0:
-        return 0.0
-    x = win[-1]
-    first = win[0]
-    s = _d12(sum(_q12(v) for v in win))
-    ss = _d12(sum(_q12(v * v) for v in win))
-    p = _d12(sum(_q12(v) for v in prev_products))
-    m = s / n
-    num = p - m * (2.0 * s - first - x) + (n - 1.0) * m * m
-    den = ss - 2.0 * m * s + n * m * m
-    if abs(den) < TOL:
-        return 0.0
-    return num / den
-
-
-def _slope(win: list[float], current: float, tolerance: float) -> float:
-    if len(win) < 2:
-        return 0.0
-    first = win[0]
-    if abs(first) < tolerance:
-        return 0.0
-    return (current - first) / first * 100.0
 
 
 def make_feature_updater(cfg: FeatureConfig = TESTDATA_CONFIG):

@@ -130,3 +130,56 @@ def test_bars_derivation_deterministic(spark):
     for r in a[:100]:
         assert r["high"] >= max(r["open"], r["close"])
         assert r["low"] <= min(r["open"], r["close"])
+
+
+def test_fused_pipeline_byte_equal_to_windowed(spark):
+    """features_df_fused (one applyInPandas pass, incremental
+    exact-integer window sums) must reproduce the windowed+decimal
+    pipeline to the byte — same floats, same float32 narrowing."""
+    from strategy_analyzer_exporter_spark.operators.features import (
+        TESTDATA_CONFIG,
+        features_df,
+        features_df_fused,
+    )
+
+    a = (
+        features_df(spark, SF, TESTDATA_CONFIG)
+        .toPandas()
+        .sort_values(["day", "time"])
+        .reset_index(drop=True)
+    )
+    b = (
+        features_df_fused(spark, SF, TESTDATA_CONFIG)
+        .toPandas()
+        .sort_values(["day", "time"])
+        .reset_index(drop=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b)
+
+
+def test_fused_pipeline_single_exchange(spark):
+    from strategy_analyzer_exporter_spark import plans as P
+    from strategy_analyzer_exporter_spark.operators.features import (
+        TESTDATA_CONFIG,
+        features_df_fused,
+    )
+
+    df = features_df_fused(spark, SF, TESTDATA_CONFIG)
+    assert P.count_exchanges(df) <= 1, P.physical_plan(df)
+
+
+def test_q12_integer_matches_decimal_reference():
+    """q12's integer HALF_UP rounding must be bit-identical to the
+    Decimal reference over the representable domain."""
+    import random
+
+    from strategy_analyzer_exporter_spark.functions.exact import q12, q12_decimal
+
+    rnd = random.Random(20260813)
+    cases = [0.0, -0.0, 1e-13, -1e-13, 5e-13, -5e-13, 1.5e-12, 2.5e-12,
+             -2.5e-12, -1.5e-12, 0.1, 0.3, 1 / 3, 4000.123456789012]
+    for _ in range(20000):
+        cases.append(rnd.uniform(-1, 1) * (10 ** rnd.uniform(-15, 15)))
+    for x in cases:
+        assert q12(x) == q12_decimal(x), repr(x)
