@@ -35,8 +35,13 @@ def _c(col: Column | str) -> Column:
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens, empties dropped. The corpus is single-space
-    separated lowercase words, and both engines split identically."""
-    return F.filter(F.split(text, " "), lambda t: t != "")
+    separated lowercase words, and both engines split identically.
+
+    ``array_remove`` rather than the equivalent ``F.filter(..., lambda)``:
+    lambda higher-order functions are interpreted (never codegen) while
+    array_remove is a plain collection expression — same result, and it
+    keeps token-consuming plans off the interpreted path."""
+    return F.array_remove(F.split(text, " "), "")
 
 
 TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"

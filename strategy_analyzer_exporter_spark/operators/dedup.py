@@ -41,7 +41,10 @@ from strategy_analyzer_exporter_spark.functions import tokens as _tokens
 
 
 def _shingles(tokens: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct word-k-gram shingle strings."""
+    """Distinct word-k-gram shingle strings. Guarded for short docs:
+    ``F.sequence(1, n-(k-1))`` DESCENDS when n < k (producing bogus
+    indices → element_at errors), while the oracle's ``range()`` is
+    empty — so short docs return an empty array, matching DuckDB."""
     n = F.size(tokens)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -49,7 +52,9 @@ def _shingles(tokens: Column, k: int = SHINGLE_K) -> Column:
             " ", *[F.element_at(tokens, i + j) for j in range(k)]
         ),
     )
-    return F.array_distinct(grams)
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def _shingles_sql(tokens: str, k: int = SHINGLE_K) -> str:

@@ -151,8 +151,9 @@ FROM pfx""",
 
 # ---------------------------------------------------------------------------
 # The reference's slope-tolerance quirk, reproduced bit-for-bit
-# (MovingAverage.cs:30 passes LookbackPeriodSlow as tolerance;
-# SURVEY.md §2.3 quirk note): |first| < 21 zeroes the slope.
+# (Features/MovingAverages/MovingAverages.cs:30 passes
+# config.LookbackPeriodSlow = 14 — StrategyAnalyzerExporter.cs:125 —
+# as tolerance; SURVEY.md §2.3 quirk note): |first| < 14 zeroes the slope.
 
 _QUIRK_CFG = FeatureConfig(
     time_start=TESTDATA_CONFIG.time_start,

@@ -23,6 +23,7 @@ from strategy_analyzer_exporter_spark import functions as X
 from strategy_analyzer_exporter_spark.operators.features import (
     TESTDATA_CONFIG,
     features_df,
+    features_full_ema_sql,
     features_sql,
     with_ema,
 )
@@ -65,6 +66,25 @@ def _q_flagship_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("features_flagship_fused", _q_flagship_fused, features_sql(CFG))
+
+
+def _q_flagship_full_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact EMA seeding (StrategyAnalyzerExporter.cs:138-139):
+    EMAs fold once over the whole series — through day boundaries and
+    out-of-session bars — while buffers/warm-up stay per-day
+    (FeaturesBarService.cs:32-44). Oracle: recursive day-block fold."""
+    from strategy_analyzer_exporter_spark.operators.features import (
+        features_df_full_ema,
+    )
+
+    return features_df_full_ema(spark, sf_dir, CFG)
+
+
+register(
+    "features_flagship_full_ema",
+    _q_flagship_full_ema,
+    features_full_ema_sql(CFG),
+)
 
 
 # --- W6/W7 OLV/CLV ---------------------------------------------------------

@@ -25,6 +25,21 @@ At 100 TB: days partition the data naturally (≈ thousands of rows per
 (instrument, day) group); ``applyInPandas`` groups stay small and
 parallelism is bounded by #days × #instruments, not data volume. The
 window frame is a constant 21 rows, so state per task is O(1).
+
+DELIBERATE EMA DIVERGENCE (flagship vs reference binary): the
+reference's NinjaTrader EMA indicators are constructed once for the
+whole loaded series and update on EVERY bar — across day boundaries and
+through out-of-session bars; only the window *buffers* reset per day
+(StrategyAnalyzerExporter.cs:138-139, FeaturesBarService.cs:32-44).
+``features_df`` instead scopes the EMA to (day, session) — a parallel,
+shuffle-friendly semantic where each day is self-contained, so the
+first ~20 bars of a day see differently-seeded MAs than the C# binary.
+Reference-faithful alternatives, both oracle-checked:
+- :func:`features_df_full_ema` (query ``features_flagship_full_ema``)
+  — full-series continuously-seeded EMA feeding the per-day buffers,
+  the reference-exact composition;
+- ``feature_ema_full_series`` (operators/extra_queries.py) — the
+  full-series EMA alone, per instrument.
 """
 
 from __future__ import annotations
@@ -46,10 +61,13 @@ class FeatureConfig:
     """Knobs of the reference pipeline (StrategyAnalyzerExporter.cs:69-148).
 
     ``strict_reference_tolerance`` reproduces the reference's
-    argument-swap quirk: MovingAverage.cs:30 passes
-    ``LookbackPeriodSlow`` (21) as CalculateSlope's *tolerance*
-    parameter, so the slope zeroes out whenever |first| < 21. Default
-    False = the intended semantics (tolerance 1e-6). SURVEY.md §2.3."""
+    argument-swap quirk: MovingAverages.Compute passes
+    ``config.LookbackPeriodSlow`` as CalculateSlope's *tolerance*
+    parameter (Features/MovingAverages/MovingAverages.cs:30), and the
+    reference config sets ``LookbackPeriodSlow = 14``
+    (StrategyAnalyzerExporter.cs:125) — NOT the EMA slow span of 21 —
+    so the slope zeroes out whenever |first| < 14. Default False = the
+    intended semantics (tolerance 1e-6). SURVEY.md §2.3."""
 
     span_fast: int = 9  # EMA fast period (StrategyAnalyzerExporter.cs:138)
     span_slow: int = 21  # EMA slow period (:139)
@@ -58,12 +76,17 @@ class FeatureConfig:
     time_start: int = 90000  # session start HHmmss (:96)
     time_end: int = 155500  # session end HHmmss (:97)
     autocorr_lag: int = 1  # MovingAverage.cs:23-28
+    lookback_period_slow: int = 14  # StrategyAnalyzerExporter.cs:125
     use_float32: bool = True  # UseFloat32 (:94)
     strict_reference_tolerance: bool = False
 
     @property
     def slope_tolerance(self) -> float:
-        return float(self.span_slow) if self.strict_reference_tolerance else X.TOLERANCE
+        return (
+            float(self.lookback_period_slow)
+            if self.strict_reference_tolerance
+            else X.TOLERANCE
+        )
 
 
 #: Config the flagship/test queries use: the corpus' synthetic days have
@@ -437,6 +460,16 @@ def features_df(
                 * F.lag("slow_moving_average").over(w_day),
             }
         )
+    return _staged_to_export(ma, cfg)
+
+
+def _staged_to_export(ma: DataFrame, cfg: FeatureConfig) -> DataFrame:
+    """Shared pipeline tail: per-day window stats → autocorr/slope/
+    distance/location features → per-day warm-up gate → alphabetical
+    float32 export projection. ``ma`` must carry day/time/OHLCV plus
+    moving_average, slow_moving_average, _y_f, _y_s (within-day lag
+    products)."""
+    w_day = Window.partitionBy("day").orderBy("time")
     # one Window stage with exactly 11 window expressions (5 stats × 2
     # MAs + row_number), all sharing one (day, time) sort
     stats = {
@@ -487,6 +520,85 @@ def features_df(
     return export_select(gated, use_float32=cfg.use_float32)
 
 
+def features_df_full_ema(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: FeatureConfig = TESTDATA_CONFIG,
+) -> DataFrame:
+    """Reference-exact EMA seeding: the EMAs run over the FULL loaded
+    bar series — seeded once at series start, advancing on every bar
+    including out-of-session ones (the NinjaTrader indicators are bound
+    to the series, StrategyAnalyzerExporter.cs:138-139) — while the
+    session filter, per-day buffer resets, and warm-up gate behave
+    exactly like the flagship (FeaturesBarService.cs:32-44).
+
+    The EMA scan is inherently sequential (a single accumulator over the
+    whole series), so it runs as ONE sorted partition streamed through
+    Arrow-batched ``mapInPandas`` carrying the accumulators across
+    batches — O(n) compute, O(batch) memory. At scale the parallel unit
+    is the instrument (the reference is single-instrument, so this
+    series IS one group); everything downstream of the EMA is the same
+    per-day windowed plan as the flagship."""
+    if cfg.autocorr_lag != 1:
+        raise ValueError("features_df_full_ema implements lag-1 autocorrelation")
+    a_f = 2.0 / (cfg.span_fast + 1.0)
+    a_s = 2.0 / (cfg.span_slow + 1.0)
+
+    bars = bars_df(spark, sf_dir).select(
+        "day", "time", "open", "high", "low", "close", "volume"
+    )
+    out_schema = T.StructType(
+        bars.schema.fields
+        + [
+            T.StructField("moving_average", T.DoubleType(), False),
+            T.StructField("slow_moving_average", T.DoubleType(), False),
+        ]
+    )
+
+    def ema_scan(batches):
+        acc_f: float | None = None
+        acc_s: float | None = None
+        for pdf in batches:
+            closes = pdf["close"].to_numpy()
+            ef = [0.0] * len(closes)
+            es = [0.0] * len(closes)
+            for i in range(len(closes)):
+                c = float(closes[i])
+                if acc_f is None:
+                    acc_f = acc_s = c
+                else:
+                    acc_f = acc_f + a_f * (c - acc_f)
+                    acc_s = acc_s + a_s * (c - acc_s)
+                ef[i] = acc_f
+                es[i] = acc_s
+            pdf = pdf.copy()
+            pdf["moving_average"] = pd.Series(ef, index=pdf.index, dtype="float64")
+            pdf["slow_moving_average"] = pd.Series(es, index=pdf.index, dtype="float64")
+            yield pdf
+
+    ma_all = (
+        bars.repartition(1)
+        .sortWithinPartitions("day", "time")
+        .mapInPandas(ema_scan, out_schema)
+    )
+    # session filter AFTER the EMA — out-of-session bars advanced the
+    # accumulators but never enter the buffers (reference order:
+    # indicator update happens on every bar, the time gate only guards
+    # GetFeaturesBar)
+    sess = ma_all.filter(
+        (F.col("time") >= cfg.time_start) & (F.col("time") <= cfg.time_end)
+    )
+    w_day = Window.partitionBy("day").orderBy("time")
+    ma = sess.withColumns(
+        {
+            "_y_f": F.col("moving_average") * F.lag("moving_average").over(w_day),
+            "_y_s": F.col("slow_moving_average")
+            * F.lag("slow_moving_average").over(w_day),
+        }
+    )
+    return _staged_to_export(ma, cfg)
+
+
 def _autocorr_win_sql(sfx: str, lag: int) -> str:
     """DuckDB mirror of _windowed_autocorr_cols' double arithmetic."""
     m = f"(s_{sfx} / n_{sfx})"
@@ -500,12 +612,11 @@ def _autocorr_win_sql(sfx: str, lag: int) -> str:
     )
 
 
-def features_sql(cfg: FeatureConfig = TESTDATA_CONFIG) -> str:
-    """DuckDB oracle for :func:`features_df` — same op sequence: EMA by
-    left-fold over prefix lists, autocorrelation by exact-decimal window
-    sums expanded exactly like _windowed_autocorr_cols."""
-    ema_f = X.ema_fold_sql("_closes", cfg.span_fast)
-    ema_s = X.ema_fold_sql("_closes", cfg.span_slow)
+def _features_tail_sql(cfg: FeatureConfig) -> str:
+    """SQL twin of :func:`_staged_to_export`: the pipeline tail from an
+    upstream CTE named ``ma`` (day/time/OHLCV + moving_average +
+    slow_moving_average) through lag products, exact-decimal window
+    stats, features, warm-up gate, and the export projection."""
     real = "REAL" if cfg.use_float32 else "DOUBLE"
     dec = "DECIMAL(38,12)"
     d2d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
@@ -520,25 +631,7 @@ def features_sql(cfg: FeatureConfig = TESTDATA_CONFIG) -> str:
         ]
     win_cols_sql = ",\n           ".join(win_cols)
     slope_tol = float(cfg.slope_tolerance)
-    return f"""
-WITH {BARS_CTE},
-sess AS (
-    SELECT * FROM bars
-    WHERE time >= {cfg.time_start} AND time <= {cfg.time_end}
-),
-pfx AS (
-    SELECT *, list(close) OVER (
-        PARTITION BY day ORDER BY time
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _closes
-    FROM sess
-),
-ma AS (
-    SELECT day, time, open, high, low, close, volume,
-           {ema_f} AS moving_average,
-           {ema_s} AS slow_moving_average
-    FROM pfx
-),
-ma2 AS (
+    return f"""ma2 AS (
     SELECT *,
            moving_average * lag(moving_average) OVER wd AS _y_f,
            slow_moving_average * lag(slow_moving_average) OVER wd AS _y_s
@@ -585,5 +678,90 @@ SELECT
     CAST(open AS {real}) AS open,
     time,
     CAST(volume AS {real}) AS volume
-FROM feat
+FROM feat"""
+
+
+def features_sql(cfg: FeatureConfig = TESTDATA_CONFIG) -> str:
+    """DuckDB oracle for :func:`features_df` — same op sequence: EMA by
+    left-fold over per-day prefix lists, autocorrelation by exact-decimal
+    window sums expanded exactly like _window_stat_cols."""
+    ema_f = X.ema_fold_sql("_closes", cfg.span_fast)
+    ema_s = X.ema_fold_sql("_closes", cfg.span_slow)
+    return f"""
+WITH {BARS_CTE},
+sess AS (
+    SELECT * FROM bars
+    WHERE time >= {cfg.time_start} AND time <= {cfg.time_end}
+),
+pfx AS (
+    SELECT *, list(close) OVER (
+        PARTITION BY day ORDER BY time
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _closes
+    FROM sess
+),
+ma AS (
+    SELECT day, time, open, high, low, close, volume,
+           {ema_f} AS moving_average,
+           {ema_s} AS slow_moving_average
+    FROM pfx
+),
+{_features_tail_sql(cfg)}
+""".strip()
+
+
+def features_full_ema_sql(cfg: FeatureConfig = TESTDATA_CONFIG) -> str:
+    """DuckDB oracle for :func:`features_df_full_ema`.
+
+    The continuously-seeded EMA is a sequential fold over the whole
+    series — naively that's an O(n²) global prefix-list fold. Instead
+    the fold is blocked BY DAY: a recursive CTE carries each day's
+    ending accumulator into the next day's fold (26 iterations, one
+    small list fold each), and per-row EMAs fold only the day-local
+    prefix seeded with the carried accumulator — O(Σ day²) like the
+    flagship oracle, while executing the exact same float op sequence
+    as the global fold (a seeded left-fold is position-wise identical
+    to continuing the unseeded one)."""
+    fold_f = lambda arr: X.ema_fold_sql(arr, cfg.span_fast)  # noqa: E731
+    fold_s = lambda arr: X.ema_fold_sql(arr, cfg.span_slow)  # noqa: E731
+    return f"""
+WITH RECURSIVE {BARS_CTE},
+dl AS (
+    SELECT day, row_number() OVER (ORDER BY day) AS rn,
+           list(close ORDER BY time) AS cs
+    FROM bars GROUP BY day
+),
+rec AS (
+    SELECT rn, day, {fold_f('cs')} AS ef_end, {fold_s('cs')} AS es_end
+    FROM dl WHERE rn = 1
+    UNION ALL
+    SELECT d.rn, d.day,
+           {fold_f('[r.ef_end] || d.cs')} AS ef_end,
+           {fold_s('[r.es_end] || d.cs')} AS es_end
+    FROM rec r JOIN dl d ON d.rn = r.rn + 1
+),
+seeds AS (
+    SELECT day,
+           lag(ef_end) OVER (ORDER BY rn) AS ef_seed,
+           lag(es_end) OVER (ORDER BY rn) AS es_seed
+    FROM rec
+),
+pfx AS (
+    SELECT b.*, list(close) OVER (
+        PARTITION BY day ORDER BY time
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _closes
+    FROM bars b
+),
+ma_all AS (
+    SELECT p.day, p.time, p.open, p.high, p.low, p.close, p.volume,
+           CASE WHEN s.ef_seed IS NULL THEN {fold_f('p._closes')}
+                ELSE {fold_f('[s.ef_seed] || p._closes')} END AS moving_average,
+           CASE WHEN s.es_seed IS NULL THEN {fold_s('p._closes')}
+                ELSE {fold_s('[s.es_seed] || p._closes')} END AS slow_moving_average
+    FROM pfx p JOIN seeds s ON s.day = p.day
+),
+ma AS (
+    SELECT * FROM ma_all
+    WHERE time >= {cfg.time_start} AND time <= {cfg.time_end}
+),
+{_features_tail_sql(cfg)}
 """.strip()

@@ -1,14 +1,27 @@
 """Text-analysis operators over ``documents`` (LLM-pipeline surface).
 
-All pure column expressions (codegen'd JVM-side, no UDFs): token
-statistics, quality scoring, n-gram-heuristic language ID, and document
-fingerprinting. Ratios divide exact integer counts as doubles, so both
-engines produce identical floats.
+Execution strategy: tokenize by exploding to ROWS and aggregate with
+groupBy — never per-row array higher-order functions. Array lambdas
+(``F.aggregate``/``F.transform``) are interpreted expressions that never
+enter whole-stage codegen; at sf0.1 the old fold-based quality scorer
+alone cost 11 s (59 % of the whole bench). The explode + hash-aggregate
+form is all codegen'd built-ins, partial-aggregates map-side, and is the
+shape that scales: a 100 TB corpus becomes a token-row relation that
+shuffles once on doc_id with map-side combine, exactly like the SimHash
+vote pipeline (dedup.py).
+
+All counts are exact integers aggregated order-independently, and every
+ratio divides those counts as doubles, so both engines produce identical
+floats (the DuckDB oracles still use list folds — integer sums agree
+regardless of order).
+
+Zero-token documents are preserved via ``explode_outer`` (one null-token
+row): counts coalesce to 0 and ratios become NULL in both engines.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from strategy_analyzer_exporter_spark.registry import register
@@ -30,14 +43,21 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 EN_STOPWORDS = LANG_STOPWORDS["en"]
 
 
-def _count_in_set(tokens: Column, words: tuple[str, ...]) -> Column:
-    """#tokens that are in the word set (multiset count, left-fold)."""
-    wset = F.array(*[F.lit(w) for w in words])
-    return F.aggregate(
-        tokens,
-        F.lit(0),
-        lambda acc, t: acc + F.when(F.array_contains(wset, t), 1).otherwise(0),
+def _tok_rows(d: DataFrame, *carry: str) -> DataFrame:
+    """(carry..., tok) rows — one row per token occurrence, plus one
+    null-token row for zero-token docs (explode_outer) so no document
+    drops out of the downstream groupBy."""
+    return d.select(
+        *carry,
+        F.explode_outer(_tokens(F.col("text"))).alias("tok"),
     )
+
+
+def _stop_hits(words: tuple[str, ...]) -> Column:
+    """Per-occurrence stopword indicator summed per group — the row form
+    of the old array fold (multiset count). NULL token (empty doc) and
+    non-members both contribute 0."""
+    return F.sum(F.when(F.col("tok").isin(*words), 1).otherwise(0))
 
 
 def _count_in_set_sql(tokens: str, words: tuple[str, ...]) -> str:
@@ -54,21 +74,28 @@ def _count_in_set_sql(tokens: str, words: tuple[str, ...]) -> str:
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    tok_chars = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    )
-    return d.select(
+    rows = _tok_rows(
+        d.withColumn("n_chars_measured", F.length("text").cast("long")),
         "doc_id",
         "lang",
-        F.length("text").cast("long").alias("n_chars_measured"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
-        (tok_chars.cast("double") / F.size(toks).cast("double")).alias("avg_token_len"),
-        (
-            F.size(F.array_distinct(toks)).cast("double")
-            / F.size(toks).cast("double")
-        ).alias("type_token_ratio"),
+        "n_chars_measured",
+    )
+    # count()/count_distinct() ignore the null token of empty docs, so
+    # n_tokens is 0 there and the ratios 0/0 → NULL in both engines
+    agg = rows.groupBy("doc_id", "lang", "n_chars_measured").agg(
+        F.count("tok").alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct_tokens"),
+        F.sum(F.length("tok")).alias("_tok_chars"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return agg.select(
+        "doc_id",
+        "lang",
+        "n_chars_measured",
+        "n_tokens",
+        "n_distinct_tokens",
+        (F.col("_tok_chars").cast("double") / n).alias("avg_token_len"),
+        (F.col("n_distinct_tokens").cast("double") / n).alias("type_token_ratio"),
     )
 
 
@@ -94,21 +121,25 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     moderate stopword ratio score higher. Weights are arbitrary but fixed;
     every term is an exact count ratio so the score is reproducible."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n = F.size(toks).cast("double")
-    stop = _count_in_set(toks, EN_STOPWORDS).cast("double")
-    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
-    stop_ratio = stop / n
+    rows = _tok_rows(d, "doc_id", "lang")
+    agg = rows.groupBy("doc_id", "lang").agg(
+        F.count("tok").alias("n_tokens"),
+        F.count_distinct("tok").alias("_dist"),
+        _stop_hits(EN_STOPWORDS).alias("_stop"),
+    )
+    n = F.col("n_tokens").cast("double")
+    stop_ratio = F.col("_stop").cast("double") / n
+    distinct_ratio = F.col("_dist").cast("double") / n
     length_score = F.least(n / F.lit(100.0), F.lit(1.0))
     score = (
         F.lit(0.4) * length_score
         + F.lit(0.4) * distinct_ratio
         + F.lit(0.2) * stop_ratio
     )
-    return d.select(
+    return agg.select(
         "doc_id",
         "lang",
-        F.size(toks).cast("long").alias("n_tokens"),
+        "n_tokens",
         stop_ratio.alias("stopword_ratio"),
         distinct_ratio.alias("distinct_ratio"),
         score.alias("quality_score"),
@@ -138,18 +169,20 @@ FROM m"""
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-ratio language ID: score each language by stopword hits,
-    predict the max (ties broken by fixed language priority). The corpus
-    text is synthetic, so agreement with the `lang` label is reported,
-    not asserted."""
+    """Stopword-ratio language ID: score each language by stopword hits
+    (one conditional sum per language over the token rows — a single
+    hash aggregate), predict the max (ties broken by fixed language
+    priority). The corpus text is synthetic, so agreement with the
+    `lang` label is reported, not asserted."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    scores = {
-        lang: _count_in_set(toks, words).alias(f"s_{lang}")
-        for lang, words in LANG_STOPWORDS.items()
-    }
-    scored = d.select("doc_id", "lang", *scores.values())
+    rows = _tok_rows(d, "doc_id", "lang")
     langs = list(LANG_STOPWORDS)
+    scored = rows.groupBy("doc_id", "lang").agg(
+        *[
+            _stop_hits(LANG_STOPWORDS[lang]).cast("long").alias(f"s_{lang}")
+            for lang in langs
+        ]
+    )
     expr = None
     for lang in langs:
         cond = None
@@ -163,7 +196,7 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id",
         "lang",
-        *[F.col(f"s_{lang}").cast("long").alias(f"s_{lang}") for lang in langs],
+        *[f"s_{lang}" for lang in langs],
         predicted.alias("predicted_lang"),
         (predicted == F.col("lang")).alias("matches_label"),
     )
@@ -208,18 +241,40 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     - bag_fingerprint: md5 of the sorted distinct token list — invariant
       to word order and repetition (fast near-dup blocking key).
     - winnow_fingerprint: min md5 over word-5-gram shingles — a 1-hash
-      MinHash, stable under small edits away from the minimizing gram."""
-    from strategy_analyzer_exporter_spark.operators.dedup import _shingles
+      MinHash, stable under small edits away from the minimizing gram.
 
+    Row form: 5-grams come from ``lead(tok, j)`` over a per-doc window
+    (one sort on doc_id), md5 + min aggregate JVM-side; ``F.concat``
+    (null if ANY operand is null) nulls out the tail positions where the
+    gram would be short, and min() ignores them — so docs with < 5
+    tokens get a NULL winnow fingerprint, same as the oracle's empty
+    ``range()``. min over duplicate grams equals min over distinct."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    bag = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
-    grams = _shingles(toks, k=5)
-    winnow = F.array_min(F.transform(grams, lambda g: F.md5(g)))
-    return d.select(
+    rows = d.select(
         "doc_id",
-        bag.alias("bag_fingerprint"),
-        winnow.alias("winnow_fingerprint"),
+        F.posexplode_outer(_tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat(
+        F.col("tok"),
+        F.lit(" "),
+        F.lead("tok", 1).over(w),
+        F.lit(" "),
+        F.lead("tok", 2).over(w),
+        F.lit(" "),
+        F.lead("tok", 3).over(w),
+        F.lit(" "),
+        F.lead("tok", 4).over(w),
+    )
+    return (
+        rows.withColumn("_gram_md5", F.md5(gram))
+        .groupBy("doc_id")
+        .agg(
+            F.md5(F.array_join(F.array_sort(F.collect_set("tok")), " ")).alias(
+                "bag_fingerprint"
+            ),
+            F.min("_gram_md5").alias("winnow_fingerprint"),
+        )
     )
 
 

@@ -83,9 +83,19 @@ def _unwrap_optional(tp: Any) -> tuple[Any, bool]:
 
 
 def _field_types(record_cls: type) -> dict[str, Any]:
+    """Resolved (non-string) annotation per field.
+
+    Always goes through ``typing.get_type_hints`` — under
+    ``from __future__ import annotations`` (this repo's own style),
+    ``dataclasses.fields(...)[i].type`` is a STRING, which would miss
+    every type-table lookup and silently map all columns to VARCHAR.
+    get_type_hints resolves postponed annotations for dataclasses too;
+    for dataclasses the result is filtered to declared fields (so
+    ClassVar/etc. don't leak in)."""
+    hints = get_type_hints(record_cls)
     if dataclasses.is_dataclass(record_cls):
-        return {f.name: f.type for f in dataclasses.fields(record_cls)}
-    return dict(get_type_hints(record_cls))
+        return {f.name: hints[f.name] for f in dataclasses.fields(record_cls)}
+    return dict(hints)
 
 
 def _spark_type(tp: Any, use_float32: bool) -> T.DataType:
