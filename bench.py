@@ -33,9 +33,19 @@ HEADLINE = (
     "join_asof",
     "window_topk_per_group",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_bruteforce_topk",
+    "similarity_lsh_ann",
     "text_quality_score",
+    "streaming_features",
 )
+
+# queries whose work happens INSIDE the query fn (a stream runs to
+# completion and returns a memory-table result) — time the fn call, not
+# a noop save of the (tiny, already-materialized) result
+STREAMING = {"streaming_features"}
+
+TRIALS = 3  # report median-of-3 — guards against one-off JIT/GC noise
 
 
 def main() -> None:
@@ -53,17 +63,28 @@ def main() -> None:
     extras: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # warm-up: JVM JIT of generated code dominates cold runs (observed
-        # 50-100s cold vs ~3s warm on md5-heavy plans). Reuse the SAME
-        # DataFrame for warm-up and timing — rebuilding the plan would
-        # re-generate (and re-JIT) the code. Two warm-ups: C2 compilation
-        # is still finishing after the first.
-        df = fn(spark, SF_DIR)
-        for _ in range(2):
-            df.write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
+        times: list[float] = []
+        if name in STREAMING:
+            fn(spark, SF_DIR)  # warm-up (stream machinery + state codec)
+            for _ in range(TRIALS):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+        else:
+            # warm-up: JVM JIT of generated code dominates cold runs
+            # (observed 50-100s cold vs ~3s warm on md5-heavy plans).
+            # Reuse the SAME DataFrame for warm-up and timing —
+            # rebuilding the plan would re-generate (and re-JIT) the
+            # code. Two warm-ups: C2 compilation is still finishing
+            # after the first.
+            df = fn(spark, SF_DIR)
+            for _ in range(2):
+                df.write.format("noop").mode("overwrite").save()
+            for _ in range(TRIALS):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]  # median
         results[name] = round(dt, 3)
         if name == "features_flagship":
             n = fn(spark, SF_DIR).count()

@@ -69,6 +69,20 @@ def _shingles_sql(tokens: str, k: int = SHINGLE_K) -> str:
 # MinHash + LSH
 
 
+# (sf_dir, k) → persisted gram relation. A keyed cache, not a per-call
+# persist: dedup queries are re-invoked (bench warm-ups, repeated driver
+# runs), and persisting a NEW copy per call leaked one cached RDD into
+# executor memory every invocation. Bounded by eviction below.
+_GRAM_CACHE: dict[tuple[str, int], DataFrame] = {}
+_GRAM_CACHE_MAX = 4  # ≥ #(sf_dir, k) combos live at once (2 per sf_dir)
+
+
+def clear_gram_cache() -> None:
+    """Unpersist every cached gram relation (test/bench hygiene)."""
+    while _GRAM_CACHE:
+        _GRAM_CACHE.popitem()[1].unpersist()
+
+
 def _gram_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, gram) rows — distinct word-k-gram shingles, exploded.
     The row form is the scale representation: hashing/minhashing become
@@ -85,6 +99,10 @@ def _gram_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFram
     intersection probes, size counts) consume it, and caching one copy
     beats recomputing the scan+shingle fan-out — exactly a materialized
     CTE, which is what the DuckDB oracle does with its `sh` CTE."""
+    key = (sf_dir, k)
+    cached = _GRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = load_table(spark, sf_dir, "documents")
     # the test corpus is one small parquet file → one input partition;
     # spread the shingling across cores. (At real scale the scan already
@@ -106,8 +124,11 @@ def _gram_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFram
                         grams.append(g)
             yield pd.DataFrame({"doc_id": ids, "gram": grams})
 
-    out = d.mapInPandas(gen, "doc_id bigint, gram string")
-    return out.persist()
+    out = d.mapInPandas(gen, "doc_id bigint, gram string").persist()
+    if len(_GRAM_CACHE) >= _GRAM_CACHE_MAX:
+        _GRAM_CACHE.popitem()[1].unpersist()
+    _GRAM_CACHE[key] = out
+    return out
 
 
 def _verify_jaccard(cand: DataFrame, grams: DataFrame, threshold: float) -> DataFrame:
@@ -177,7 +198,9 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_jaccard(cand, grams, JACCARD_THRESHOLD)
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte() -> str:
+    """The minhash pipeline as a reusable WITH-body (ends at `scored`);
+    both the pair query and the clustering oracle build on it."""
     mh_cols = ",\n           ".join(
         f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS mh{j}"
         for j in range(NUM_HASHES)
@@ -191,7 +214,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(NUM_BANDS)
     )
-    return f"""WITH toks AS (
+    return f"""toks AS (
     SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
 ),
 sh AS (
@@ -217,8 +240,14 @@ scored AS (
     FROM cand c
     JOIN sh sa ON sa.doc_id = c.doc_a
     JOIN sh sb ON sb.doc_id = c.doc_b
-)
-SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}"""
+)"""
+
+
+def _minhash_oracle() -> str:
+    return (
+        f"WITH {_minhash_cte()}\n"
+        f"SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +461,116 @@ scored AS (
 SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {HAMMING_THRESHOLD}"""
 
 
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the pair graph
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    (doc_id, cluster_id) where cluster_id = min doc_id in the component.
+
+    ``edges`` is an undirected pair set (doc_a, doc_b); only vertices
+    that appear in an edge are labeled (callers re-attach singletons with
+    a left join — at corpus scale most documents are singletons, so
+    keeping them out of the loop shrinks the iterated relation by orders
+    of magnitude).
+
+    Each round is one shuffle (neighbor-min groupBy) + one join; labels
+    only ever decrease, so the label sum is a strictly-decreasing
+    convergence witness — no expensive change-count join. Rounds needed =
+    graph diameter; dedup components are near-cliques (every member
+    collides with the seed), so this converges in 2-4 rounds in practice.
+    For adversarial long-chain graphs at 100 TB, swap in large-star/
+    small-star (Kiveris et al., "Connected Components in MapReduce"),
+    which bounds rounds at O(log² n) with the same (vertex, label) row
+    representation. localCheckpoint per round cuts the otherwise
+    exponentially-growing plan lineage (eager=False would re-trigger the
+    whole loop on the final action)."""
+    sym = edges.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr"))
+    )
+    sym = sym.persist()
+    labels = (
+        sym.select("doc_id")
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("nbr"), F.col("cluster_id").alias("nbr_label")
+                ),
+                "nbr",
+            )
+            .groupBy("doc_id")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels
+
+
+def _q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment for every document: MinHash-LSH near-dup pairs
+    (dedup_minhash_lsh) become an undirected graph; each doc gets the min
+    doc_id of its connected component as cluster_id (singletons: itself).
+    is_keeper marks the one row per cluster a dedup pipeline would keep.
+    This is the step after pair generation in a real dedup pass — pairs
+    alone can't answer "which rows do I drop" when dups chain a~b~c."""
+    edges = _q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    labeled = connected_components(edges)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labeled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("is_keeper"),
+    )
+
+
+def _cluster_oracle() -> str:
+    # WITH RECURSIVE reach: every label reachable from each doc over the
+    # symmetric edge set; min reachable doc_id = the component min.
+    return f"""WITH RECURSIVE {_minhash_cte()},
+pairs AS (
+    SELECT doc_a, doc_b FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.doc_id
+),
+clusters AS (
+    SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT doc_id, cluster_id, cluster_id = doc_id AS is_keeper FROM clusters"""
+
+
 register("dedup_minhash_lsh", _q_dedup_minhash, _minhash_oracle())
 register("dedup_ngram_jaccard", _q_dedup_ngram, _NGRAM_ORACLE)
 register("dedup_simhash", _q_dedup_simhash, _simhash_oracle())
+register("dedup_cluster_cc", _q_dedup_cluster, _cluster_oracle())

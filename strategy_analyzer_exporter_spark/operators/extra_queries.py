@@ -40,7 +40,11 @@ def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-batch; days may split across batches arbitrarily
     bars.write.mode("overwrite").partitionBy("day").parquet(stage)
     name = "stream_features_" + abs(hash(sf_dir)).__str__()[:8]
-    return run_stream_to_memory(spark, stage, TESTDATA_CONFIG, query_name=name)
+    # 8 day-files per micro-batch: same per-day semantics (one whole
+    # file per day per batch), ~6× less fixed per-batch overhead
+    return run_stream_to_memory(
+        spark, stage, TESTDATA_CONFIG, query_name=name, max_files_per_trigger=8
+    )
 
 
 register("streaming_features", _q_streaming, features_sql(TESTDATA_CONFIG))

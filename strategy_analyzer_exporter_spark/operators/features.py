@@ -79,6 +79,12 @@ class FeatureConfig:
     lookback_period_slow: int = 14  # StrategyAnalyzerExporter.cs:125
     use_float32: bool = True  # UseFloat32 (:94)
     strict_reference_tolerance: bool = False
+    # Streaming output lag: the reference exports bar index [1] — one
+    # behind the in-flight close (StrategyAnalyzerExporter.cs:207-215) —
+    # so each feature row is held back until `lag` later bars arrive.
+    # Batch is a no-op (all bars are closed, SURVEY §2.5); the streaming
+    # state operator honors it, withholding each day's trailing rows.
+    export_lag_bars: int = 0
 
     @property
     def slope_tolerance(self) -> float:

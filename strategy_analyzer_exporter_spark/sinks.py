@@ -82,14 +82,21 @@ def write_parquet(
     partition_by: tuple[str, ...] = (),
     max_records_per_file: int = 1_000_000,
     mode: str = "overwrite",
+    telemetry=None,
 ) -> None:
     """Bulk export with the sink's column discipline: ordinal column
     order + double→float32 narrowing (S4, ≈50% size, README.md:68).
 
     partition_by=("day",) gives partition pruning for the reference's
     day/time predicates on read-back. max_records_per_file bounds file
-    size so a 1000-executor read parallelizes."""
+    size so a 1000-executor read parallelizes.
+
+    ``telemetry``: optional :class:`telemetry.BatchTelemetry`; the
+    written row count is observed ON the write job (no extra scan),
+    mirroring the reference's Written= counter (S9)."""
     out = export_select(df, use_float32=use_float32)
+    if telemetry is not None:
+        out = telemetry.observe_output(out)
     w = out.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -163,8 +170,15 @@ def export_to_duckdb(
     table: str,
     staging_dir: str,
     use_float32: bool = True,
+    telemetry=None,
 ) -> int:
     """End-to-end batch export (reference entry point 1, SURVEY.md §3.1):
-    distributed parquet write → single bulk DuckDB ingest → CHECKPOINT."""
-    write_parquet(df, staging_dir, use_float32=use_float32)
-    return ingest_parquet_to_duckdb(staging_dir, db_path, table)
+    distributed parquet write → single bulk DuckDB ingest → CHECKPOINT.
+    With ``telemetry`` set, the write job doubles as the reference's
+    throughput/counter measurement (S9) — read ``telemetry.report()``
+    after this returns."""
+    write_parquet(df, staging_dir, use_float32=use_float32, telemetry=telemetry)
+    n = ingest_parquet_to_duckdb(staging_dir, db_path, table)
+    if telemetry is not None:
+        telemetry.mark_finished()
+    return n

@@ -82,8 +82,10 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-# state per day: row count, two EMA accumulators, and the trailing
-# window of (ma_fast, ma_slow) values — the reference's circular buffers
+# state per day: row count, two EMA accumulators, the trailing window of
+# (ma_fast, ma_slow) values — the reference's circular buffers — and the
+# export-lag holdback queue (feature rows as value arrays in
+# FEATURE_SCHEMA order; empty when cfg.export_lag_bars == 0)
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_rows", T.IntegerType()),
@@ -91,19 +93,29 @@ STATE_SCHEMA = T.StructType(
         T.StructField("ema_s", T.DoubleType()),
         T.StructField("wf", T.ArrayType(T.DoubleType())),
         T.StructField("ws", T.ArrayType(T.DoubleType())),
+        T.StructField("pending", T.ArrayType(T.ArrayType(T.DoubleType()))),
     ]
 )
 
 
 def make_feature_updater(cfg: FeatureConfig = TESTDATA_CONFIG):
     """Build the applyInPandasWithState update function: key = (day,),
-    state = circular buffers + EMA accumulators. Bars must arrive in
-    time order within a micro-batch stream (the reference's contract —
-    Calculate.OnBarClose delivers closed bars strictly in order)."""
+    state = circular buffers + EMA accumulators + export-lag queue. Bars
+    must arrive in time order within a micro-batch stream (the
+    reference's contract — Calculate.OnBarClose delivers closed bars
+    strictly in order).
+
+    ``cfg.export_lag_bars`` reproduces the reference's bar-[1] export
+    (StrategyAnalyzerExporter.cs:207-215): each computed feature row is
+    held in state until ``lag`` further bars have closed in that day, so
+    a day's trailing ``lag`` rows are never emitted (the reference would
+    only have exported them on a next bar that never came)."""
     a_f = 2.0 / (cfg.span_fast + 1.0)
     a_s = 2.0 / (cfg.span_slow + 1.0)
     cap = cfg.window
     slope_tol = float(cfg.slope_tolerance)
+    lag = int(cfg.export_lag_bars)
+    cols = [f.name for f in FEATURE_SCHEMA.fields]
 
     def update(
         key: tuple[Any, ...],
@@ -112,10 +124,11 @@ def make_feature_updater(cfg: FeatureConfig = TESTDATA_CONFIG):
     ) -> Iterator[pd.DataFrame]:
         day = int(key[0])
         if state.exists:
-            n_rows, ema_f, ema_s, wf, ws = state.get
+            n_rows, ema_f, ema_s, wf, ws, pending = state.get
             wf, ws = list(wf), list(ws)
+            pending = [list(r) for r in (pending or [])]
         else:
-            n_rows, ema_f, ema_s, wf, ws = 0, None, None, [], []
+            n_rows, ema_f, ema_s, wf, ws, pending = 0, None, None, [], [], []
 
         out_rows = []
         for pdf in pdfs:
@@ -145,30 +158,35 @@ def make_feature_updater(cfg: FeatureConfig = TESTDATA_CONFIG):
                 # pipeline's 20-row window of x_i·x_{i−1})
                 pp_f = [wf[i] * wf[i - 1] for i in range(1, len(wf))]
                 pp_s = [ws[i] * ws[i - 1] for i in range(1, len(ws))]
-                out_rows.append(
-                    {
-                        "close": c,
-                        "day": day,
-                        "f_close_location_value": _loc(c, h, lo),
-                        "f_moving_average_autocorrelation": _autocorr_windowed(wf, pp_f),
-                        "f_moving_average_distance": _dist(c, ema_f),
-                        "f_moving_average_slope": _slope(wf, ema_f, slope_tol),
-                        "f_moving_average_slow_autocorrelation": _autocorr_windowed(ws, pp_s),
-                        "f_moving_average_slow_distance": _dist(c, ema_s),
-                        "f_open_location_value": _loc(o, h, lo),
-                        "high": h,
-                        "low": lo,
-                        "open": o,
-                        "time": t,
-                        "volume": v,
-                    }
-                )
+                feat = {
+                    "close": c,
+                    "day": day,
+                    "f_close_location_value": _loc(c, h, lo),
+                    "f_moving_average_autocorrelation": _autocorr_windowed(wf, pp_f),
+                    "f_moving_average_distance": _dist(c, ema_f),
+                    "f_moving_average_slope": _slope(wf, ema_f, slope_tol),
+                    "f_moving_average_slow_autocorrelation": _autocorr_windowed(ws, pp_s),
+                    "f_moving_average_slow_distance": _dist(c, ema_s),
+                    "f_open_location_value": _loc(o, h, lo),
+                    "high": h,
+                    "low": lo,
+                    "open": o,
+                    "time": t,
+                    "volume": v,
+                }
+                if lag == 0:
+                    out_rows.append(feat)
+                else:
+                    # FIFO holdback (exact doubles; day/time < 2^53 so
+                    # the double round-trip is lossless)
+                    pending.append([float(feat[c_]) for c_ in cols])
+                    if len(pending) > lag:
+                        out_rows.append(dict(zip(cols, pending.pop(0))))
 
-        state.update((n_rows, ema_f, ema_s, wf, ws))
+        state.update((n_rows, ema_f, ema_s, wf, ws, pending))
         # always yield a correctly-dtyped frame (even empty) — pyspark
         # concatenates yielded batches, and untyped empties trip pandas'
         # all-NA-concat dtype inference
-        cols = [f.name for f in FEATURE_SCHEMA.fields]
         out = pd.DataFrame(out_rows, columns=cols)
         for col in cols:
             out[col] = out[col].astype("int32" if col in ("day", "time") else "float32")
@@ -289,18 +307,33 @@ def run_streaming_dedup_to_memory(
 
 
 def foreach_batch_duckdb_sink(
-    db_path: str, table: str, commit_policy=None
+    db_path: str, table: str, commit_policy=None, insert_slice: int = 8192
 ):
-    """foreachBatch sink: each micro-batch epoch lands in DuckDB as one
-    transaction (the reference's commit cadence, S6), checkpointing every
-    N commits (S7, CommitPolicy.checkpoint_every_commits)."""
+    """foreachBatch sink with the reference writer's full commit cadence
+    (S6, DatabaseWriter.cs:396-414):
+
+    - row-count cadence: COMMIT once ≥ ``commit_every_rows`` rows have
+      accumulated in the open transaction;
+    - time cadence: COMMIT when the transaction has been open longer
+      than ``max_tx_duration_s`` (checked per insert slice);
+    - idle tail: between epochs the stream is idle, so the trailing
+      COMMIT at epoch end IS the idle-tail commit (the reference's
+      ``IdleTailCommitSeconds`` flush of a quiet queue);
+    - CHECKPOINT every ``checkpoint_every_commits`` commits (S7).
+
+    The returned callable exposes ``.stats`` (commits / rows / epochs /
+    checkpoints) — the sink-side half of the reference's
+    ``Enqueued=/Written=`` telemetry (ExporterDatabaseManager.cs:183-184).
+    """
+    import time as _time
+
     from strategy_analyzer_exporter_spark.sinks import (
         CommitPolicy,
         spark_schema_to_duckdb_ddl,
     )
 
     policy = commit_policy or CommitPolicy()
-    commits = {"n": 0}
+    stats = {"commits": 0, "rows": 0, "epochs": 0, "checkpoints": 0}
 
     def write_epoch(df: DataFrame, epoch_id: int) -> None:
         import duckdb
@@ -309,21 +342,55 @@ def foreach_batch_duckdb_sink(
         con = duckdb.connect(db_path)
         try:
             con.execute(spark_schema_to_duckdb_ddl(df.schema, table))
-            if len(pdf):
-                con.register("_epoch", pdf)
+
+            def checkpoint_if_due() -> None:
+                if stats["commits"] % policy.checkpoint_every_commits == 0:
+                    try:
+                        con.execute("CHECKPOINT")
+                        stats["checkpoints"] += 1
+                    except duckdb.TransactionException:
+                        pass
+
+            n = len(pdf)
+            if n:
                 cols = ", ".join(f'"{c}"' for c in pdf.columns)
-                con.execute(
-                    f'INSERT INTO "{table}" ({cols}) SELECT {cols} FROM _epoch'
-                )
-            commits["n"] += 1
-            if commits["n"] % policy.checkpoint_every_commits == 0:
-                try:
-                    con.execute("CHECKPOINT")
-                except duckdb.TransactionException:
-                    pass
+                i = 0
+                in_tx = False
+                tx_rows = 0
+                tx_t0 = 0.0
+                slice_rows = max(1, min(insert_slice, policy.commit_every_rows))
+                while i < n:
+                    step = min(slice_rows, n - i)
+                    if not in_tx:
+                        con.execute("BEGIN TRANSACTION")
+                        in_tx, tx_rows, tx_t0 = True, 0, _time.monotonic()
+                    # slice pandas-side: LIMIT/OFFSET over a registered
+                    # frame has no ORDER BY guarantee
+                    con.register("_slice", pdf.iloc[i : i + step])
+                    con.execute(
+                        f'INSERT INTO "{table}" ({cols}) SELECT {cols} FROM _slice'
+                    )
+                    i += step
+                    tx_rows += step
+                    if (
+                        tx_rows >= policy.commit_every_rows
+                        or _time.monotonic() - tx_t0 >= policy.max_tx_duration_s
+                    ):
+                        con.execute("COMMIT")
+                        in_tx = False
+                        stats["commits"] += 1
+                        stats["rows"] += tx_rows
+                        checkpoint_if_due()
+                if in_tx:  # idle-tail commit: the epoch drained
+                    con.execute("COMMIT")
+                    stats["commits"] += 1
+                    stats["rows"] += tx_rows
+                    checkpoint_if_due()
+            stats["epochs"] += 1
         finally:
             con.close()
 
+    write_epoch.stats = stats
     return write_epoch
 
 
@@ -332,13 +399,22 @@ def run_stream_to_memory(
     source_dir: str,
     cfg: FeatureConfig = TESTDATA_CONFIG,
     query_name: str = "stream_features_out",
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Drive a file-source stream of bar parquet through the stateful
     pipeline into a memory sink, synchronously (availableNow semantics
-    via processAllAvailable). Returns the materialized result table."""
+    via processAllAvailable). Returns the materialized result table.
+
+    ``max_files_per_trigger`` sets micro-batch granularity: 1 maximizes
+    cross-batch state coverage (tests); larger amortizes the fixed
+    per-batch cost (state-store open/commit + Python worker round-trip
+    per state partition) — at sf0.1, 30 day-files × ~1.4s/batch means
+    batching 8 files cuts the run ~6×. Day-order is preserved either
+    way: the staging layout is one file per day, files land whole in a
+    batch, and the stateful operator groups by day."""
     stream = (
         spark.readStream.schema(BAR_SCHEMA)
-        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .option("maxFilesPerTrigger", max(1, int(max_files_per_trigger)))
         .parquet(source_dir)
     )
     q = (

@@ -1,0 +1,30 @@
+"""The gram-relation cache must not accrue persisted RDDs across
+repeated dedup-query invocations (round-1 leak: one new persisted
+relation per call), and clear_gram_cache() must release everything it
+holds."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_gram_cache_bounded_and_clearable(spark):
+    from strategy_analyzer_exporter_spark.operators import dedup
+
+    dedup.clear_gram_cache()
+    base = _n_persistent(spark)
+
+    for _ in range(3):
+        dedup._q_dedup_minhash(spark, SF).count()
+    # three invocations share ONE cached gram relation (k=3)
+    assert _n_persistent(spark) <= base + 1
+
+    dedup._q_dedup_ngram(spark, SF).count()  # adds the k=5 relation
+    assert _n_persistent(spark) <= base + 2
+
+    dedup.clear_gram_cache()
+    assert _n_persistent(spark) <= base

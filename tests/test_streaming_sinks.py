@@ -82,6 +82,46 @@ def test_streaming_updater_cross_batch_state(spark):
     assert len(once) == 11  # 30 rows, warm-up 20 → rows 20..30
 
 
+def test_streaming_export_lag_one_bar(spark):
+    """export_lag_bars=1 (the reference's bar-[1] export,
+    StrategyAnalyzerExporter.cs:207-215): streamed rows equal the batch
+    pipeline minus each day's LAST row (held in state forever — its
+    triggering next bar never closes), byte-identically."""
+    import dataclasses
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from strategy_analyzer_exporter_spark.streaming import (
+        BAR_SCHEMA,
+        run_stream_to_memory,
+    )
+
+    cfg = dataclasses.replace(TESTDATA_CONFIG, export_lag_bars=1)
+    stage = os.path.join(TMP, "bars_stream_lag_test")
+    bars = bars_df(spark, SF).select([f.name for f in BAR_SCHEMA.fields])
+    bars.write.mode("overwrite").partitionBy("day").parquet(stage)
+    got = _norm(
+        run_stream_to_memory(spark, stage, cfg, query_name="t_stream_lag").toPandas()
+    )
+
+    w = Window.partitionBy("day").orderBy(F.col("time").desc())
+    want_df = features_df(spark, SF, TESTDATA_CONFIG)
+    want = _norm(
+        want_df.withColumn("_rev", F.row_number().over(w))
+        .filter(F.col("_rev") > 1)
+        .drop("_rev")
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+        else:
+            assert (a == b).all(), c
+
+
 def test_write_parquet_roundtrip(spark):
     path = os.path.join(TMP, "feat_export")
     df = features_df(spark, SF, TESTDATA_CONFIG)
@@ -136,6 +176,51 @@ def test_foreach_batch_duckdb_sink(spark, tmp_path):
     n = con.execute("SELECT count(*) FROM features").fetchone()[0]
     con.close()
     assert n == features_df(spark, SF, TESTDATA_CONFIG).count()
+
+
+def test_foreach_batch_commit_cadence(spark, tmp_path):
+    """The sink must honor the reference writer's commit knobs
+    (DatabaseWriter.cs:396-414): row-count cadence splits an epoch into
+    multiple transactions; the time cadence commits long-open
+    transactions; the epoch tail always commits."""
+    import duckdb
+    import pandas as pd
+
+    from strategy_analyzer_exporter_spark.sinks import CommitPolicy
+    from strategy_analyzer_exporter_spark.streaming import foreach_batch_duckdb_sink
+
+    pdf = pd.DataFrame({"v": list(range(35))})
+    sdf = spark.createDataFrame(pdf)
+
+    # row cadence: 35 rows / commit_every_rows=10 → 3 full + 1 tail commit
+    db = str(tmp_path / "cadence.duckdb")
+    sink = foreach_batch_duckdb_sink(
+        db, "t", CommitPolicy(commit_every_rows=10, max_tx_duration_s=3600)
+    )
+    sink(sdf, 0)
+    assert sink.stats["commits"] == 4
+    assert sink.stats["rows"] == 35
+    assert sink.stats["epochs"] == 1
+
+    # time cadence: commit_every_rows huge but max_tx_duration_s=0 →
+    # every slice (forced to 1 row via insert_slice) commits on time
+    db2 = str(tmp_path / "cadence2.duckdb")
+    sink2 = foreach_batch_duckdb_sink(
+        db2,
+        "t",
+        CommitPolicy(commit_every_rows=10_000, max_tx_duration_s=0),
+        insert_slice=7,
+    )
+    sink2(sdf, 0)
+    assert sink2.stats["commits"] == 5  # ceil(35/7) time-triggered commits
+    assert sink2.stats["rows"] == 35
+
+    # rows land exactly once regardless of cadence
+    for d in (db, db2):
+        con = duckdb.connect(d)
+        got = con.execute('SELECT count(*), sum("v") FROM t').fetchone()
+        con.close()
+        assert got == (35, sum(range(35)))
 
 
 def test_streaming_windowed_counts_matches_batch(spark):
