@@ -1,0 +1,409 @@
+"""Training-data pipeline operators over ``documents``/``embeddings``.
+
+The ops a 100 TB LLM-corpus build needs between "raw crawl" and
+"training shards", each expressed Spark-first:
+
+- deterministic hash sampling / train-val-test splitting (md5-bucket
+  predicates — pure codegen scans, no shuffle, reproducible across
+  engines and runs; the standard way to split a corpus you can't sort);
+- sequence packing (contiguous greedy bin-fill per source shard — one
+  partitioned window, integer-exact);
+- k-means over embeddings (Lloyd's algorithm: broadcast the k×dim
+  centroid relation, one map-side assignment scan + one keyed
+  aggregation per iteration — the canonical distributed k-means);
+- the end-to-end corpus clean (quality gate → exact near-dup keeper →
+  per-language audit counts in one pass).
+
+Float discipline matches the rest of the repo: distances are pinned
+left folds (``F.aggregate`` ≡ DuckDB ``list_reduce``), centroid means
+are exact decimal sums divided once in double (``davg``), so every
+value is bit-identical to the DuckDB oracle.
+
+Scale notes per op in the docstrings; none of them collect to the
+driver — k-means keeps only the k×dim centroid relation on the driver
+path (broadcast), which is the algorithm's irreducible small state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from strategy_analyzer_exporter_spark.functions import (
+    TOKENS_SQL as _TOKENS_SQL,
+)
+from strategy_analyzer_exporter_spark.functions import (
+    davg,
+    davg_sql,
+    tokens as _tokens,
+)
+from strategy_analyzer_exporter_spark.registry import register
+from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic hash bucketing (shared by sampling + splitting)
+#
+# bucket = first 4 hex chars of md5(salt || doc_id) — 65,536 buckets,
+# compared lexicographically against a fixed-width hex threshold. Both
+# engines emit lowercase hex md5, so the predicate is engine-portable,
+# order-free, and stable under any repartitioning: the membership of a
+# document in a sample/split never depends on what else is in the
+# corpus. That idempotence is the whole point at 100 TB — re-running
+# the pipeline over an updated crawl keeps every previously-assigned
+# document in the same split.
+
+
+def _hash_bucket(salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))), 1, 4
+    )
+
+
+def _hash_bucket_sql(salt: str) -> str:
+    return f"substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 4)"
+
+
+# fraction → exclusive upper bound among the 0x10000 4-hex buckets
+def _hex_threshold(frac: float) -> str:
+    return format(int(round(frac * 0x10000)), "04x")
+
+
+# per-language sampling rates: downsample the dominant language, keep
+# half of the rest — the classic corpus-rebalancing pass
+SAMPLE_RATES = {"en": 0.10}
+SAMPLE_DEFAULT_RATE = 0.50
+
+SPLIT_TRAIN, SPLIT_VAL = 0.80, 0.90  # train <80%, val <90%, test rest
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsample: each language keeps a fixed
+    fraction of its documents, chosen by hash bucket (not by position —
+    no sort, no shuffle, a pure filter that pushes down to the scan).
+    At 100 TB this is a map-only scan whose output is reproducible
+    document-for-document regardless of cluster size or file order."""
+    d = load_table(spark, sf_dir, "documents")
+    thr = F.when(
+        F.col("lang") == "en", F.lit(_hex_threshold(SAMPLE_RATES["en"]))
+    ).otherwise(F.lit(_hex_threshold(SAMPLE_DEFAULT_RATE)))
+    return (
+        d.select("doc_id", "lang", "source", _hash_bucket("smp").alias("bucket"))
+        .filter(F.col("bucket") < thr)
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+_SAMPLE_ORACLE = f"""SELECT doc_id, lang, source,
+       {_hash_bucket_sql("smp")} AS bucket
+FROM documents
+WHERE {_hash_bucket_sql("smp")} <
+      CASE WHEN lang = 'en' THEN '{_hex_threshold(SAMPLE_RATES["en"])}'
+           ELSE '{_hex_threshold(SAMPLE_DEFAULT_RATE)}' END"""
+
+register("sample_hash_stratified", _q_sample_stratified, _SAMPLE_ORACLE)
+
+
+def _q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hash bucket.
+    A different salt than the sampler so the two bucketings are
+    independent. Map-only; at scale this column becomes the partition
+    key of the training-shard write (partitionBy('split'))."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket("split")
+    split = (
+        F.when(b < _hex_threshold(SPLIT_TRAIN), "train")
+        .when(b < _hex_threshold(SPLIT_VAL), "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+_SPLIT_ORACLE = f"""SELECT doc_id, lang,
+       CASE WHEN {_hash_bucket_sql("split")} < '{_hex_threshold(SPLIT_TRAIN)}' THEN 'train'
+            WHEN {_hash_bucket_sql("split")} < '{_hex_threshold(SPLIT_VAL)}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
+
+register("split_train_val_test", _q_split, _SPLIT_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: contiguous greedy bin-fill per source shard
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget bins, contiguously in
+    doc_id order within each source shard: a document starts the bin its
+    running-prefix offset falls into (bins can overflow by one doc —
+    the packer that never splits documents).
+
+    One shuffle (window partitioned by source) + one hash aggregation.
+    Packing within a shard rather than globally is what makes this
+    scale: a global greedy pack needs a total order (single reducer),
+    while per-shard packing is embarrassingly parallel and is what
+    training-data builders actually do (pack within an input shard,
+    shuffle shards at read time)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = d.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tokens"),
+    ).withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return per_doc.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        (F.sum("n_tokens").cast("double") / F.lit(float(PACK_BUDGET))).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+_PACK_ORACLE = f"""WITH per_doc AS (
+    SELECT source, doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+    FROM documents
+), binned AS (
+    SELECT source, doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+    FROM per_doc
+)
+SELECT source, bin_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(sum(n_tokens) AS DOUBLE) / {float(PACK_BUDGET)} AS fill_ratio
+FROM binned GROUP BY source, bin_id"""
+
+register("pack_sequences", _q_pack_sequences, _PACK_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# K-means over embeddings (Lloyd's, fixed deterministic init + iters)
+
+KM_K = 4
+KM_ITERS = 2
+KM_DIM = 64
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Pinned left-fold squared L2 — same fold shape as similarity.py's
+    dot product, so both engines accumulate in identical order."""
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce([CAST(0.0 AS DOUBLE)] || "
+        f"list_transform(range(1, {KM_DIM} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+    )
+
+
+def kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist): nearest centroid per vector. The centroid
+    side is k×dim — always broadcast, so assignment is a map-only scan
+    of the (arbitrarily large) embedding relation followed by one
+    min-by-key aggregation on vec_id. Ties break to the lowest cid via
+    struct ordering (deterministic in both engines)."""
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", _sqdist(F.col("v"), F.col("cv")).alias("dist")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+    )
+
+
+def kmeans_update(assigned: DataFrame, emb: DataFrame) -> DataFrame:
+    """New centroids: per-(cluster, dimension) exact mean (decimal sum,
+    one double division — order-independent under parallel partials),
+    re-assembled into an array ordered by dimension. One posexplode +
+    one hash aggregation; output is k rows."""
+    by_dim = (
+        assigned.join(emb, "vec_id")
+        .select("cid", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        # Decimal means agree across engines to ~1e-10 but not to the
+        # ulp (Spark rounds double→decimal via the shortest string,
+        # DuckDB via the exact binary expansion — measured: scale 10
+        # disagrees on 1/640 group means, higher scales on hundreds).
+        # That drift is 6+ orders below any assignment margin, so the
+        # integer cluster output is engine-exact; float distances are
+        # therefore kept internal (see _q_kmeans).
+        .agg(davg("val").alias("m"))
+    )
+    return (
+        by_dim.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: s.m).alias("cv"))
+    )
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, k=4, 2 update rounds, init = the k lowest-id
+    vectors (deterministic — no sampling). Each round: broadcast-assign
+    (map-only over the big side) + keyed mean (one shuffle on ≤ k×dim
+    rows). The driver never sees vectors; only the k-row centroid
+    relation crosses stages, which is the minimum any k-means carries.
+
+    Output is the integer assignment (vec_id, cid) — the op's real
+    product. Distances stay internal: centroid means are exact to
+    ~1e-10 across engines but not to the ulp (double→decimal rounding
+    differs, see kmeans_update), and a dedup/clustering consumer only
+    uses the assignment anyway."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    w = Window.orderBy("vec_id")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(KM_K)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("cid"),
+            F.col("v").alias("cv"),
+        )
+    )
+    for _ in range(KM_ITERS):
+        assigned = kmeans_assign(e, cents).select("vec_id", "cid")
+        cents = kmeans_update(assigned, e)
+    return kmeans_assign(e, cents).select("vec_id", "cid")
+
+
+def _kmeans_oracle() -> str:
+    ctes = [
+        f"e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n     FROM embeddings)",
+        f"""c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+    FROM e ORDER BY vec_id LIMIT {KM_K}
+)""",
+    ]
+    cur = "c0"
+    for i in range(KM_ITERS):
+        ctes.append(
+            f"""a{i} AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid, {_sqdist_sql("e.v", "c.cv")} AS dist
+        FROM e CROSS JOIN {cur} c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)"""
+        )
+        ctes.append(
+            f"""c{i + 1} AS (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        SELECT a.cid, r.pos, {davg_sql("e.v[r.pos]")} AS m
+        FROM a{i} a JOIN e USING (vec_id)
+        CROSS JOIN (SELECT CAST(range AS INTEGER) AS pos
+                    FROM range(1, {KM_DIM} + 1)) r
+        GROUP BY a.cid, r.pos)
+    GROUP BY cid
+)"""
+        )
+        cur = f"c{i + 1}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid, {_sqdist_sql("e.v", "c.cv")} AS dist
+    FROM e CROSS JOIN {cur} c)
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1"""
+    )
+
+
+register("kmeans_embeddings", _q_kmeans, _kmeans_oracle())
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus clean: quality gate → exact-dup keeper → audit
+
+CLEAN_MIN_TOKENS = 10
+CLEAN_MAX_TOKENS = 5000
+CLEAN_MIN_TTR = 0.2  # distinct/total token ratio
+
+
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole cleaning pass as one plan, reported per language:
+    input count, quality-gate failures, exact duplicates dropped (keep
+    the lowest doc_id per md5(text) among quality survivors), kept
+    count, and kept token volume.
+
+    Shape at scale: one scan computing per-doc stats (map-only), one
+    window on md5(text) for the keeper (single shuffle on the content
+    hash — the exact-dedup shuffle), one final tiny aggregation by
+    lang. The gates are count ratios (exact integers divided once in
+    double), so the audit is bit-stable across engines and runs."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens(F.col("text"))).cast("long")
+    n_dist = F.size(F.array_distinct(_tokens(F.col("text")))).cast("long")
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        (n_dist.cast("double") / n_tok.cast("double")).alias("ttr"),
+        F.md5(F.col("text")).alias("h"),
+    ).withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= CLEAN_MIN_TOKENS)
+        & (F.col("n_tokens") <= CLEAN_MAX_TOKENS)
+        & (F.col("ttr") >= CLEAN_MIN_TTR),
+    )
+    keeper_w = Window.partitionBy("h")
+    flagged = per_doc.withColumn(
+        "is_keeper",
+        F.col("quality_ok")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("quality_ok"), F.col("doc_id"))).over(keeper_w)
+        ),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(~F.col("quality_ok"), 1).otherwise(0)).alias("n_quality_fail"),
+        F.sum(
+            F.when(F.col("quality_ok") & ~F.col("is_keeper"), 1).otherwise(0)
+        ).alias("n_dup_dropped"),
+        F.sum(F.when(F.col("is_keeper"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("is_keeper"), F.col("n_tokens")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    )
+
+
+_CLEAN_ORACLE = f"""WITH per_doc AS (
+    SELECT doc_id, lang,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+             / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS ttr,
+           md5(text) AS h
+    FROM documents
+), gated AS (
+    SELECT *, (n_tokens >= {CLEAN_MIN_TOKENS} AND n_tokens <= {CLEAN_MAX_TOKENS}
+               AND ttr >= {CLEAN_MIN_TTR}) AS quality_ok
+    FROM per_doc
+), flagged AS (
+    SELECT *, quality_ok AND doc_id = min(CASE WHEN quality_ok THEN doc_id END)
+                                  OVER (PARTITION BY h) AS is_keeper
+    FROM gated
+)
+SELECT lang,
+       count(*) AS n_input,
+       CAST(sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+       CAST(sum(CASE WHEN quality_ok AND NOT is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+       CAST(sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN is_keeper THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM flagged GROUP BY lang"""
+
+register("corpus_clean_pipeline", _q_corpus_clean, _CLEAN_ORACLE)

@@ -31,6 +31,7 @@ def _load_all() -> None:
         extra_queries,
         feature_queries,
         multimodal,
+        pipeline,
         profiling,
         relational,
         relational2,

@@ -1,0 +1,99 @@
+"""Training-data pipeline ops (operators/pipeline.py): plan shape and
+semantic invariants the oracle comparison can't see."""
+
+import pyspark.sql.functions as F
+
+from strategy_analyzer_exporter_spark import plans as P
+from strategy_analyzer_exporter_spark.operators import pipeline as PL
+from strategy_analyzer_exporter_spark.registry import QUERIES
+from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sampling_is_map_only(spark):
+    """Hash sampling must be a pure scan+filter — zero exchanges."""
+    q = QUERIES["sample_hash_stratified"](spark, SF)
+    assert P.count_exchanges(q) == 0, P.physical_plan(q)
+
+
+def test_split_is_map_only_and_total(spark):
+    q = QUERIES["split_train_val_test"](spark, SF)
+    assert P.count_exchanges(q) == 0, P.physical_plan(q)
+    total = load_table(spark, SF, "documents").count()
+    assert q.count() == total  # every document gets exactly one split
+    assert set(r["split"] for r in q.select("split").distinct().collect()) <= {
+        "train",
+        "val",
+        "test",
+    }
+
+
+def test_split_is_idempotent_under_corpus_growth(spark):
+    """A document's split must not depend on what else is in the corpus
+    (hash membership, not position) — the property that makes the split
+    stable when the crawl is extended."""
+    d = load_table(spark, SF, "documents")
+    full = {r["doc_id"]: r["split"] for r in QUERIES["split_train_val_test"](spark, SF).collect()}
+    half_ids = {r["doc_id"] for r in d.filter(F.col("doc_id") % 2 == 0).select("doc_id").collect()}
+    # recompute on the half corpus by filtering the same query's input
+    sub = QUERIES["split_train_val_test"](spark, SF).filter(
+        F.col("doc_id").isin(*half_ids)
+    )
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_pack_respects_budget_start_offsets(spark):
+    """Every doc's bin = floor(start_offset / budget): bins are
+    contiguous per source and total tokens are conserved."""
+    q = QUERIES["pack_sequences"](spark, SF)
+    rows = q.collect()
+    d = load_table(spark, SF, "documents")
+    from strategy_analyzer_exporter_spark.functions import tokens
+
+    total = d.select(F.sum(F.size(tokens(F.col("text"))))).first()[0]
+    assert sum(r["bin_tokens"] for r in rows) == total
+    per_source: dict[str, list[int]] = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(r["bin_id"])
+    for src, bins in per_source.items():
+        bins.sort()
+        assert bins[0] == 0 and bins == list(range(len(bins))), (src, bins)
+
+
+def test_pack_exchange_budget(spark):
+    # one shuffle for the per-source window; the (source, bin_id)
+    # aggregation adds at most one more
+    q = QUERIES["pack_sequences"](spark, SF)
+    assert P.count_exchanges(q) <= 2, P.physical_plan(q)
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """The centroid side must broadcast — assignment has to stay a
+    map-only scan of the big relation (no shuffle of the vectors)."""
+    e = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = e.limit(PL.KM_K).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = PL.kmeans_assign(e, cents)
+    plan = P.physical_plan(assigned)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert P.count_sort_merge_joins(assigned) == 0, plan
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    q = QUERIES["kmeans_embeddings"](spark, SF)
+    rows = q.collect()
+    n = load_table(spark, SF, "embeddings").count()
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    assert {r["cid"] for r in rows} <= set(range(PL.KM_K))
+
+
+def test_corpus_clean_counts_are_consistent(spark):
+    q = QUERIES["corpus_clean_pipeline"](spark, SF)
+    for r in q.collect():
+        assert r["n_input"] == r["n_quality_fail"] + r["n_dup_dropped"] + r["n_kept"]
