@@ -1,0 +1,212 @@
+"""Fifth relational wave: the classic TPC-H decision-support shapes not
+yet in the registry — count-distribution (Q13), max-scalar join (Q15),
+not-in grouped count-distinct (Q16), having-gated in-subquery (Q18),
+and anti-join + scalar-average filter (Q22). The reference engine has
+no relational surface at all (SURVEY.md §2.6); these queries exist to
+prove the generalized engine handles the full decision-support idiom
+set with scale-correct plans.
+
+Plan discipline: every money aggregate is a decimal-staged ``dsum`` /
+``davg`` (order-independent under parallel partials, bit-equal to the
+DuckDB oracle); small aggregated sides broadcast; the only unavoidable
+shuffles are on the natural group/join keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strategy_analyzer_exporter_spark.functions import davg, davg_sql, dsum, dsum_sql
+from strategy_analyzer_exporter_spark.registry import register
+from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution. Left join so
+# zero-order customers appear; two cascading aggregations, the second
+# over a domain of at most a few hundred counts.
+
+
+def _q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+register(
+    "q13_order_count_distribution",
+    _q_order_count_distribution,
+    """WITH per_cust AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: supplier(s) with the maximum revenue. The revenue relation
+# is one shuffle on l_suppkey with map-side partials; the max is a
+# single-row broadcast joined back on double equality (safe: both sides
+# are the same dsum doubles).
+
+
+def _q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+register(
+    "q15_top_revenue_supplier",
+    _q_top_revenue_supplier,
+    f"""WITH rev AS (
+    SELECT l_suppkey, {dsum_sql("l_extendedprice * (1 - l_discount)")} AS total_revenue
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: per (brand, type, size), distinct suppliers able to supply,
+# excluding a supplier denylist (not-in → left-anti). The denylist is
+# tiny and broadcasts; count_distinct shuffles once on the group keys.
+
+
+def _q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 2, 3, 4, 5))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_key")
+    )
+    ok = li.join(
+        F.broadcast(bad), li.l_suppkey == bad.bad_key, "left_anti"
+    )
+    return (
+        p.join(ok, p.p_partkey == ok.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+register(
+    "q16_supplier_part_counts",
+    _q_supplier_part_counts,
+    """SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size IN (1, 2, 3, 4, 5)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: large-volume orders — orders whose total quantity clears a
+# threshold (having-gated subquery), rejoined to customer detail. The
+# qualifying key set is small → broadcast semi side.
+
+
+Q18_QTY_THRESHOLD = 150
+
+
+def _q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+    )
+
+
+register(
+    "q18_large_orders",
+    _q_large_orders,
+    f"""WITH big AS (
+    SELECT l_orderkey, {dsum_sql("l_quantity")} AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING {dsum_sql("l_quantity")} > {Q18_QTY_THRESHOLD}
+)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: well-funded customers with no orders, per nation — an
+# anti-join against orders plus a scalar-average gate. The scalar is a
+# one-row broadcast; the anti join shuffles on custkey (or broadcasts
+# at small SF under AQE).
+
+
+def _q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    avg_pos = c.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    rich = c.join(F.broadcast(avg_pos)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum("c_acctbal").alias("totacctbal"),
+    )
+
+
+register(
+    "q22_idle_rich_customers",
+    _q_idle_rich_customers,
+    f"""SELECT c_nationkey, count(*) AS numcust,
+       {dsum_sql("c_acctbal")} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT {davg_sql("c_acctbal")} FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey""",
+)

@@ -37,6 +37,7 @@ def _load_all() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         resample,
         similarity,
         text,
