@@ -94,6 +94,41 @@ register(
 )
 
 
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strategy_analyzer_exporter_spark.streaming import (
+        run_session_windows_to_memory,
+    )
+
+    name = "stream_sessions_" + abs(hash(sf_dir)).__str__()[:8]
+    return run_session_windows_to_memory(spark, sf_dir, query_name=name)
+
+
+# session_window merges on strict window overlap, so a gap of exactly
+# 1800s starts a NEW session — the island break below is `>= 1800`
+# (the batch sessionization query's break is `> 1800`; both are valid
+# session semantics, the streaming one mirrors Spark's operator)
+register(
+    "streaming_sessions",
+    _q_streaming_sessions,
+    """WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                THEN 1 ELSE 0 END AS _new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT *, sum(_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM marked
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid""",
+)
+
+
 # ---------------------------------------------------------------------------
 # W1/W2 at instrument granularity: EMA over the FULL series per user_id
 # (the reference's EMA is not day-reset; user_id plays the instrument

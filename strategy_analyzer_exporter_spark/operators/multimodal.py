@@ -164,3 +164,64 @@ FROM v"""
 register("multimodal_metadata", _q_media_metadata, _METADATA_ORACLE)
 register("multimodal_decode_stub", _q_media_decode, None)
 register("multimodal_frame_sample", _q_frame_sample, _FRAME_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic feature extraction (hash features). The decode-based
+# extractor above is necessarily rows-only (and stubbed — no media libs
+# in this container); this one is the oracle-checkable stand-in: a
+# 4-dim feature vector derived from the payload digest. Each dim is an
+# exact 32-bit integer (md5 hex → base-16 fold) divided by 2^32 — a
+# power-of-two division, so the doubles are bit-exact in both engines.
+# The SQL expression text is shared verbatim between the Spark plan
+# (F.expr) and the DuckDB oracle: one definition, two engines.
+
+FEATURE_DIMS = 4
+
+
+def _hex8_to_long(expr: str) -> str:
+    """Portable SQL: first 8 hex chars of ``expr`` as a BIGINT."""
+    terms = " + ".join(
+        f"(CAST(instr('0123456789abcdef', substring({expr}, {i + 1}, 1)) AS BIGINT) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+def _feature_exprs() -> list[str]:
+    return [
+        f"CAST({_hex8_to_long(f_hex)} AS DOUBLE) / 4294967296.0 AS f{j}"
+        for j in range(FEATURE_DIMS)
+        for f_hex in [f"substring(md5(concat(h, ':{j}')), 1, 8)"]
+    ]
+
+
+def _q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-feature extraction over binary payloads: map-only (zero
+    exchanges), all whole-stage-codegen string/arithmetic builtins. At
+    100 TB this is the shape of any featurizer: a per-row pure function
+    over the payload column, no shuffle, column-pruned scan."""
+    m = media_table(spark, sf_dir)
+    base = m.select("media_id", "media_type", F.md5("payload").alias("h"))
+    return base.select(
+        "media_id", "media_type", *[F.expr(e) for e in _feature_exprs()]
+    )
+
+
+def _feature_hash_oracle() -> str:
+    feats = ",\n       ".join(_feature_exprs())
+    return f"""WITH base AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           md5(text) AS h
+    FROM documents
+)
+SELECT media_id, media_type,
+       {feats}
+FROM base"""
+
+
+register("multimodal_feature_hash", _q_feature_hash, _feature_hash_oracle())

@@ -306,6 +306,108 @@ def run_streaming_dedup_to_memory(
     return spark.table(query_name)
 
 
+SESSION_GAP_S = 1800
+
+
+def session_windows(events_stream: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Event-time session windows per user: Spark's ``session_window``
+    merges events whose windows overlap, i.e. a gap of exactly ``gap_s``
+    STARTS a new session (strict ``<`` merge — the oracle must use
+    ``gap >= gap_s`` as its island break, one off from the batch
+    sessionization query's ``>``). Watermark bounds state: sessions
+    whose [start, last+gap) window falls fully behind the watermark are
+    emitted and evicted — the mechanism that keeps per-user session
+    state finite under unbounded input."""
+    return (
+        events_stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", f"{gap_s} seconds"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "session_end",
+            "n_events",
+        )
+    )
+
+
+def run_session_windows_to_memory(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_sessions_out"
+) -> DataFrame:
+    """Drive events through streaming session windows (append mode).
+
+    Append-mode session aggregation only emits a session once the
+    watermark passes its window end, so a finite stream would hold the
+    tail sessions in state forever. The standard fix: a sentinel flush
+    event far past the real data (file 2, its own micro-batch) advances
+    the watermark past every real session; the sentinel's own session
+    stays unemitted by construction (the watermark never passes it) and
+    so never appears in the result."""
+    import os
+    import time as _time
+
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    stage = os.path.join(
+        "/root/repo/.tmp", "events_sess_stream_" + sf_dir.strip("/").split("/")[-1]
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    if not os.path.exists(os.path.join(stage, "real", "_SUCCESS")):
+        ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "real"))
+        mx = ev.agg(F.max("ts")).first()[0]
+        sentinel = spark.createDataFrame(
+            [(-1, mx + __import__("datetime").timedelta(days=10), -1)],
+            schema=ev.schema,
+        )
+        _time.sleep(0.05)  # file-source orders batches by mtime
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "flush")
+        )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stage + "/*")
+    )
+    q = (
+        session_windows(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # the final emission can ride a no-data micro-batch that runs
+        # after processAllAvailable returns; wait for the row count to
+        # stabilize (bounded)
+        last, stable = -1, 0
+        for _ in range(100):
+            n = spark.table(query_name).count()
+            if n == last and n > 0:
+                stable += 1
+                if stable >= 3:
+                    break
+            else:
+                stable = 0
+            last = n
+            _time.sleep(0.1)
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def foreach_batch_duckdb_sink(
     db_path: str, table: str, commit_policy=None, insert_slice: int = 8192
 ):
