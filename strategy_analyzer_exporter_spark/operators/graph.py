@@ -1,0 +1,137 @@
+"""Graph operators: fixed-point PageRank over the supplier↔part
+bipartite graph (distinct ``lineitem`` pairs).
+
+Iterative float PageRank can't be oracle-exact: per-iteration
+contribution sums are order-dependent in double and decimal staging of
+arbitrary doubles rounds differently across engines (see
+pipeline.kmeans_update). So ranks are computed in **fixed-point
+integer** arithmetic — BIGINT pico-units (1e12 = rank 1.0), integer
+division for the out-degree split and the damping multiply. Every
+operation is exact and order-independent, so parallel partial
+aggregation, AQE re-planning, and the DuckDB oracle all produce
+bit-identical results. Determinism-by-integerization is also the right
+call at 100 TB: no replay/retry can perturb the output.
+
+Per iteration: one shuffle (groupBy dst) + one broadcast-able join of
+ranks onto edges — the canonical distributed PageRank shape. Dangling
+mass is dropped (nodes with no in-edges keep only the base term),
+identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strategy_analyzer_exporter_spark.registry import register
+from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000_000  # 1e12 pico-units = rank 1.0
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85
+PR_BASE = PR_SCALE * (PR_D_DEN - PR_D_NUM) // PR_D_DEN  # (1-d) in pico-units
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct supplier↔part edges, node ids prefixed to
+    disambiguate the two key spaces."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s_node"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("p_node"),
+    ).distinct()
+    return li.select(
+        F.col("s_node").alias("src"), F.col("p_node").alias("dst")
+    ).unionAll(li.select(F.col("p_node").alias("src"), F.col("s_node").alias("dst")))
+
+
+def pagerank_fixed_point(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """(node, rank_pico, rank): fixed-point PageRank over a symmetric
+    edge set. ``edges`` is (src, dst); ranks start at 1.0 per node.
+
+    Each round: contrib = rank_pico DIV outdeg joined onto edges
+    (rank relation is #nodes rows — broadcast-able), exact BIGINT sum
+    per dst, then rank' = base + d·sum with integer damping. The rank
+    relation stays tiny relative to edges, so the per-iteration cost is
+    one edge-scan shuffle — the same budget as connected components."""
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.withColumn("rank_pico", F.lit(PR_SCALE).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                ranks.join(outdeg, ranks.node == outdeg.src).select(
+                    "node", F.expr("rank_pico DIV outdeg").alias("contrib")
+                ),
+                edges.src == F.col("node"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr(
+                        f"({PR_D_NUM} * coalesce(in_sum, 0)) DIV {PR_D_DEN}"
+                    )
+                ).cast("long").alias("rank_pico"),
+            )
+        )
+    return ranks.select(
+        "node",
+        "rank_pico",
+        (F.col("rank_pico").cast("double") / PR_SCALE).alias("rank"),
+    )
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_fixed_point(_edges(spark, sf_dir))
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        """pairs AS (
+    SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS s_node,
+           'p' || CAST(l_partkey AS VARCHAR) AS p_node
+    FROM lineitem
+)""",
+        """edges AS (
+    SELECT s_node AS src, p_node AS dst FROM pairs
+    UNION ALL
+    SELECT p_node AS src, s_node AS dst FROM pairs
+)""",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank_pico FROM nodes)",
+    ]
+    for i in range(PR_ITERS):
+        ctes.append(
+            f"""s{i} AS (
+    SELECT e.dst, sum(r.rank_pico // o.outdeg) AS in_sum
+    FROM edges e
+    JOIN r{i} r ON r.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+    SELECT n.node,
+           CAST({PR_BASE} + ({PR_D_NUM} * coalesce(s.in_sum, 0)) // {PR_D_DEN}
+                AS BIGINT) AS rank_pico
+    FROM nodes n LEFT JOIN s{i} s ON s.dst = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, rank_pico,
+       CAST(rank_pico AS DOUBLE) / {PR_SCALE} AS rank
+FROM r{PR_ITERS}"""
+    )
+
+
+register("graph_pagerank", _q_pagerank, _pagerank_oracle())

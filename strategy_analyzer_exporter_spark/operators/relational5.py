@@ -210,3 +210,45 @@ WHERE c_acctbal > (SELECT {davg_sql("c_acctbal")} FROM customer WHERE c_acctbal 
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_nationkey""",
 )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 shape: build slowly-changing-dimension validity intervals from an
+# event log — each (user, event_type) observation opens an interval that
+# closes when the next observation for that user arrives. One window
+# shuffle on user_id; the standard change-data-capture → dimension-table
+# transform of a warehouse load.
+
+
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    # open intervals close at the SCD2 high date (not NULL): the
+    # warehouse convention (2100 here: year-9999 overflows
+    # nanosecond epoch ranges), and it keeps BETWEEN probes
+    # sargable without COALESCE at read time
+    return ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(nxt, F.lit("2100-01-01 00:00:00").cast("timestamp")).alias(
+            "valid_to"
+        ),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+register(
+    "scd2_intervals",
+    _q_scd2_intervals,
+    """SELECT user_id, event_type, value,
+       ts AS valid_from,
+       coalesce(lead(ts) OVER w, TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
