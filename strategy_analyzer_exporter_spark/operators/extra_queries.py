@@ -129,6 +129,30 @@ FROM sess GROUP BY user_id, sid""",
 )
 
 
+def _q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strategy_analyzer_exporter_spark.streaming import (
+        run_interval_join_to_memory,
+    )
+
+    name = "stream_ijoin_" + abs(hash(sf_dir)).__str__()[:8]
+    return run_interval_join_to_memory(spark, sf_dir, query_name=name)
+
+
+register(
+    "streaming_interval_join",
+    _q_streaming_interval_join,
+    """SELECT c.user_id,
+       c.event_id AS clk_event_id,
+       e.event_id AS err_event_id,
+       c.ts AS clk_ts,
+       e.ts AS err_ts
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE""",
+)
+
+
 # ---------------------------------------------------------------------------
 # W1/W2 at instrument granularity: EMA over the FULL series per user_id
 # (the reference's EMA is not day-reset; user_id plays the instrument

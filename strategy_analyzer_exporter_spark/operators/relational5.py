@@ -252,3 +252,37 @@ register(
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions: percent_rank / cume_dist / ntile.
+# percent_rank and cume_dist divide exact integer rank/row counts once
+# in double, so both engines produce identical floats; ntile is pure
+# integers. Deterministic tie-break on the key column.
+
+
+def _q_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+register(
+    "window_distribution_ranks",
+    _q_distribution_ranks,
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
+)

@@ -1,0 +1,89 @@
+"""Source-format parity: the same relation read through CSV and JSONL
+readers must produce the same answers as the parquet scan.
+
+The reference reads one in-memory bar source and writes one DuckDB
+sink; the generalized engine reads whatever lands in the lake. These
+queries stage ``documents`` (arbitrary text — embedded quotes, commas,
+multiline risk) through ``df.write.csv`` / ``df.write.json`` once per
+process, read it back with an explicit schema (never inferSchema — a
+schema scan at 100 TB is a full extra pass), and aggregate. The oracle
+runs on the original parquet, so any quoting/escaping defect in either
+the writer or the reader shows up as a value mismatch.
+
+Integer-only outputs: format roundtripping of floats/timestamps is a
+serialization question (text formats carry fewer guarantees), while
+counts and exact byte lengths prove the *content* survived.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from strategy_analyzer_exporter_spark.registry import register
+from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+_STAGED: set[str] = set()
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_AGG_ORACLE = """SELECT lang, count(*) AS n_docs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang"""
+
+
+def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    path = os.path.join(
+        "/root/repo/.tmp", f"docs_{fmt}_" + sf_dir.strip("/").split("/")[-1]
+    )
+    if path not in _STAGED:
+        d = load_table(spark, sf_dir, "documents").select(
+            [f.name for f in DOC_SCHEMA.fields]
+        )
+        w = d.write.mode("overwrite")
+        if fmt == "csv":
+            # header off (schema is explicit), full quoting with escaped
+            # quotes — the only mode that survives arbitrary text
+            w.option("quoteAll", True).option("escape", '"').csv(path)
+        else:
+            w.json(path)
+        _STAGED.add(path)
+    return path
+
+
+def _agg(d: DataFrame) -> DataFrame:
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("doc_id").alias("n_ids"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+def _q_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage(spark, sf_dir, "csv")
+    d = spark.read.schema(DOC_SCHEMA).option("quote", '"').option(
+        "escape", '"'
+    ).csv(path)
+    return _agg(d)
+
+
+def _q_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage(spark, sf_dir, "jsonl")
+    d = spark.read.schema(DOC_SCHEMA).json(path)
+    return _agg(d)
+
+
+register("source_csv_roundtrip", _q_csv, _AGG_ORACLE)
+register("source_jsonl_roundtrip", _q_jsonl, _AGG_ORACLE)

@@ -41,6 +41,7 @@ def _load_all() -> None:
         relational5,
         resample,
         similarity,
+        sources_formats,
         text,
         udf_surface,
     )

@@ -408,6 +408,76 @@ def run_session_windows_to_memory(
     return spark.table(query_name)
 
 
+def run_interval_join_to_memory(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_ijoin_out"
+) -> DataFrame:
+    """Stream-stream interval join: click events joined to the error
+    events that follow within 5 minutes for the same user. Both sides
+    carry watermarks and the join condition bounds event time in both
+    directions, so each side's buffered state is evictable once the
+    watermark passes — the requirement that keeps stream-stream join
+    state finite on unbounded input. Inner joins emit on match (no
+    watermark wait), so a finite stream needs no sentinel flush."""
+    import os
+
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    stage = os.path.join(
+        "/root/repo/.tmp", "events_ijoin_stream_" + sf_dir.strip("/").split("/")[-1]
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def side(kind: str, prefix: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(stage)
+        return (
+            s.filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 minute")
+        )
+
+    clicks, errors = side("click", "clk"), side("error", "err")
+    joined = clicks.join(
+        errors,
+        F.expr(
+            "clk_user = err_user AND "
+            "err_ts >= clk_ts AND err_ts <= clk_ts + INTERVAL 5 MINUTES"
+        ),
+    ).select(
+        F.col("clk_user").alias("user_id"),
+        "clk_event_id",
+        "err_event_id",
+        "clk_ts",
+        "err_ts",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def foreach_batch_duckdb_sink(
     db_path: str, table: str, commit_policy=None, insert_slice: int = 8192
 ):
