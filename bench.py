@@ -37,6 +37,9 @@ HEADLINE = (
     "similarity_bruteforce_topk",
     "similarity_lsh_ann",
     "text_quality_score",
+    "kmeans_embeddings",
+    "corpus_clean_pipeline",
+    "pack_sequences",
     "streaming_features",
 )
 
