@@ -97,3 +97,27 @@ def test_corpus_clean_counts_are_consistent(spark):
     q = QUERIES["corpus_clean_pipeline"](spark, SF)
     for r in q.collect():
         assert r["n_input"] == r["n_quality_fail"] + r["n_dup_dropped"] + r["n_kept"]
+
+
+def test_q16_broadcasts_denylist(spark):
+    q = QUERIES["q16_supplier_part_counts"](spark, SF)
+    assert P.count_broadcast_joins(q) >= 1, P.physical_plan(q)
+
+
+def test_q18_broadcasts_qualifying_orders(spark):
+    q = QUERIES["q18_large_orders"](spark, SF)
+    plan = P.physical_plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q15_single_fact_shuffle(spark):
+    """Revenue is aggregated once; the max-scalar and supplier joins
+    must not re-shuffle lineitem."""
+    q = QUERIES["q15_top_revenue_supplier"](spark, SF)
+    plan = P.physical_plan(q)
+    assert plan.count("Scan parquet") <= 3, plan  # lineitem + supplier (+reuse)
+
+
+def test_multimodal_feature_hash_map_only(spark):
+    q = QUERIES["multimodal_feature_hash"](spark, SF)
+    assert P.count_exchanges(q) == 0, P.physical_plan(q)
