@@ -60,6 +60,46 @@ def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("streaming_features", _q_streaming, features_sql(TESTDATA_CONFIG))
 
 
+def _q_streaming_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one-behind-close export (§2.5 output lag,
+    StrategyAnalyzerExporter.cs:207-215): export_lag_bars=1 holds each
+    day's in-flight row in state, so exactly the last bar of every day
+    never emits. Oracle = the batch feature oracle minus each day's
+    final row."""
+    import dataclasses
+
+    from strategy_analyzer_exporter_spark.streaming import (
+        BAR_SCHEMA,
+        run_stream_to_memory,
+    )
+
+    stage = os.path.join(
+        "/root/repo/.tmp", "bars_stream_" + sf_dir.strip("/").split("/")[-1]
+    )
+    if stage not in _STAGED:
+        bars = bars_df(spark, sf_dir).select([f.name for f in BAR_SCHEMA.fields])
+        bars.write.mode("overwrite").partitionBy("day").parquet(stage)
+        _STAGED.add(stage)
+    cfg = dataclasses.replace(TESTDATA_CONFIG, export_lag_bars=1)
+    name = "stream_feats_lag_" + abs(hash(sf_dir)).__str__()[:8]
+    return run_stream_to_memory(
+        spark, stage, cfg, query_name=name, max_files_per_trigger=15
+    )
+
+
+def _lagged_oracle() -> str:
+    from strategy_analyzer_exporter_spark.streaming import FEATURE_SCHEMA
+
+    cols = ", ".join(f.name for f in FEATURE_SCHEMA.fields)
+    return f"""SELECT {cols} FROM (
+    SELECT *, row_number() OVER (PARTITION BY day ORDER BY time DESC) AS _rn
+    FROM ({features_sql(TESTDATA_CONFIG)})
+) WHERE _rn > 1"""
+
+
+register("streaming_features_lagged", _q_streaming_lagged, _lagged_oracle())
+
+
 def _q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strategy_analyzer_exporter_spark.streaming import (
         run_windowed_counts_to_memory,
