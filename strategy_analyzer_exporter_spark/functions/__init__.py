@@ -250,3 +250,16 @@ def davg_sql(expr: str, scale: int = 10) -> str:
         f"(CAST(CAST(sum(CAST(({expr}) AS DECIMAL(38,{scale}))) AS VARCHAR) AS DOUBLE) "
         f"/ CAST(count({expr}) AS DOUBLE))"
     )
+
+
+def hex8_to_long_sql(expr: str) -> str:
+    """Portable SQL (identical text valid in Spark SQL and DuckDB):
+    first 8 hex chars of ``expr`` as a BIGINT — base-16 fold via
+    instr/substring, every term an exact integer. Used for hash
+    features and order-independent table checksums."""
+    terms = " + ".join(
+        f"(CAST(instr('0123456789abcdef', substring({expr}, {i + 1}, 1)) AS BIGINT) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"

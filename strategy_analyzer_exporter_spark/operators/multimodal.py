@@ -178,15 +178,9 @@ register("multimodal_frame_sample", _q_frame_sample, _FRAME_ORACLE)
 
 FEATURE_DIMS = 4
 
-
-def _hex8_to_long(expr: str) -> str:
-    """Portable SQL: first 8 hex chars of ``expr`` as a BIGINT."""
-    terms = " + ".join(
-        f"(CAST(instr('0123456789abcdef', substring({expr}, {i + 1}, 1)) AS BIGINT) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    return f"({terms})"
+from strategy_analyzer_exporter_spark.functions import (  # noqa: E402
+    hex8_to_long_sql as _hex8_to_long,
+)
 
 
 def _feature_exprs() -> list[str]:

@@ -286,3 +286,126 @@ register(
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Typed JSON parsing: from_json with an explicit schema (vs the stringly
+# get_json_object path in scalar_json_extract) — the struct field feeds
+# a predicate and an aggregation, proving the parse is typed end-to-end.
+
+
+def _q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.select(
+        "event_type", F.from_json("props", schema).alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return (
+        parsed.filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.sum("k").alias("sum_high"),
+        )
+    )
+
+
+register(
+    "scalar_json_struct",
+    _q_json_struct,
+    """SELECT event_type, count(*) AS n_high,
+       CAST(sum(k) AS BIGINT) AS sum_high
+FROM (
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+) WHERE k > 50 GROUP BY event_type""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+# each other instead of vanishing — the semantics ETL needs when a
+# "missing" dimension value is itself a joinable category.
+
+
+def _q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk_c")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nk_s")
+    )
+    cg = c.groupBy("nk_c").agg(F.count(F.lit(1)).alias("n_cust"))
+    sg = s.groupBy("nk_s").agg(F.count(F.lit(1)).alias("n_supp"))
+    return cg.join(sg, cg.nk_c.eqNullSafe(sg.nk_s)).select(
+        F.col("nk_c").alias("nationkey_nullable"), "n_cust", "n_supp"
+    )
+
+
+register(
+    "join_null_safe",
+    _q_null_safe_join,
+    """WITH cg AS (
+    SELECT nullif(c_nationkey, 0) AS nk, count(*) AS n_cust
+    FROM customer GROUP BY 1
+), sg AS (
+    SELECT nullif(s_nationkey, 0) AS nk, count(*) AS n_supp
+    FROM supplier GROUP BY 1
+)
+SELECT cg.nk AS nationkey_nullable, n_cust, n_supp
+FROM cg JOIN sg ON cg.nk IS NOT DISTINCT FROM sg.nk""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine table checksum: an order-independent content digest
+# (row-hash sum) + row count per table. The migration-validation tool:
+# two engines (or two copies of a 100 TB table) agree iff counts and
+# checksums agree, with no sorting and one map-only pass + a scalar
+# aggregate. Only integer/string/date columns feed the hash — float
+# formatting is not portable across engines.
+
+
+def _q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strategy_analyzer_exporter_spark.functions import (
+        hex8_to_long_sql as _hex8_to_long,
+    )
+
+    def one(table: str, cols: str) -> DataFrame:
+        d = _t(spark, sf_dir, table)
+        row_hash = F.expr(
+            _hex8_to_long(f"substring(md5(concat_ws('|', {cols})), 1, 8)")
+        )
+        return d.select(row_hash.alias("h")).agg(
+            F.lit(table).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("checksum"),
+        )
+
+    return one("orders", "o_orderkey, o_custkey, o_orderstatus, o_orderpriority").unionAll(
+        one("customer", "c_custkey, c_name, c_mktsegment")
+    )
+
+
+def _checksum_oracle() -> str:
+    from strategy_analyzer_exporter_spark.functions import (
+        hex8_to_long_sql as _hex8_to_long,
+    )
+
+    def one(table: str, cols: str) -> str:
+        h = _hex8_to_long(f"substring(md5(concat_ws('|', {cols})), 1, 8)")
+        return (
+            f"SELECT '{table}' AS table_name, count(*) AS n_rows,\n"
+            f"       CAST(sum({h}) AS BIGINT) AS checksum FROM {table}"
+        )
+
+    return (
+        one("orders", "o_orderkey, o_custkey, o_orderstatus, o_orderpriority")
+        + "\nUNION ALL\n"
+        + one("customer", "c_custkey, c_name, c_mktsegment")
+    )
+
+
+register("table_checksum", _q_table_checksum, _checksum_oracle())

@@ -121,3 +121,27 @@ def test_q15_single_fact_shuffle(spark):
 def test_multimodal_feature_hash_map_only(spark):
     q = QUERIES["multimodal_feature_hash"](spark, SF)
     assert P.count_exchanges(q) == 0, P.physical_plan(q)
+
+
+def test_operator_modules_import_standalone():
+    """Python workers import the module of any module-level UDF callable
+    FIRST (cloudpickle by-reference), which re-enters registry._load_all
+    while that module is partially initialized. Every operator module
+    must therefore survive being the entry import — no register-time
+    imports from sibling operator modules (a real worker crash: the
+    decode stub died when relational5's checksum oracle imported a
+    multimodal helper)."""
+    import subprocess
+    import sys
+
+    mods = [
+        "multimodal", "dedup", "pipeline", "graph", "relational5",
+        "sources_formats", "text", "similarity",
+    ]
+    for m in mods:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             f"import strategy_analyzer_exporter_spark.operators.{m}"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, f"{m}: {r.stderr[-500:]}"
