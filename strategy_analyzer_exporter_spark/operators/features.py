@@ -221,7 +221,18 @@ def _window_stat_cols(
     The sums are computed over DECIMAL(38,12) so they are exact and
     order-independent — Spark folds a sliding frame sequentially while
     DuckDB uses a segment tree, so double sums would disagree in the
-    last bit; decimal sums cannot."""
+    last bit; decimal sums cannot.
+
+    Known residual: the per-element double→decimal cast itself is not
+    engine-identical for magnitudes where 1e-12 is below the double's
+    ulp (Spark rounds the shortest decimal string, DuckDB the exact
+    binary expansion), leaving ~1e-17 relative noise on the staged
+    sums. Measured effect: 1 row in 89,034 lands one float32 ulp off
+    the oracle at sf0.1 (bit-exact at sf0.01). No decimal scale fixes
+    this — coarser grids quantize real signal, finer grids diverge more
+    (see the measured scale sweep in operators/pipeline.kmeans_update);
+    it is the floor of cross-engine float parity for windowed sums of
+    arbitrary doubles."""
     w21 = w_day.rowsBetween(-(cfg.window - 1), 0)
     w20 = w_day.rowsBetween(-(cfg.window - 2), 0)
     x = F.col(ma_col)
