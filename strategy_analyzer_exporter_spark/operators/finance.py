@@ -1,0 +1,130 @@
+"""Domain aggregates over the derived bars: VWAP / TWAP per day, and a
+Morton (z-order) clustering key for multi-dimensional file layout.
+
+VWAP/TWAP are the aggregates the reference's users actually consume
+downstream of the exporter (volume- and time-weighted prices per
+session). Both are ratios of decimal-staged exact sums — one shuffle on
+day, map-side partials, engine-exact.
+
+The Morton key interleaves the bits of two join/filter dimensions so a
+range of keys covers a 2-D tile — the standard lakehouse trick for
+clustering files so scans on EITHER dimension prune (Delta/Iceberg
+Z-ORDER). Pure integer shift/mask expressions, exact in both engines;
+at scale you'd `repartitionByRange(morton_key)` before the write and
+let min/max file stats do the pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strategy_analyzer_exporter_spark.functions import dsum, dsum_sql
+from strategy_analyzer_exporter_spark.registry import register
+from strategy_analyzer_exporter_spark.sources.bars import BARS_CTE, bars_df
+from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# VWAP / TWAP per day
+
+
+def _q_bars_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prices/volumes ARE 2-decimal data stored as doubles, so the
+    whole aggregate runs in exact integer cents: ``floor(x·100 + 0.5)``
+    is the same IEEE ops in both engines and recovers the intended
+    cents exactly; products and sums are then exact integers (staged
+    through DECIMAL(38,0), whose integer casts are engine-identical —
+    unlike decimal casts of arbitrary doubles, see features.py), and
+    the final ratios are single double divisions of identical inputs.
+    Bit-exact at ANY scale — decimal staging of the raw doubles was
+    1 ulp off on 1-2 days per 30 at sf0.1."""
+    b = bars_df(spark, sf_dir)
+
+    def cents(c: str) -> F.Column:
+        return F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
+
+    hlc_c = cents("high") + cents("low") + cents("close")
+    v_c = cents("volume")
+    dec0 = "decimal(38,0)"
+    num = F.sum((hlc_c * v_c).cast(dec0)).cast("double")
+    den = F.sum(v_c.cast(dec0)).cast("double")
+    close_sum = F.sum(cents("close").cast(dec0)).cast("double")
+    vol_sum = F.sum(v_c.cast(dec0)).cast("double")
+    return b.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        (num / (F.lit(3.0) * den)).alias("vwap"),
+        # TWAP: bars are equal-duration, so the time weight is uniform
+        (close_sum / (F.lit(100.0) * F.count(F.lit(1)).cast("double"))).alias(
+            "twap"
+        ),
+        (vol_sum / F.lit(100.0)).alias("total_volume"),
+    )
+
+
+def _vwap_oracle() -> str:
+    def cents(c: str) -> str:
+        return f"CAST(floor({c} * 100 + 0.5) AS BIGINT)"
+
+    hlc = f"({cents('high')} + {cents('low')} + {cents('close')})"
+    v = cents("volume")
+    return f"""WITH {BARS_CTE}
+SELECT day, count(*) AS n_bars,
+       CAST(sum(CAST({hlc} * {v} AS DECIMAL(38,0))) AS DOUBLE)
+         / (3.0 * CAST(sum(CAST({v} AS DECIMAL(38,0))) AS DOUBLE)) AS vwap,
+       CAST(sum(CAST({cents("close")} AS DECIMAL(38,0))) AS DOUBLE)
+         / (100.0 * CAST(count(*) AS DOUBLE)) AS twap,
+       CAST(sum(CAST({v} AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS total_volume
+FROM bars GROUP BY day"""
+
+
+register("bars_vwap_twap", _q_bars_vwap, _vwap_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Morton / z-order clustering key
+
+MORTON_BITS = 16  # per dimension → 32-bit interleaved key
+
+
+def _morton_terms(a: str, b: str) -> str:
+    """Portable SQL: interleave the low MORTON_BITS bits of ``a`` (even
+    positions) and ``b`` (odd positions). Same text valid in Spark SQL
+    and DuckDB: shiftleft is spelled with << in both via expr."""
+    terms = []
+    for i in range(MORTON_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key over (l_partkey, l_suppkey) plus the coarse z-tile
+    (top 8 bits) a file-clustering write would range-partition on; the
+    per-tile row counts are what a clustering job inspects to pick
+    file split points."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mk = F.expr(_morton_terms("l_partkey", "l_suppkey"))
+    return (
+        li.select(mk.alias("morton_key"))
+        .withColumn("z_tile", F.expr("morton_key >> 24"))
+        .groupBy("z_tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("morton_key").alias("key_min"),
+            F.max("morton_key").alias("key_max"),
+        )
+    )
+
+
+register(
+    "zorder_clustering_key",
+    _q_zorder_key,
+    f"""WITH keyed AS (
+    SELECT {_morton_terms("l_partkey", "l_suppkey")} AS morton_key
+    FROM lineitem
+)
+SELECT morton_key >> 24 AS z_tile, count(*) AS n_rows,
+       min(morton_key) AS key_min, max(morton_key) AS key_max
+FROM keyed GROUP BY z_tile""",
+)

@@ -407,3 +407,45 @@ SELECT lang,
 FROM flagged GROUP BY lang"""
 
 register("corpus_clean_pipeline", _q_corpus_clean, _CLEAN_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Length-weighted deterministic sampling: keep probability proportional
+# to document length (capped at 1) — the training-mix move that
+# up-weights long documents without a shuffle or an RNG. The acceptance
+# test compares the doc's hash bucket (exact 16-bit integer / 2^16,
+# power-of-two division → exact double) against its length-derived
+# threshold; like the stratified sampler, membership is per-document
+# deterministic and corpus-independent.
+
+WEIGHTED_FULL_CHARS = 2000  # n_chars at which keep probability reaches 1
+
+
+def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(_hash_bucket("wsmp"), 1, 4), 16, 10).cast("long")
+        .cast("double")
+        / F.lit(65536.0)
+    )
+    p = F.least(
+        F.col("n_chars").cast("double") / F.lit(float(WEIGHTED_FULL_CHARS)),
+        F.lit(1.0),
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", u.alias("u"), p.alias("keep_p"))
+        .filter(F.col("u") < F.col("keep_p"))
+        .select("doc_id", "lang", "n_chars", "keep_p")
+    )
+
+
+_WEIGHTED_ORACLE = f"""WITH scored AS (
+    SELECT doc_id, lang, n_chars,
+           CAST(CAST(concat('0x', {_hash_bucket_sql("wsmp")}) AS BIGINT) AS DOUBLE)
+             / 65536.0 AS u,
+           least(CAST(n_chars AS DOUBLE) / {float(WEIGHTED_FULL_CHARS)}, 1.0) AS keep_p
+    FROM documents
+)
+SELECT doc_id, lang, n_chars, keep_p FROM scored WHERE u < keep_p"""
+
+register("sample_weighted_length", _q_sample_weighted, _WEIGHTED_ORACLE)

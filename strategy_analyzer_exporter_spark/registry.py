@@ -30,6 +30,7 @@ def _load_all() -> None:
         dedup,
         extra_queries,
         feature_queries,
+        finance,
         graph,
         multimodal,
         pipeline,
