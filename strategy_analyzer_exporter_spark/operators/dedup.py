@@ -574,3 +574,54 @@ register("dedup_minhash_lsh", _q_dedup_minhash, _minhash_oracle())
 register("dedup_ngram_jaccard", _q_dedup_ngram, _NGRAM_ORACLE)
 register("dedup_simhash", _q_dedup_simhash, _simhash_oracle())
 register("dedup_cluster_cc", _q_dedup_cluster, _cluster_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy near-dup via edit distance: blocked candidate pairs + exact
+# Levenshtein verify. Levenshtein is integer-exact in both engines, so
+# unlike similarity scores there is no float-parity question. Blocking
+# = (lang, length band): candidates come from an equi-join on the block
+# key — the record-linkage shape; at 100 TB the block key is the
+# shuffle key and block sizes bound the quadratic verify (monitor skew
+# on hot blocks; salt or sub-block by another key if a band explodes).
+
+LEV_PREFIX = 40  # verify on a fixed prefix: O(p²) per pair, not O(n²)
+LEV_MAX = 5
+LEV_BAND = 100  # chars per length band
+
+
+def _q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, LEV_PREFIX).alias("pfx"),
+        (F.floor(F.length("text") / LEV_BAND)).alias("band"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "band", F.col("pfx").alias("pfx_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "lang", "band", F.col("pfx").alias("pfx_b")
+    )
+    cand = a.join(b, ["lang", "band"]).filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("pfx_a", "pfx_b").cast("long"))
+        .filter(F.col("edit_dist") <= LEV_MAX)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
+register(
+    "dedup_fuzzy_levenshtein",
+    _q_dedup_fuzzy,
+    f"""WITH d AS (
+    SELECT doc_id, lang,
+           substring(text, 1, {LEV_PREFIX}) AS pfx,
+           CAST(floor(length(text) / {LEV_BAND}) AS BIGINT) AS band
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+FROM d a JOIN d b ON a.lang = b.lang AND a.band = b.band
+WHERE a.doc_id < b.doc_id AND levenshtein(a.pfx, b.pfx) <= {LEV_MAX}""",
+)

@@ -145,3 +145,74 @@ def test_operator_modules_import_standalone():
             capture_output=True, text=True, cwd="/root/repo",
         )
         assert r.returncode == 0, f"{m}: {r.stderr[-500:]}"
+
+
+def test_partial_aggregates_merge_incrementally(spark):
+    """Incremental ETL property: aggregating yesterday's partial result
+    merged with today's delta must equal aggregating the full input —
+    holds because count/dsum are mergeable (decimal sums re-aggregate
+    exactly). This is what lets a 100 TB rollup update from deltas
+    instead of rescanning history."""
+    import pyspark.sql.functions as F
+
+    from strategy_analyzer_exporter_spark.functions import dsum
+
+    li = load_table(spark, SF, "lineitem")
+    expr = lambda: dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    full = {
+        r["l_returnflag"]: (r["n"], r["rev"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), expr().alias("rev"))
+        .collect()
+    }
+    part1 = li.filter(F.col("l_orderkey") % 2 == 0)
+    part2 = li.filter(F.col("l_orderkey") % 2 == 1)
+
+    def partial(df):
+        # partials carry the DECIMAL sum (not the double) — merging
+        # doubles would re-introduce order dependence
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).alias("rev_dec"),
+        )
+
+    merged = {
+        r["l_returnflag"]: (r["n"], r["rev"])
+        for r in partial(part1)
+        .unionByName(partial(part2))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("rev_dec").cast("string").cast("double").alias("rev"),
+        )
+        .collect()
+    }
+    assert merged == full
+
+
+def test_sql_text_api_over_registered_views(spark):
+    """The SQL front-end: register_views + spark.sql must agree with the
+    DataFrame API (same Catalyst plans underneath)."""
+    import pyspark.sql.functions as F
+
+    from strategy_analyzer_exporter_spark.sources.tables import register_views
+
+    register_views(spark, SF)
+    got = {
+        (r["l_returnflag"], r["n"])
+        for r in spark.sql(
+            "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+        ).collect()
+    }
+    want = {
+        (r["l_returnflag"], r["n"])
+        for r in load_table(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
