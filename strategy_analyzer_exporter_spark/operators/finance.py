@@ -128,3 +128,48 @@ SELECT morton_key >> 24 AS z_tile, count(*) AS n_rows,
        min(morton_key) AS key_min, max(morton_key) AS key_max
 FROM keyed GROUP BY z_tile""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Forward fill (last observation carried forward): the time-series
+# gap-repair primitive — null sensor/price readings take the most
+# recent non-null value per key. One window shuffle on the key;
+# last(ignorenulls) is the Spark spelling, IGNORE NULLS the SQL one.
+
+
+def _q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # synthesize gaps deterministically: readings on 'error' events are
+    # missing (the realistic shape — a failed poll reports no value)
+    raw = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("reading"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return raw.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "reading",
+        F.last("reading", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+register(
+    "ts_forward_fill",
+    _q_forward_fill,
+    """SELECT user_id, ts, event_id,
+       CASE WHEN event_type <> 'error' THEN value END AS reading,
+       last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM events""",
+)
