@@ -62,6 +62,16 @@ def get_spark(
         # plans) once several heavy queries shared a session — 48g keeps
         # old-gen churn out of the measurement on the 128 GiB test host
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # whole-stage codegen emits one compiled class per plan stage;
+        # a session that runs the full 100-query registry (or the 14
+        # headline bench plans with warm-ups) overflows the JVM-17
+        # default 240m code cache, and C2 eviction re-interprets hot
+        # loops (observed: the same md5-heavy query at 0.5s in one
+        # process and 2.8s median in another). 1g keeps every compiled
+        # stage resident.
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g"
+        )
         .config("spark.ui.enabled", "false")
         # keep the default-sized broadcast threshold: benchmarking showed
         # 64MB lets mid-size fact-side tables (e.g. 500k-row gram/shingle
