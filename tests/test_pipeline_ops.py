@@ -216,3 +216,50 @@ def test_sql_text_api_over_registered_views(spark):
         .collect()
     }
     assert got == want
+
+
+def test_hex8_fold_matches_python(spark):
+    """The portable hex8→BIGINT SQL fold must equal Python's int(h,16)
+    for the md5 prefixes it's applied to (checksums, hash features)."""
+    import hashlib
+
+    from strategy_analyzer_exporter_spark.functions import hex8_to_long_sql
+
+    vals = [f"probe-{i}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").selectExpr(
+        "s", f"{hex8_to_long_sql('substring(md5(s), 1, 8)')} AS h"
+    )
+    got = {r["s"]: r["h"] for r in df.collect()}
+    for v in vals:
+        assert got[v] == int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+
+
+def test_morton_key_is_bijective_and_orders_tiles(spark):
+    """Morton interleave must be injective over the 16-bit domain and
+    its python mirror (so the z-tiles partition rows, not mix them)."""
+    from strategy_analyzer_exporter_spark.operators.finance import (
+        MORTON_BITS,
+        _morton_terms,
+    )
+
+    def py_morton(a: int, b: int) -> int:
+        out = 0
+        for i in range(MORTON_BITS):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    pairs = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 2, 7, 1024, 65535)]
+    df = spark.createDataFrame(pairs, "a long, b long").selectExpr(
+        "a", "b", f"{_morton_terms('a', 'b')} AS mk"
+    )
+    got = {(r["a"], r["b"]): r["mk"] for r in df.collect()}
+    assert got == {(a, b): py_morton(a, b) for a, b in pairs}
+    assert len(set(got.values())) == len(pairs)  # injective
+
+
+def test_corpus_clean_exchange_budget(spark):
+    """One content-hash window shuffle + one final aggregation — the
+    whole cleaning pass must not re-shuffle the corpus further."""
+    q = QUERIES["corpus_clean_pipeline"](spark, SF)
+    assert P.count_exchanges(q) <= 2, P.physical_plan(q)
