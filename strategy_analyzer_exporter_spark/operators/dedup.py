@@ -625,3 +625,99 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM d a JOIN d b ON a.lang = b.lang AND a.band = b.band
 WHERE a.doc_id < b.doc_id AND levenshtein(a.pfx, b.pfx) <= {LEV_MAX}""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Capstone composite: the full corpus-clean pass with NEAR-dup
+# clustering — quality gate → MinHash-LSH pairs among survivors →
+# connected-components keeper election. This is the pipeline a real
+# training-data build runs (corpus_clean_pipeline's exact-hash dedup
+# only catches byte-identical copies; this catches paraphrase-level
+# dups and resolves transitive chains a~b~c to one keeper).
+
+# quality gates mirror pipeline.corpus_clean_pipeline; duplicated (not
+# imported) because operator modules must stay standalone-importable
+# (registry loads all modules at import — see
+# test_operator_modules_import_standalone)
+_CLEAN_MIN_TOKENS = 10
+_CLEAN_MAX_TOKENS = 5000
+_CLEAN_MIN_TTR = 0.2
+
+
+def _q_corpus_clean_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double")
+    quality = d.select(
+        "doc_id",
+        "lang",
+        (
+            (n_tok >= _CLEAN_MIN_TOKENS)
+            & (n_tok <= _CLEAN_MAX_TOKENS)
+            & (ttr >= _CLEAN_MIN_TTR)
+        ).alias("quality_ok"),
+    )
+    survivors = quality.filter("quality_ok").select("doc_id")
+    pairs = (
+        _q_dedup_minhash(spark, sf_dir)
+        .join(survivors.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(survivors.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select("doc_a", "doc_b")
+    )
+    labeled = connected_components(pairs)
+    return (
+        quality.join(labeled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(~F.col("quality_ok"), F.lit(-1))
+            .otherwise(F.coalesce("cluster_id", "doc_id"))
+            .alias("cluster_id"),
+            F.when(~F.col("quality_ok"), "quality_fail")
+            .when(F.coalesce("cluster_id", "doc_id") == F.col("doc_id"), "kept")
+            .otherwise("dup_dropped")
+            .alias("status"),
+        )
+    )
+
+
+def _clean_neardup_oracle() -> str:
+    return f"""WITH RECURSIVE {_minhash_cte()},
+quality AS (
+    SELECT doc_id, lang,
+           (len({_TOKENS_SQL}) >= {_CLEAN_MIN_TOKENS}
+            AND len({_TOKENS_SQL}) <= {_CLEAN_MAX_TOKENS}
+            AND CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+                  / CAST(len({_TOKENS_SQL}) AS DOUBLE) >= {_CLEAN_MIN_TTR})
+             AS quality_ok
+    FROM documents
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM scored
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+      AND doc_a IN (SELECT doc_id FROM quality WHERE quality_ok)
+      AND doc_b IN (SELECT doc_id FROM quality WHERE quality_ok)
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM quality WHERE quality_ok
+    UNION
+    SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.doc_id
+),
+clusters AS (
+    SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT q.doc_id, q.lang,
+       CASE WHEN NOT q.quality_ok THEN -1 ELSE c.cluster_id END AS cluster_id,
+       CASE WHEN NOT q.quality_ok THEN 'quality_fail'
+            WHEN c.cluster_id = q.doc_id THEN 'kept'
+            ELSE 'dup_dropped' END AS status
+FROM quality q LEFT JOIN clusters c ON c.doc_id = q.doc_id"""
+
+
+register("corpus_clean_neardup", _q_corpus_clean_neardup, _clean_neardup_oracle())
