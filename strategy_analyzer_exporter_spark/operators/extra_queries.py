@@ -153,7 +153,7 @@ register(
     """WITH marked AS (
     SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
                 THEN 1 ELSE 0 END AS _new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -318,9 +318,15 @@ SELECT day, time, close FROM g WHERE _g > 20""",
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Integer-microsecond gap: Spark 4 forbids TIMESTAMP_NTZ → BIGINT
+    # casts, and whole-SECOND diffs truncate while DuckDB's epoch() is
+    # fractional — a gap of 1800.9s would split the engines at the
+    # boundary. timestamp_diff(MICROSECOND) vs epoch_us() are both exact
+    # integers and tz-free on wall-clock timestamps.
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     marked = ev.withColumn(
-        "_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "_new",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
     )
     sess_id = F.sum("_new").over(
         w.rowsBetween(Window.unboundedPreceding, 0)
@@ -338,11 +344,12 @@ register(
     "sessionization",
     _q_sessionize,
     f"""WITH marked AS (
-    SELECT *, CASE WHEN lagged IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS _new
+    SELECT *, CASE WHEN lagged IS NULL OR gap_us > 1800 * 1000000
+              THEN 1 ELSE 0 END AS _new
     FROM (
         SELECT user_id, event_id, ts, value,
                lag(ts) OVER w AS lagged,
-               epoch(ts) - epoch(lag(ts) OVER w) AS gap
+               epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )

@@ -1,0 +1,398 @@
+"""Training-data pipeline operators, batch 3: decontamination, TF-IDF,
+vocabulary building, sliding-window chunking — plus two finance window
+aggregates (drawdown, rolling correlation) and an equi-width histogram.
+
+These extend the LLM-pipeline surface (BASELINE.json north_star) beyond
+the reference's own operator set, as first-class `queries()` entries
+with DuckDB oracles.
+
+Determinism contract (the driver compares doubles BIT-exact): every
+float here is produced by correctly-rounded IEEE ops (+ - * / sqrt) on
+inputs that are themselves exact (integers or identical doubles in both
+engines) — no transcendentals, no engine-summed doubles. Sums that feed
+floats are integer/decimal-staged (see functions.dsum).
+
+Scale design (100 TB):
+- decontamination: the held-out set is small by definition (an eval
+  benchmark), so its gram set broadcasts; the corpus side is one scan +
+  one hash aggregation on doc_id. No shuffle of document text.
+- TF-IDF / vocabulary: explode-to-rows + groupBy — map-side partial
+  combine does the heavy lifting; no per-row array lambdas (HOFs don't
+  enter whole-stage codegen, measured in dedup.py).
+- chunking: mapInPandas streams Arrow batches; linear in corpus size,
+  no state across documents.
+- rolling windows: one shuffle on day, all window exprs share the sort.
+- the only global orderings are over already-aggregated tiny relations
+  (top-100 vocab), never over raw rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from strategy_analyzer_exporter_spark.functions import (
+    TOKENS_SQL,
+    dsum,
+    dsum_sql,
+    tokens,
+)
+from strategy_analyzer_exporter_spark.registry import register
+from strategy_analyzer_exporter_spark.sources.bars import BARS_CTE, bars_df
+from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus docs sharing any k-gram with a
+# held-out set (the GPT-3 style n-gram collision check). Held-out set =
+# doc_id % 11 == 0 (a stand-in for an eval benchmark shipped separately).
+
+DECON_K = 8
+HELDOUT_MOD = 11
+
+
+def _gram_sql(tokens: str, k: int) -> str:
+    """DuckDB distinct word-k-gram shingles — mirrors dedup._shingles_sql
+    (duplicated, not imported: a module-level import from a sibling
+    operator module breaks when THAT module is a worker's entry import,
+    see tests/test_pipeline_ops.py::test_operator_modules_import_standalone)."""
+    parts = " || ' ' || ".join(f"({tokens})[i+{j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform(range(1, len({tokens}) - {k - 2}), "
+        f"i -> {parts}))"
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # call-time import avoids the circular-at-partial-init trap above
+    from strategy_analyzer_exporter_spark.operators.dedup import _gram_rows
+
+    grams = _gram_rows(spark, sf_dir, k=DECON_K)  # (doc_id, gram), distinct
+    heldout = (
+        grams.filter(F.col("doc_id") % HELDOUT_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % HELDOUT_MOD != 0)
+    return (
+        corpus.join(F.broadcast(heldout), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+_DECON_ORACLE = f"""WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest({_gram_sql("tk", DECON_K)}) AS gram
+    FROM toks WHERE len(tk) >= {DECON_K}
+),
+heldout AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {HELDOUT_MOD} = 0),
+corpus AS (SELECT * FROM grams WHERE doc_id % {HELDOUT_MOD} <> 0)
+SELECT c.doc_id, count(*) AS n_hit_grams
+FROM corpus c JOIN heldout h USING (gram)
+GROUP BY c.doc_id"""
+
+register("decontaminate_ngram", _q_decontaminate, _DECON_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document. Linear idf (N/df, one IEEE division)
+# instead of log idf: Java's Math.log is 1-ulp-accurate but NOT
+# correctly rounded, so ln() may differ from libm in the last bit —
+# tf·(N/df) uses only correctly-rounded ops and stays bit-identical.
+
+TFIDF_TOPK = 3
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_docs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_docs, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df_docs").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "token", "tf", "df_docs", "score", "rn")
+    )
+
+
+_TFIDF_ORACLE = f"""WITH tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfd AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY token),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, dfd.df_docs,
+           CAST(tf.tf AS DOUBLE)
+             * (CAST(nd.n_docs AS DOUBLE) / CAST(dfd.df_docs AS DOUBLE)) AS score
+    FROM tf JOIN dfd USING (token) CROSS JOIN nd
+)
+SELECT doc_id, token, tf, df_docs, score, rn FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn
+    FROM scored
+) WHERE rn <= {TFIDF_TOPK}"""
+
+register("text_tfidf_topk", _q_tfidf, _TFIDF_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build: global token frequencies, top-100. The ranking
+# window is global but runs over the ALREADY-AGGREGATED vocab relation
+# (|vocab| rows, not |corpus| rows) — the aggregation is the scale step.
+
+VOCAB_TOP = 100
+
+
+def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf_total"),
+        F.count_distinct("doc_id").alias("df_docs"),
+    )
+    w = Window.orderBy(F.col("tf_total").desc(), F.col("token").asc())
+    return (
+        vocab.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= VOCAB_TOP)
+        .select("rank", "token", "tf_total", "df_docs")
+    )
+
+
+_VOCAB_ORACLE = f"""WITH tok AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+),
+vocab AS (
+    SELECT token, count(*) AS tf_total, count(DISTINCT doc_id) AS df_docs
+    FROM tok GROUP BY token
+)
+SELECT rank, token, tf_total, df_docs FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY tf_total DESC, token ASC) AS rank
+    FROM vocab
+) WHERE rank <= {VOCAB_TOP}"""
+
+register("vocab_top_tokens", _q_vocab, _VOCAB_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: overlapping token windows (size 32, stride
+# 24) — the pre-tokenization step before sequence packing
+# (pipeline.pack_sequences). Arrow-batched mapInPandas; no cross-doc
+# state, so it parallelizes embarrassingly.
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def _q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "chunk_id": [], "start_tok": [],
+                "n_tokens": [], "first_tok": [], "last_tok": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in (text or "").split(" ") if t]
+                n = len(toks)
+                for cid, s in enumerate(range(0, n, CHUNK_STRIDE)):
+                    m = min(CHUNK_SIZE, n - s)
+                    rows["doc_id"].append(doc_id)
+                    rows["chunk_id"].append(cid)
+                    rows["start_tok"].append(s)
+                    rows["n_tokens"].append(m)
+                    rows["first_tok"].append(toks[s])
+                    rows["last_tok"].append(toks[s + m - 1])
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen,
+        "doc_id bigint, chunk_id bigint, start_tok bigint, "
+        "n_tokens bigint, first_tok string, last_tok string",
+    )
+
+
+_CHUNK_ORACLE = f"""WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+),
+starts AS (
+    SELECT doc_id, tk, unnest(range(0, len(tk), {CHUNK_STRIDE})) AS s
+    FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(least({CHUNK_SIZE}, len(tk) - s) AS BIGINT) AS n_tokens,
+       tk[CAST(s + 1 AS BIGINT)] AS first_tok,
+       tk[CAST(s + least({CHUNK_SIZE}, len(tk) - s) AS BIGINT)] AS last_tok
+FROM starts"""
+
+register("chunk_sliding_windows", _q_chunk, _CHUNK_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram of lineitem prices: one scan, one hash agg on a
+# 10-value key — the profiling primitive for range partitioning choices.
+
+HIST_WIDTH = 11000.0
+HIST_BUCKETS = 10
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / F.lit(HIST_WIDTH)),
+        F.lit(HIST_BUCKETS - 1).cast("bigint"),
+    ).cast("long")
+    return (
+        li.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+_HIST_ORACLE = f"""SELECT
+    CAST(least(floor(l_extendedprice / {HIST_WIDTH}), {HIST_BUCKETS - 1}) AS BIGINT)
+        AS bucket,
+    count(*) AS n_rows,
+    min(l_extendedprice) AS min_price,
+    max(l_extendedprice) AS max_price,
+    {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem GROUP BY 1"""
+
+register("agg_histogram", _q_histogram, _HIST_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Drawdown per session day: running peak close, max (peak-close)/peak.
+# peak is an exact window max of identical doubles; the ratio is two
+# correctly-rounded ops — bit-exact cross-engine.
+
+
+def _q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars_df(spark, sf_dir)
+    w = (
+        Window.partitionBy("day")
+        .orderBy("time")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("close").over(w)
+    dd = (peak - F.col("close")) / peak
+    return (
+        b.withColumn("_dd", dd)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.max("close").alias("peak_close"),
+            F.max("_dd").alias("max_drawdown"),
+        )
+    )
+
+
+_DRAWDOWN_ORACLE = f"""WITH {BARS_CTE},
+run AS (
+    SELECT day, close,
+           max(close) OVER (
+               PARTITION BY day ORDER BY time
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+    FROM bars
+)
+SELECT day, count(*) AS n_bars, max(close) AS peak_close,
+       max((peak - close) / peak) AS max_drawdown
+FROM run GROUP BY day"""
+
+register("bars_drawdown", _q_drawdown, _DRAWDOWN_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Rolling 20-bar Pearson correlation of close vs volume, per day. All
+# moments are exact integer window sums (cents / whole volumes staged
+# as BIGINT — order-independent); the final correlation is a fixed
+# sequence of correctly-rounded double ops on identical integers, so
+# the doubles match bit-for-bit cross-engine.
+
+CORR_N = 20
+
+
+def _q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars_df(spark, sf_dir)
+    c = F.floor(F.col("close") * 100 + F.lit(0.5)).cast("long")
+    v = F.col("volume").cast("long")  # volume is integer-valued by construction
+    staged = b.select(
+        "day", "time", c.alias("c"), v.alias("v"),
+        (c * c).alias("cc"), (v * v).alias("vv"), (c * v).alias("cv"),
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("time")
+        .rowsBetween(-(CORR_N - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sc, sv = F.sum("c").over(w), F.sum("v").over(w)
+    scc, svv, scv = F.sum("cc").over(w), F.sum("vv").over(w), F.sum("cv").over(w)
+    num = (n * scv - sc * sv).cast("double")
+    varc = (n * scc - sc * sc)
+    varv = (n * svv - sv * sv)
+    corr = F.when(
+        (varc > 0) & (varv > 0),
+        num / (F.sqrt(varc.cast("double")) * F.sqrt(varv.cast("double"))),
+    )
+    return (
+        staged.select("day", "time", corr.alias("corr20"), n.alias("_n"))
+        .filter(F.col("_n") == CORR_N)
+        .select("day", "time", "corr20")
+    )
+
+
+_CORR_ORACLE = f"""WITH {BARS_CTE},
+staged AS (
+    SELECT day, time,
+           CAST(floor(close * 100 + 0.5) AS BIGINT) AS c,
+           CAST(volume AS BIGINT) AS v
+    FROM bars
+),
+moments AS (
+    SELECT day, time,
+           count(*) OVER w AS n,
+           CAST(sum(c) OVER w AS BIGINT) AS sc,
+           CAST(sum(v) OVER w AS BIGINT) AS sv,
+           CAST(sum(c * c) OVER w AS BIGINT) AS scc,
+           CAST(sum(v * v) OVER w AS BIGINT) AS svv,
+           CAST(sum(c * v) OVER w AS BIGINT) AS scv
+    FROM staged
+    WINDOW w AS (PARTITION BY day ORDER BY time
+                 ROWS BETWEEN {CORR_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day, time,
+       CASE WHEN (n * scc - sc * sc) > 0 AND (n * svv - sv * sv) > 0 THEN
+           CAST(n * scv - sc * sv AS DOUBLE)
+             / (sqrt(CAST(n * scc - sc * sc AS DOUBLE))
+                * sqrt(CAST(n * svv - sv * sv AS DOUBLE)))
+       END AS corr20
+FROM moments WHERE n = {CORR_N}"""
+
+register("bars_rolling_corr", _q_rolling_corr, _CORR_ORACLE)

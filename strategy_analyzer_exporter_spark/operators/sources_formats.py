@@ -87,3 +87,37 @@ def _q_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("source_csv_roundtrip", _q_csv, _AGG_ORACLE)
 register("source_jsonl_roundtrip", _q_jsonl, _AGG_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned parquet roundtrip: write documents partitioned by
+# lang, read back with a lang filter, and aggregate. The filter must
+# become a PARTITION filter (directory pruning — zero I/O for pruned
+# langs, the mechanism that makes a 100 TB lake scannable);
+# tests/test_plans.py asserts it. Parquet roundtrips every type
+# losslessly, so unlike the text formats this one aggregates floats too.
+
+
+def _q_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(
+        "/root/repo/.tmp", "docs_part_" + sf_dir.strip("/").split("/")[-1]
+    )
+    if path not in _STAGED:
+        d = load_table(spark, sf_dir, "documents")
+        d.write.mode("overwrite").partitionBy("lang").parquet(path)
+        _STAGED.add(path)
+    d = spark.read.parquet(path).filter(F.col("lang").isin("en", "de"))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+_PART_ORACLE = """SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents WHERE lang IN ('en', 'de') GROUP BY lang, source"""
+
+register("source_partitioned_pruned", _q_partitioned, _PART_ORACLE)

@@ -34,12 +34,14 @@ def _load_all() -> None:
         graph,
         multimodal,
         pipeline,
+        pipeline3,
         profiling,
         relational,
         relational2,
         relational3,
         relational4,
         relational5,
+        relational6,
         resample,
         similarity,
         sources_formats,

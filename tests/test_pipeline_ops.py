@@ -136,7 +136,7 @@ def test_operator_modules_import_standalone():
 
     mods = [
         "multimodal", "dedup", "pipeline", "graph", "relational5",
-        "sources_formats", "text", "similarity",
+        "sources_formats", "text", "similarity", "pipeline3",
     ]
     for m in mods:
         r = subprocess.run(

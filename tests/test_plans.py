@@ -114,3 +114,13 @@ def test_export_partition_pruning(spark, tmp_path):
     write_parquet(features_df(spark, SF, TESTDATA_CONFIG), path, partition_by=("day",))
     back = spark.read.parquet(path).filter(F.col("day") == 20240102)
     assert "PartitionFilters: [isnotnull(day" in P.physical_plan(back)
+
+
+def test_source_partitioned_pruned_prunes_lang(spark):
+    """The lang IN ('en','de') filter must be a PartitionFilter on the
+    hive-partitioned read — directory pruning, not a data filter."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["source_partitioned_pruned"](spark, SF)
+    plan = P.physical_plan(q)
+    assert "PartitionFilters: [lang" in plan or "PartitionFilters: [isnotnull(lang" in plan, plan
