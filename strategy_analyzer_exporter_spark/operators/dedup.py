@@ -482,10 +482,10 @@ def connected_components(
     convergence witness — no expensive change-count join. Rounds needed =
     graph diameter; dedup components are near-cliques (every member
     collides with the seed), so this converges in 2-4 rounds in practice.
-    For adversarial long-chain graphs at 100 TB, swap in large-star/
-    small-star (Kiveris et al., "Connected Components in MapReduce"),
-    which bounds rounds at O(log² n) with the same (vertex, label) row
-    representation. localCheckpoint per round cuts the otherwise
+    For adversarial long-chain graphs at 100 TB, swap in
+    :func:`connected_components_star` (large-star/small-star, Kiveris
+    et al.), which bounds rounds at O(log² n) with the same (vertex,
+    label) output. localCheckpoint per round cuts the otherwise
     exponentially-growing plan lineage (eager=False would re-trigger the
     whole loop on the final action)."""
     sym = edges.select(
@@ -530,6 +530,78 @@ def connected_components(
     return labels
 
 
+_LAST_STAR_ROUNDS = 0  # observability for tests: rounds to fixed point
+
+
+def connected_components_star(edges: DataFrame, max_iters: int = 30) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14) — the adversarial-diameter backend: O(log² n) rounds on
+    ANY graph shape, vs min-label propagation's diameter-bounded loop
+    (a 500-node chain needs 499 propagation rounds but ~5 star rounds).
+
+    Edge-set representation, always (larger, smaller):
+    - large-star: every node u links its strictly-larger neighbors to
+      m = min(Γ(u) ∪ {u}) — one groupBy(min) + one join per round;
+    - small-star: every node u links its smaller neighbors and itself
+      to m — same shape.
+    Fixed point = every non-min vertex points straight at its
+    component min; detected by an (edge-count, endpoint-sum) witness,
+    which both stars only ever decrease. Same output contract as
+    :func:`connected_components`: (doc_id, cluster_id = component-min
+    doc_id), edge-participating vertices only."""
+    global _LAST_STAR_ROUNDS
+    e = (
+        edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    rounds = 0
+    for _ in range(max_iters):
+        # large-star over the symmetric adjacency
+        sym = e.select("u", "v").unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges are (larger u, smaller v); link N(u) ∪ {u} to m
+        mm = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            e.join(mm, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionAll(mm.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        rounds += 1
+        cur = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u") + F.col("v")).alias("s"),
+        ).first()
+        cur = (cur["n"], cur["s"])
+        if cur == prev:
+            break
+        prev = cur
+    _LAST_STAR_ROUNDS = rounds
+    return (
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionAll(e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")))
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+
+
 def _q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster assignment for every document: MinHash-LSH near-dup pairs
     (dedup_minhash_lsh) become an undirected graph; each doc gets the min
@@ -570,10 +642,26 @@ clusters AS (
 SELECT doc_id, cluster_id, cluster_id = doc_id AS is_keeper FROM clusters"""
 
 
+def _q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as dedup_cluster_cc, computed by the
+    large-star/small-star backend — round count independent of
+    component diameter (tests/test_cc_star.py drives a 500-node chain
+    through it in O(log² n) rounds)."""
+    edges = _q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    labeled = connected_components_star(edges)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labeled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("is_keeper"),
+    )
+
+
 register("dedup_minhash_lsh", _q_dedup_minhash, _minhash_oracle())
 register("dedup_ngram_jaccard", _q_dedup_ngram, _NGRAM_ORACLE)
 register("dedup_simhash", _q_dedup_simhash, _simhash_oracle())
 register("dedup_cluster_cc", _q_dedup_cluster, _cluster_oracle())
+register("dedup_cluster_cc_star", _q_dedup_cluster_star, _cluster_oracle())
 
 
 # ---------------------------------------------------------------------------
@@ -591,19 +679,46 @@ LEV_BAND = 100  # chars per length band
 
 
 def _q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-dup pairs with OVERLAPPING length bands:
+    every doc emits a key on two grids of cell size B offset by B/2
+    (grid 0: floor(len/B); grid 1: floor((len + B/2)/B)), so any pair
+    whose lengths differ by ≤ B/2 shares at least one (grid, band) key
+    — no false negatives at band edges (a 99-char vs 101-char
+    near-identical pair lands in grid-1 band 1 together). Pairs that
+    collide on both grids are deduped before the O(p²) verify, so the
+    exact work per candidate is unchanged; the candidate join stays an
+    equi-join on (lang, grid, band) — the same one-shuffle
+    record-linkage shape, with 2× the key rows."""
+    half = LEV_BAND // 2
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.substring("text", 1, LEV_PREFIX).alias("pfx"),
-        (F.floor(F.length("text") / LEV_BAND)).alias("band"),
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("grid"),
+                    F.floor(F.length("text") / LEV_BAND).alias("band"),
+                ),
+                F.struct(
+                    F.lit(1).alias("grid"),
+                    F.floor((F.length("text") + half) / LEV_BAND).alias("band"),
+                ),
+            )
+        ).alias("gb"),
+    ).select("doc_id", "lang", "pfx", F.col("gb.grid").alias("grid"), F.col("gb.band").alias("band"))
     a = d.select(
-        F.col("doc_id").alias("doc_a"), "lang", "band", F.col("pfx").alias("pfx_a")
+        F.col("doc_id").alias("doc_a"), "lang", "grid", "band", F.col("pfx").alias("pfx_a")
     )
     b = d.select(
-        F.col("doc_id").alias("doc_b"), "lang", "band", F.col("pfx").alias("pfx_b")
+        F.col("doc_id").alias("doc_b"), "lang", "grid", "band", F.col("pfx").alias("pfx_b")
     )
-    cand = a.join(b, ["lang", "band"]).filter(F.col("doc_a") < F.col("doc_b"))
+    cand = (
+        a.join(b, ["lang", "grid", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pfx_a", "pfx_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     return (
         cand.withColumn("edit_dist", F.levenshtein("pfx_a", "pfx_b").cast("long"))
         .filter(F.col("edit_dist") <= LEV_MAX)
@@ -615,15 +730,25 @@ register(
     "dedup_fuzzy_levenshtein",
     _q_dedup_fuzzy,
     f"""WITH d AS (
-    SELECT doc_id, lang,
-           substring(text, 1, {LEV_PREFIX}) AS pfx,
-           CAST(floor(length(text) / {LEV_BAND}) AS BIGINT) AS band
+    SELECT doc_id, lang, substring(text, 1, {LEV_PREFIX}) AS pfx,
+           length(text) AS len
     FROM documents
+),
+k AS (
+    SELECT doc_id, lang, pfx, 0 AS grid,
+           CAST(floor(len / {LEV_BAND}) AS BIGINT) AS band FROM d
+    UNION ALL
+    SELECT doc_id, lang, pfx, 1 AS grid,
+           CAST(floor((len + {LEV_BAND // 2}) / {LEV_BAND}) AS BIGINT) AS band FROM d
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pfx AS pfx_a, b.pfx AS pfx_b
+    FROM k a JOIN k b ON a.lang = b.lang AND a.grid = b.grid AND a.band = b.band
+    WHERE a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
-FROM d a JOIN d b ON a.lang = b.lang AND a.band = b.band
-WHERE a.doc_id < b.doc_id AND levenshtein(a.pfx, b.pfx) <= {LEV_MAX}""",
+SELECT doc_a, doc_b, CAST(levenshtein(pfx_a, pfx_b) AS BIGINT) AS edit_dist
+FROM cand WHERE levenshtein(pfx_a, pfx_b) <= {LEV_MAX}""",
 )
 
 

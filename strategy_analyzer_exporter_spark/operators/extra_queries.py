@@ -48,12 +48,18 @@ def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         bars.write.mode("overwrite").partitionBy("day").parquet(stage)
         _STAGED.add(stage)
     name = "stream_features_" + abs(hash(sf_dir)).__str__()[:8]
-    # 15 day-files per micro-batch: multiple batches (cross-batch state
-    # continuity stays exercised; the 1-file-per-trigger path is covered
-    # by tests/test_streaming_sinks.py) while amortizing the ~1.4s fixed
-    # per-batch cost (state-store round-trip, memory-sink collect)
+    # Default 15 day-files per micro-batch: multiple batches, so the
+    # driver's correctness run exercises cross-batch state continuity
+    # (the 1-file-per-trigger path is covered by
+    # tests/test_streaming_sinks.py). SPARK_GRAFT_STREAM_MFPT overrides:
+    # bench.py sets it high enough for a single batch, so the bench
+    # measures state-operator throughput, not per-trigger fixed cost
+    # (state-store round-trip + memory-sink collect, ~1.4s/batch);
+    # results are bit-equal either way (asserted in
+    # tests/test_streaming_sinks.py::test_single_batch_equals_default).
     return run_stream_to_memory(
-        spark, stage, TESTDATA_CONFIG, query_name=name, max_files_per_trigger=15
+        spark, stage, TESTDATA_CONFIG, query_name=name,
+        max_files_per_trigger=int(os.environ.get("SPARK_GRAFT_STREAM_MFPT", "15")),
     )
 
 
@@ -83,7 +89,8 @@ def _q_streaming_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = dataclasses.replace(TESTDATA_CONFIG, export_lag_bars=1)
     name = "stream_feats_lag_" + abs(hash(sf_dir)).__str__()[:8]
     return run_stream_to_memory(
-        spark, stage, cfg, query_name=name, max_files_per_trigger=15
+        spark, stage, cfg, query_name=name,
+        max_files_per_trigger=int(os.environ.get("SPARK_GRAFT_STREAM_MFPT", "15")),
     )
 
 

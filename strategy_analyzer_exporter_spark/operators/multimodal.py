@@ -167,6 +167,145 @@ register("multimodal_frame_sample", _q_frame_sample, _FRAME_ORACLE)
 
 
 # ---------------------------------------------------------------------------
+# REAL decode with a REAL oracle: PPM (P6), the one raster format a
+# pure-Python decoder can own. Fixture payloads are genuine P6 files
+# (header + raw RGB raster) synthesized per doc_id by a closed-form
+# pixel formula; the Spark side decodes by PARSING THE BYTES in
+# mapInPandas, while the DuckDB oracle recomputes the channel sums
+# straight from the formula — two independent paths to the same
+# integers, so any parser defect (header tokenization, raster offset,
+# channel interleave) breaks the value hash. No media libs needed.
+
+PPM_MAXV = 255
+
+
+def make_ppm(doc_id: int) -> bytes:
+    """Deterministic P6 fixture: width 4+id%5, height 3+id%4, pixel
+    byte i = (id*7 + i*13) % 256 over the interleaved RGB raster."""
+    doc_id = int(doc_id)
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    raster = bytes((doc_id * 7 + i * 13) % 256 for i in range(w * h * 3))
+    return b"P6\n%d %d\n%d\n" % (w, h, PPM_MAXV) + raster
+
+
+def parse_ppm(b: bytes):
+    """Strict P6 parser: magic, whitespace/comment-tolerant header
+    (width height maxval), ONE whitespace byte, raw RGB raster of
+    exactly w*h*3 bytes. Returns (w, h, raster) or None."""
+    if not b.startswith(b"P6"):
+        return None
+    i, vals = 2, []
+    n = len(b)
+    while len(vals) < 3:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment runs to end of line
+            while i < n and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not b[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            return None
+        try:
+            vals.append(int(b[i:j]))
+        except ValueError:
+            return None
+        i = j
+    i += 1  # exactly one whitespace byte after maxval
+    w, h, maxv = vals
+    raster = b[i:]
+    if maxv != PPM_MAXV or w <= 0 or h <= 0 or len(raster) != w * h * 3:
+        return None
+    return w, h, raster
+
+
+def ppm_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One genuine PPM payload per document (binary column)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [make_ppm(i) for i in pdf["doc_id"]],
+                }
+            )
+
+    return d.mapInPandas(gen, "media_id long, payload binary")
+
+
+_PPM_SCHEMA = (
+    "media_id long, decoded_ok boolean, width int, height int, "
+    "n_pixels long, sum_r long, sum_g long, sum_b long, mean_byte double"
+)
+
+
+def _ppm_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            parsed = parse_ppm(bytes(payload))
+            if parsed is None:
+                rows.append((int(mid), False, 0, 0, 0, 0, 0, 0, 0.0))
+                continue
+            w, h, raster = parsed
+            sr, sg, sb = sum(raster[0::3]), sum(raster[1::3]), sum(raster[2::3])
+            # exact ints; ONE correctly-rounded division → bit-exact
+            mean = (sr + sg + sb) / (3 * w * h)
+            rows.append((int(mid), True, w, h, w * h, sr, sg, sb, mean))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "decoded_ok", "width", "height",
+                "n_pixels", "sum_r", "sum_g", "sum_b", "mean_byte",
+            ],
+        )
+
+
+def _q_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PPM decode: parse every payload's bytes, emit
+    per-channel integer sums + mean. The oracle never sees the bytes —
+    it recomputes from the pixel formula — so this row-for-row match
+    certifies the parser, offsets and channel interleave."""
+    return ppm_media_table(spark, sf_dir).mapInPandas(
+        _ppm_decode_batches, _PPM_SCHEMA
+    )
+
+
+def _ppm_oracle() -> str:
+    # channel c (0=r,1=g,2=b) bytes are raster indices 3i+c:
+    #   (media_id*7 + (3i+c)*13) % 256, i in [0, w*h)
+    def chan(c: int) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(0, width*height), "
+            f"i -> (media_id * 7 + (3*i + {c}) * 13) % 256)) AS BIGINT)"
+        )
+
+    return f"""WITH base AS (
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 5 AS INTEGER) AS width,
+           CAST(3 + doc_id % 4 AS INTEGER) AS height
+    FROM documents
+),
+sums AS (
+    SELECT media_id, TRUE AS decoded_ok, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           {chan(0)} AS sum_r,
+           {chan(1)} AS sum_g,
+           {chan(2)} AS sum_b
+    FROM base
+)
+SELECT *, CAST(sum_r + sum_g + sum_b AS DOUBLE) / (3 * n_pixels) AS mean_byte
+FROM sums"""
+
+
+register("multimodal_decode_ppm", _q_ppm_decode, _ppm_oracle())
+
+
+# ---------------------------------------------------------------------------
 # Deterministic feature extraction (hash features). The decode-based
 # extractor above is necessarily rows-only (and stubbed — no media libs
 # in this container); this one is the oracle-checkable stand-in: a

@@ -197,10 +197,13 @@ KM_DIM = 64
 
 
 def _sqdist(a: Column, b: Column) -> Column:
-    """Pinned left-fold squared L2 — same fold shape as similarity.py's
-    dot product, so both engines accumulate in identical order."""
-    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    """Squared L2 via the dual-path kernel (functions/vector.py):
+    Arrow/numpy by default, pure-Catalyst fold with
+    SPARK_GRAFT_VECTOR_KERNEL=fold — both accumulate in the identical
+    pinned left-fold order, so either path matches the oracle."""
+    from strategy_analyzer_exporter_spark.functions import vector
+
+    return vector.sqdist(a, b)
 
 
 def _sqdist_sql(a: str, b: str) -> str:
@@ -209,6 +212,44 @@ def _sqdist_sql(a: str, b: str) -> str:
         f"list_transform(range(1, {KM_DIM} + 1), "
         f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
     )
+
+
+def kmeans_assign_stream(emb: DataFrame, cent_rows: list) -> DataFrame:
+    """Production assign: the k×dim centroid matrix rides in the UDF
+    closure (the Spark-MLlib shape — centroids live on the driver
+    between rounds anyway); the corpus streams through one
+    ``mapInPandas`` pass, so the Arrow payload is each vector ONCE, not
+    once per centroid. numpy computes all k distances per row with the
+    same column-wise left fold as the Catalyst path (bit-exact), and
+    ``argmin``'s first-minimum tie-break equals the (dist, cid) struct
+    order because cent_rows is sorted by cid."""
+    import numpy as np
+
+    from strategy_analyzer_exporter_spark.functions import vector
+
+    cent_rows = sorted(cent_rows, key=lambda r: r.cid)
+    cids = np.asarray([r.cid for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r.cv, dtype=np.float64) for r in cent_rows])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = vector.stack(pdf["v"])
+            diffs = V[:, None, :] - C[None, :, :]
+            d2 = vector.fold_sum(diffs * diffs)  # (n, k)
+            j = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cids[j],
+                    "dist": d2[np.arange(len(j)), j],
+                }
+            )
+
+    return emb.mapInPandas(gen, "vec_id long, cid long, dist double")
 
 
 def kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
@@ -264,8 +305,12 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-10 across engines but not to the ulp (double→decimal rounding
     differs, see kmeans_update), and a dedup/clustering consumer only
     uses the assignment anyway."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    from strategy_analyzer_exporter_spark.operators.similarity import _spread
+
+    e = _spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     w = Window.orderBy("vec_id")
     cents = (
@@ -276,10 +321,31 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("cv"),
         )
     )
-    for _ in range(KM_ITERS):
-        assigned = kmeans_assign(e, cents).select("vec_id", "cid")
-        cents = kmeans_update(assigned, e)
-    return kmeans_assign(e, cents).select("vec_id", "cid")
+    from strategy_analyzer_exporter_spark.functions import vector
+
+    if vector.kernel() == "fold":
+        for _ in range(KM_ITERS):
+            assigned = kmeans_assign(e, cents).select("vec_id", "cid")
+            # k rows only — eager materialization truncates the nested
+            # per-iteration lineage (same pattern as graph.py PageRank)
+            cents = kmeans_update(assigned, e).localCheckpoint()
+        return kmeans_assign(e, cents).select("vec_id", "cid")
+    # production path: centroids live on the driver between rounds
+    # (k×dim doubles — collect() returns exact binary doubles). Cache e
+    # only for the eager iteration phase; unpersist before the lazy
+    # final assign so repeated query builds don't accumulate cache.
+    e = e.persist()
+    try:
+        rows = kmeans_update(
+            kmeans_assign_stream(e, cents.collect()).select("vec_id", "cid"), e
+        ).collect()
+        for _ in range(KM_ITERS - 1):
+            rows = kmeans_update(
+                kmeans_assign_stream(e, rows).select("vec_id", "cid"), e
+            ).collect()
+    finally:
+        e.unpersist()
+    return kmeans_assign_stream(e, rows).select("vec_id", "cid")
 
 
 def _kmeans_oracle() -> str:

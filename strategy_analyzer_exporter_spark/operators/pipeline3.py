@@ -341,7 +341,11 @@ CORR_N = 20
 def _q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bars_df(spark, sf_dir)
     c = F.floor(F.col("close") * 100 + F.lit(0.5)).cast("long")
-    v = F.col("volume").cast("long")  # volume is integer-valued by construction
+    # Explicit half-up rounding on BOTH sides: a bare cast truncates in
+    # Spark but rounds half-to-even in DuckDB — identical today only
+    # because volume is integer-valued by construction. Mirrors the
+    # time-rollup operator's v_cents convention.
+    v = F.floor(F.col("volume") + F.lit(0.5)).cast("long")
     staged = b.select(
         "day", "time", c.alias("c"), v.alias("v"),
         (c * c).alias("cc"), (v * v).alias("vv"), (c * v).alias("cv"),
@@ -372,7 +376,7 @@ _CORR_ORACLE = f"""WITH {BARS_CTE},
 staged AS (
     SELECT day, time,
            CAST(floor(close * 100 + 0.5) AS BIGINT) AS c,
-           CAST(volume AS BIGINT) AS v
+           CAST(floor(volume + 0.5) AS BIGINT) AS v
     FROM bars
 ),
 moments AS (

@@ -1,9 +1,12 @@
 """Similarity search over the ``embeddings`` table (array<float>, dim 64).
 
-Vector math is expressed with array expressions (``zip_with`` +
-left-fold ``aggregate``) — pure JVM codegen, no UDF, and the fold order
-matches the DuckDB oracle so cosines agree bit-for-bit (+, *, / and
-sqrt are all correctly-rounded IEEE ops in both engines).
+Vector math goes through the dual-path kernel in
+``functions/vector.py``: a vectorized Arrow ``pandas_udf`` by default
+(production — batches through numpy, no interpreted expression walk),
+or the pure-Catalyst left-fold with ``SPARK_GRAFT_VECTOR_KERNEL=fold``.
+Both paths perform the identical sequence of correctly-rounded IEEE
+double ops as the DuckDB oracle's ``list_reduce``, so cosines agree
+bit-for-bit either way (asserted in tests/test_vector_kernels.py).
 
 Two search paths:
 - brute-force cosine top-k: exact baseline; broadcast the query set and
@@ -23,6 +26,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from strategy_analyzer_exporter_spark.functions import vector
 from strategy_analyzer_exporter_spark.registry import register
 from strategy_analyzer_exporter_spark.sources.tables import load_table
 
@@ -45,12 +49,6 @@ def _hyperplanes() -> list[list[float]]:
     ]
 
 
-def _dot_fold(a: Column, b: Column) -> Column:
-    """Left-fold dot product over double-cast elements."""
-    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-
 def _dot_fold_sql(a: str, b: str) -> str:
     return (
         f"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, {DIM} + 1), "
@@ -59,9 +57,7 @@ def _dot_fold_sql(a: str, b: str) -> str:
 
 
 def _cosine(a: Column, b: Column) -> Column:
-    return _dot_fold(a, b) / (
-        F.sqrt(_dot_fold(a, a)) * F.sqrt(_dot_fold(b, b))
-    )
+    return vector.cosine(a, b)
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -71,32 +67,101 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the compute-heavy corpus side has at least default
+    parallelism. A small single-file parquet read is ONE split, which
+    would serialize the O(n·k) scoring stage onto one core; at real
+    scale the scan already yields ≥ this many splits and this is a
+    no-op (the conditional keeps the shuffle out of the 100 TB plan)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k
 
 
-def _q_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for each query vector (vec_id < 10).
-    The query side is broadcast; the corpus is scanned once. Ranking uses
-    a (cos desc, vec_id) total order so the row set is deterministic."""
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
+def _bruteforce_scored_fold(emb: DataFrame) -> DataFrame:
+    """Pure-Catalyst pair scoring: broadcast query side × corpus, fold
+    cosine per pair. Oracle-shaped reference path."""
     q = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
         )
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
-    scored = (
+    c = _spread(emb).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    return (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
-            _cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            vector.fold_cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
+
+
+def _bruteforce_scored_stream(emb: DataFrame) -> DataFrame:
+    """Production pair scoring: the query matrix (10×64) rides in the
+    UDF closure; the corpus streams through ONE ``mapInPandas`` pass.
+    No pair row ever carries a vector — at 100 TB the Arrow payload is
+    the corpus itself, once, and the numpy fold does 10 cosines per
+    corpus row in a single vectorized sweep. Per-value float sequence
+    identical to the fold path (column-wise left fold, see
+    functions/vector.py), so the result stays bit-exact vs the oracle."""
+    import numpy as np
+
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
+    qids = np.asarray([r.vec_id for r in q_rows], dtype=np.int64)
+    qn = np.sqrt(vector.fold_sum(Q * Q))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = vector.stack(pdf["embedding"])
+            cn = np.sqrt(vector.fold_sum(V * V))
+            dots = vector.fold_sum(V[:, None, :] * Q[None, :, :])  # (n, q)
+            cos = dots / (qn[None, :] * cn[:, None])
+            n_rows = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n_rows),
+                    "cand_id": np.repeat(pdf["vec_id"].to_numpy(), len(qids)),
+                    "cos_sim": cos.ravel(),
+                }
+            )
+
+    return (
+        _spread(emb)
+        .select("vec_id", "embedding")
+        .mapInPandas(gen, "query_id long, cand_id long, cos_sim double")
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+
+
+def _q_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 10).
+    The query side is broadcast (in the UDF closure on the production
+    path); the corpus is scanned once. Ranking uses a (cos desc,
+    vec_id) total order so the row set is deterministic."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if vector.kernel() == "fold":
+        scored = _bruteforce_scored_fold(emb)
+    else:
+        scored = _bruteforce_scored_stream(emb)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
     )
@@ -128,12 +193,7 @@ SELECT query_id, cand_id, cos_sim, rn FROM ranked WHERE rn <= {TOP_K}"""
 
 
 def _bucket_expr(v: Column) -> Column:
-    planes = _hyperplanes()
-    bits = []
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(x) for x in planes[p]])
-        bits.append(F.when(_dot_fold(v, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    return vector.bucket(v, _hyperplanes())
 
 
 def _bucket_sql(v: str) -> str:
@@ -276,17 +336,10 @@ def _q_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     tables = _mt_hyperplanes()
-    bucket_cols = []
-    for t in range(N_TABLES):
-        bits = []
-        for p in range(PLANES_PER_TABLE):
-            plane = F.array(*[F.lit(x) for x in tables[t][p]])
-            bits.append(
-                F.when(_dot_fold(F.col("embedding"), plane) > 0, F.lit("1")).otherwise(
-                    F.lit("0")
-                )
-            )
-        bucket_cols.append(F.concat(*bits).alias(f"b{t}"))
+    bucket_cols = [
+        vector.bucket(F.col("embedding"), tables[t]).alias(f"b{t}")
+        for t in range(N_TABLES)
+    ]
     withb = emb.select("vec_id", "embedding", *bucket_cols)
     tb = withb.select(
         "vec_id",

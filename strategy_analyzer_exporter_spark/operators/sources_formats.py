@@ -28,6 +28,20 @@ from strategy_analyzer_exporter_spark.sources.tables import load_table
 
 _STAGED: set[str] = set()
 
+
+def _staging_root() -> str:
+    """Staging root for format-roundtrip scratch data: honors
+    ``SPARK_GRAFT_TMP_DIR`` (so deployments pick the fast local disk or
+    a per-job scratch path), falling back to a per-user tempdir —
+    never a path hardcoded to this container's repo location."""
+    root = os.environ.get("SPARK_GRAFT_TMP_DIR")
+    if not root:
+        import tempfile
+
+        root = os.path.join(tempfile.gettempdir(), "spark_graft_staging")
+    os.makedirs(root, exist_ok=True)
+    return root
+
 DOC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -46,7 +60,7 @@ FROM documents GROUP BY lang"""
 
 def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     path = os.path.join(
-        "/root/repo/.tmp", f"docs_{fmt}_" + sf_dir.strip("/").split("/")[-1]
+        _staging_root(), f"docs_{fmt}_" + sf_dir.strip("/").split("/")[-1]
     )
     if path not in _STAGED:
         d = load_table(spark, sf_dir, "documents").select(
@@ -100,7 +114,7 @@ register("source_jsonl_roundtrip", _q_jsonl, _AGG_ORACLE)
 
 def _q_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
-        "/root/repo/.tmp", "docs_part_" + sf_dir.strip("/").split("/")[-1]
+        _staging_root(), "docs_part_" + sf_dir.strip("/").split("/")[-1]
     )
     if path not in _STAGED:
         d = load_table(spark, sf_dir, "documents")

@@ -46,6 +46,7 @@ def _load_all() -> None:
         similarity,
         sources_formats,
         text,
+        tpch2,
         udf_surface,
     )
 

@@ -510,7 +510,10 @@ def foreach_batch_duckdb_sink(
     def write_epoch(df: DataFrame, epoch_id: int) -> None:
         import duckdb
 
-        pdf = df.toPandas()
+        # One Arrow materialization per epoch; slices below are
+        # zero-copy views and DuckDB ingests Arrow directly — no
+        # full-epoch pandas copy on the driver.
+        tbl = df.toArrow()
         con = duckdb.connect(db_path)
         try:
             con.execute(spark_schema_to_duckdb_ddl(df.schema, table))
@@ -523,9 +526,9 @@ def foreach_batch_duckdb_sink(
                     except duckdb.TransactionException:
                         pass
 
-            n = len(pdf)
+            n = tbl.num_rows
             if n:
-                cols = ", ".join(f'"{c}"' for c in pdf.columns)
+                cols = ", ".join(f'"{c}"' for c in tbl.schema.names)
                 i = 0
                 in_tx = False
                 tx_rows = 0
@@ -536,9 +539,9 @@ def foreach_batch_duckdb_sink(
                     if not in_tx:
                         con.execute("BEGIN TRANSACTION")
                         in_tx, tx_rows, tx_t0 = True, 0, _time.monotonic()
-                    # slice pandas-side: LIMIT/OFFSET over a registered
-                    # frame has no ORDER BY guarantee
-                    con.register("_slice", pdf.iloc[i : i + step])
+                    # slice Arrow-side (zero-copy): LIMIT/OFFSET over a
+                    # registered frame has no ORDER BY guarantee
+                    con.register("_slice", tbl.slice(i, step))
                     con.execute(
                         f'INSERT INTO "{table}" ({cols}) SELECT {cols} FROM _slice'
                     )

@@ -44,6 +44,25 @@ def test_streaming_bit_equals_batch(spark):
             assert (a == b).all(), c
 
 
+def test_single_batch_equals_default(spark, monkeypatch):
+    """The bench's single-batch trigger config (SPARK_GRAFT_STREAM_MFPT
+    high) must be bit-equal to the default multi-batch config — batch
+    granularity is a throughput knob, never a semantics knob."""
+    from strategy_analyzer_exporter_spark.operators.extra_queries import _q_streaming
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MFPT", "64")
+    one = _norm(_q_streaming(spark, SF).toPandas())
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MFPT", "2")
+    many = _norm(_q_streaming(spark, SF).toPandas())
+    assert len(one) == len(many) > 0
+    for c in many.columns:
+        a, b = one[c].to_numpy(), many[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+        else:
+            assert (a == b).all(), c
+
+
 def test_streaming_updater_cross_batch_state(spark):
     """Feeding a day's bars in two chunks must equal feeding them at once
     (state carries the circular buffers across micro-batches)."""
