@@ -141,6 +141,41 @@ register(
 )
 
 
+def _q_streaming_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strategy_analyzer_exporter_spark.streaming import (
+        run_streaming_dedup_watermarked_to_memory,
+    )
+
+    name = "stream_dedup_wm_" + abs(hash(sf_dir)).__str__()[:8]
+    return run_streaming_dedup_watermarked_to_memory(spark, sf_dir, query_name=name)
+
+
+register(
+    "streaming_dedup_watermarked",
+    _q_streaming_dedup_wm,
+    """SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day FROM events""",
+)
+
+
+def _q_streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strategy_analyzer_exporter_spark.streaming import (
+        run_streaming_running_counts_to_memory,
+    )
+
+    name = "stream_running_" + abs(hash(sf_dir)).__str__()[:8]
+    return run_streaming_running_counts_to_memory(spark, sf_dir, query_name=name)
+
+
+register(
+    "streaming_running_counts",
+    _q_streaming_running_counts,
+    """SELECT user_id, event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS running_n
+FROM events""",
+)
+
+
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strategy_analyzer_exporter_spark.streaming import (
         run_session_windows_to_memory,

@@ -1,0 +1,231 @@
+"""Repetition-based corpus quality signals (Gopher/C4-style filters).
+
+The standard pre-training quality gates measure REPETITION, not just
+length: a document whose single most frequent word or word-bigram
+covers a large fraction of the text is boilerplate/spam (Rae et al.,
+"Scaling Language Models" §A1.1 uses top-n-gram fraction thresholds;
+C4 drops low-diversity pages). This corpus is single-line word text,
+so the line/paragraph duplicate ratios degenerate and the informative
+signals are the n-gram ones implemented here:
+
+- ``top_word_frac``   — occurrences of the most frequent token / tokens
+- ``top_bigram_frac`` — occurrences of the most frequent word-bigram /
+  bigrams
+- ``distinct_bigram_ratio`` — distinct bigrams / bigrams (the bigram
+  type-token ratio; low = loops)
+- ``mean_tok_len``    — mean token length (C4's word-length sanity gate)
+- ``repetitive``      — the Gopher-style composite gate
+
+Execution strategy follows text.py doctrine: explode tokens to ROWS
+(codegen'd builtins, map-side partial aggregation); bigrams come from
+``lead() over (doc_id, pos)`` — one hash(doc_id) shuffle that every
+downstream per-doc aggregate reuses. All counts are exact integers;
+every ratio is one double division of those integers, so floats match
+the DuckDB oracle bit-for-bit. Ties for "top" break lexicographically
+(row_number over count desc, gram asc) — deterministic in both
+engines. Zero/one-token documents survive with NULL fractions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from strategy_analyzer_exporter_spark.functions import TOKENS_SQL as _TOKENS_SQL
+from strategy_analyzer_exporter_spark.functions import tokens as _tokens
+from strategy_analyzer_exporter_spark.registry import register
+from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+TOP_BIGRAM_MAX = 0.18  # Gopher-flavored thresholds
+TOP_WORD_MAX = 0.30
+MIN_TOKENS = 10
+
+
+def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    uni = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode_outer(_tokens(F.col("text"))).alias("pos", "tok"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = uni.withColumn("nxt", F.lead("tok").over(w)).select(
+        "doc_id",
+        F.when(
+            F.col("tok").isNotNull() & F.col("nxt").isNotNull(),
+            F.concat_ws(" ", "tok", "nxt"),
+        ).alias("bigram"),
+    )
+
+    # unigram stats
+    wc = (
+        uni.filter(F.col("tok").isNotNull())
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.length("tok")).alias("chars"))
+    )
+    ww = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok"))
+    word_stats = (
+        wc.withColumn("rn", F.row_number().over(ww))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum("chars").alias("n_chars_tok"),
+            F.max(F.when(F.col("rn") == 1, F.col("tok"))).alias("top_word"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("top_word_n"),
+        )
+    )
+
+    # bigram stats
+    bc = (
+        bi.filter(F.col("bigram").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bw = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("bigram"))
+    bigram_stats = (
+        bc.withColumn("rn", F.row_number().over(bw))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.max(F.when(F.col("rn") == 1, F.col("bigram"))).alias("top_bigram"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("top_bigram_n"),
+        )
+    )
+
+    out = (
+        d.join(word_stats, "doc_id", "left")
+        .join(bigram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "top_word",
+            "top_word_n",
+            (F.col("top_word_n").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "top_word_frac"
+            ),
+            "top_bigram",
+            "top_bigram_n",
+            (
+                F.col("top_bigram_n").cast("double") / F.col("n_bigrams").cast("double")
+            ).alias("top_bigram_frac"),
+            (
+                F.col("n_distinct_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("distinct_bigram_ratio"),
+            (
+                F.col("n_chars_tok").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("mean_tok_len"),
+        )
+    )
+    return out.withColumn(
+        "repetitive",
+        F.coalesce(F.col("top_bigram_frac") > TOP_BIGRAM_MAX, F.lit(False))
+        | F.coalesce(F.col("top_word_frac") > TOP_WORD_MAX, F.lit(False)),
+    )
+
+
+_SIGNALS_CTE = f"""t AS (
+    SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+),
+uni AS (
+    SELECT doc_id, unnest(toks) AS tok FROM t
+),
+bi AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t
+),
+wc AS (
+    SELECT doc_id, tok, count(*) AS cnt, CAST(sum(length(tok)) AS BIGINT) AS chars
+    FROM uni GROUP BY doc_id, tok
+),
+word_stats AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(chars) AS BIGINT) AS n_chars_tok,
+           max(CASE WHEN rn = 1 THEN tok END) AS top_word,
+           CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_word_n
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY cnt DESC, tok) AS rn FROM wc)
+    GROUP BY doc_id
+),
+bc AS (
+    SELECT doc_id, bigram, count(*) AS cnt FROM bi GROUP BY doc_id, bigram
+),
+bigram_stats AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           max(CASE WHEN rn = 1 THEN bigram END) AS top_bigram,
+           CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_bigram_n
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY cnt DESC, bigram) AS rn FROM bc)
+    GROUP BY doc_id
+),
+signals AS (
+    SELECT d.doc_id, d.lang,
+           COALESCE(w.n_tokens, 0) AS n_tokens,
+           COALESCE(b.n_bigrams, 0) AS n_bigrams,
+           w.top_word, w.top_word_n,
+           CAST(w.top_word_n AS DOUBLE) / CAST(COALESCE(w.n_tokens, 0) AS DOUBLE)
+               AS top_word_frac,
+           b.top_bigram, b.top_bigram_n,
+           CAST(b.top_bigram_n AS DOUBLE) / CAST(COALESCE(b.n_bigrams, 0) AS DOUBLE)
+               AS top_bigram_frac,
+           CAST(b.n_distinct_bigrams AS DOUBLE)
+               / CAST(COALESCE(b.n_bigrams, 0) AS DOUBLE) AS distinct_bigram_ratio,
+           CAST(w.n_chars_tok AS DOUBLE) / CAST(COALESCE(w.n_tokens, 0) AS DOUBLE)
+               AS mean_tok_len,
+           (COALESCE(CAST(b.top_bigram_n AS DOUBLE)
+                       / CAST(COALESCE(b.n_bigrams, 0) AS DOUBLE) > {TOP_BIGRAM_MAX},
+                     FALSE)
+            OR COALESCE(CAST(w.top_word_n AS DOUBLE)
+                          / CAST(COALESCE(w.n_tokens, 0) AS DOUBLE) > {TOP_WORD_MAX},
+                        FALSE)) AS repetitive
+    FROM documents d
+    LEFT JOIN word_stats w ON d.doc_id = w.doc_id
+    LEFT JOIN bigram_stats b ON d.doc_id = b.doc_id
+)"""
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signals(spark, sf_dir)
+
+
+_REPETITION_ORACLE = f"""WITH {_SIGNALS_CTE}
+SELECT * FROM signals"""
+
+
+def _q_quality_gate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level filter report: docs kept vs dropped per lang by the
+    composite gate (repetition + minimum length) — the summary a
+    training-data build reviews before committing a filter config."""
+    s = _signals(spark, sf_dir)
+    keep = (~F.col("repetitive")) & (F.col("n_tokens") >= MIN_TOKENS)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+        F.sum((F.col("repetitive")).cast("long")).alias("n_repetitive"),
+        F.sum((F.col("n_tokens") < MIN_TOKENS).cast("long")).alias("n_too_short"),
+    )
+
+
+_GATE_ORACLE = f"""WITH {_SIGNALS_CTE}
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN NOT repetitive AND n_tokens >= {MIN_TOKENS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN NOT repetitive AND n_tokens >= {MIN_TOKENS}
+                     THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(sum(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(sum(CASE WHEN n_tokens < {MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_too_short
+FROM signals GROUP BY lang"""
+
+
+register("text_repetition_signals", _q_repetition, _REPETITION_ORACLE)
+register("quality_gate_rollup", _q_quality_gate_rollup, _GATE_ORACLE)

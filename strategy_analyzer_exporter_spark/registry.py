@@ -32,10 +32,14 @@ def _load_all() -> None:
         feature_queries,
         finance,
         graph,
+        mixture,
         multimodal,
+        pii,
         pipeline,
         pipeline3,
+        pq,
         profiling,
+        quality,
         relational,
         relational2,
         relational3,

@@ -306,6 +306,161 @@ def run_streaming_dedup_to_memory(
     return spark.table(query_name)
 
 
+def run_streaming_dedup_watermarked_to_memory(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup_wm_out"
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    on (user_id, event_type, day). Every occurrence of a day-key falls
+    within that day, and the 2-day watermark delay exceeds a day span,
+    so dedup is complete (oracle: batch SELECT DISTINCT) while state for
+    old days is EVICTED as the watermark advances — unlike plain
+    ``dropDuplicates`` (streaming_dedup), whose state grows with the key
+    domain forever. This is the production shape for unbounded streams
+    whose dedup keys churn with time (log dedup, click dedup).
+
+    The projection is exactly the dedup key, so whichever arrival
+    survives is value-identical and the result is arrival-order-
+    independent."""
+    import os
+
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    stage = os.path.join(
+        "/root/repo/.tmp", "events_dedup_wm_stream_" + sf_dir.strip("/").split("/")[-1]
+    )
+    # day is a TIMESTAMP (midnight) not a DATE: the harness compares
+    # pandas dtypes and DuckDB's DATE surfaces as datetime64 anyway
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", F.date_trunc("DAY", F.col("ts")).alias("day")
+    )
+    ev.write.mode("overwrite").parquet(stage)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("day", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    q = (
+        stream.withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("running_n", T.LongType()),
+    ]
+)
+
+_RUNNING_STATE = T.StructType([T.StructField("n", T.LongType())])
+
+
+def _running_count_update(key, pdfs, state):
+    """Per-user cumulative event counter: the minimal custom stateful
+    operator (one long of state per key). Rows are sorted by
+    (ts, event_id) inside each batch; batches arrive in staged file
+    order, so the running index matches the batch row_number oracle."""
+    import pandas as pd
+
+    n = state.get[0] if state.exists else 0
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            n += 1
+            out.append((int(row.user_id), int(row.event_id), n))
+    state.update((n,))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "running_n"])
+
+
+def run_streaming_running_counts_to_memory(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_running_out"
+) -> DataFrame:
+    """Per-user running event index via ``applyInPandasWithState`` —
+    cross-batch custom state (a single counter per user). Staged one
+    file per day with strictly increasing mtimes so the file source
+    delivers days chronologically; within a batch the updater sorts by
+    (ts, event_id). Oracle: batch row_number over the same total
+    order."""
+    import os
+    import time as _time
+
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    stage = os.path.join(
+        "/root/repo/.tmp", "events_running_stream_" + sf_dir.strip("/").split("/")[-1]
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.to_date("ts").alias("day")
+    )
+    days = [r.day for r in ev.select("day").distinct().orderBy("day").collect()]
+    if not os.path.exists(os.path.join(stage, "_STAGED_OK")):
+        for i, day in enumerate(days):
+            (
+                ev.filter(F.col("day") == F.lit(day))
+                .select("user_id", "event_id", "ts")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(stage, f"day_{i:04d}"))
+            )
+        # FileStreamSource orders by (mtime, path): force strictly
+        # increasing mtimes so days stream chronologically
+        t0 = _time.time() - 86400
+        for i in range(len(days)):
+            d = os.path.join(stage, f"day_{i:04d}")
+            for f in sorted(os.listdir(d)):
+                os.utime(os.path.join(d, f), (t0 + i, t0 + i))
+        open(os.path.join(stage, "_STAGED_OK"), "w").close()
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "day_*"))
+    )
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_count_update,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_RUNNING_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 SESSION_GAP_S = 1800
 
 

@@ -124,3 +124,46 @@ def test_source_partitioned_pruned_prunes_lang(spark):
     q = QUERIES["source_partitioned_pruned"](spark, SF)
     plan = P.physical_plan(q)
     assert "PartitionFilters: [lang" in plan or "PartitionFilters: [isnotnull(lang" in plan, plan
+
+
+def test_tpch2_q5_broadcasts_dims_and_pushes_dates(spark):
+    """Q5's dimension chain (region->nation) and the date filter must
+    not touch the fact side: nation/region broadcast, the o_orderdate
+    predicate reaches the orders parquet scan."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["q5_local_supplier_volume"](spark, SF)
+    assert P.count_broadcast_joins(q) >= 1, P.physical_plan(q)
+    pushed = P.pushed_filters(q)
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_tpch2_q9_part_filter_pushdown(spark):
+    """The p_name filter is the main selectivity lever in Q9 — it must
+    reach the part scan (a StartsWith/Contains pushed filter), and part
+    must broadcast so the lineitem side never shuffles on p_partkey."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["q9_product_profit"](spark, SF)
+    pushed = P.pushed_filters(q)
+    assert any("p_name" in p for p in pushed), pushed
+    assert P.count_broadcast_joins(q) >= 2, P.physical_plan(q)  # part + nation
+
+
+def test_tpch2_q11_total_is_single_row_broadcast(spark):
+    """Q11's total-value scalar must join as a broadcast (1-row side),
+    never a shuffle."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["q11_important_parts"](spark, SF)
+    plan = P.physical_plan(q)
+    assert "BroadcastNestedLoopJoin" in plan or P.count_broadcast_joins(q) >= 1, plan
+
+
+def test_pii_scrub_is_map_only(spark):
+    """The scrub is a per-row pure function: zero exchanges, the
+    featurizer plan shape."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["pii_email_scrub"](spark, SF)
+    assert P.count_exchanges(q) == 0, P.physical_plan(q)
