@@ -229,3 +229,76 @@ FROM signals GROUP BY lang"""
 
 register("text_repetition_signals", _q_repetition, _REPETITION_ORACLE)
 register("quality_gate_rollup", _q_quality_gate_rollup, _GATE_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model counts: per-language trigram frequencies with
+# add-one (Laplace) smoothed probabilities — the counting pass behind
+# n-gram LM perplexity filters (CCNet-style quality bucketing trains
+# one per language). Probability = (c + 1)/(N + V): exact integer
+# numerator/denominator, ONE double division, bit-exact cross-engine.
+# Top-20 per language by (count desc, trigram asc) — a total order.
+
+LM_TOPK = 20
+
+
+def _q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        d.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select("lang", F.concat_ws(" ", "tok", "t1", "t2").alias("trigram"))
+    )
+    counts = tri.groupBy("lang", "trigram").agg(F.count(F.lit(1)).alias("c"))
+    lw = Window.partitionBy("lang")
+    rw = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("trigram"))
+    return (
+        counts.withColumn("n_total", F.sum("c").over(lw))
+        .withColumn("vocab", F.count(F.lit(1)).over(lw))
+        .withColumn("rn", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rn") <= LM_TOPK)
+        .select(
+            "lang",
+            "trigram",
+            "c",
+            "n_total",
+            "vocab",
+            (
+                (F.col("c") + 1).cast("double")
+                / (F.col("n_total") + F.col("vocab")).cast("double")
+            ).alias("p_laplace"),
+            "rn",
+        )
+    )
+
+
+_NGRAM_LM_ORACLE = f"""WITH t AS (
+    SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+),
+tri AS (
+    SELECT lang,
+           unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS trigram
+    FROM t
+),
+counts AS (
+    SELECT lang, trigram, count(*) AS c FROM tri GROUP BY lang, trigram
+),
+agg AS (
+    SELECT lang, trigram, CAST(c AS BIGINT) AS c,
+           CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n_total,
+           CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS vocab,
+           row_number() OVER (PARTITION BY lang ORDER BY c DESC, trigram) AS rn
+    FROM counts
+)
+SELECT lang, trigram, c, n_total, vocab,
+       CAST(c + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE) AS p_laplace,
+       CAST(rn AS BIGINT) AS rn
+FROM agg WHERE rn <= {LM_TOPK}"""
+
+
+register("ngram_lm_trigrams", _q_ngram_lm, _NGRAM_LM_ORACLE)

@@ -167,3 +167,35 @@ def test_pii_scrub_is_map_only(spark):
 
     q = QUERIES["pii_email_scrub"](spark, SF)
     assert P.count_exchanges(q) == 0, P.physical_plan(q)
+
+
+def test_bruteforce_streams_corpus_not_pairs(spark):
+    """The production brute-force scorer must be the streamed shape:
+    one MapInPandas over the corpus (query matrix in the closure), and
+    NO join that materializes vector pairs before scoring."""
+    import os
+
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    assert os.environ.get("SPARK_GRAFT_VECTOR_KERNEL", "arrow") == "arrow"
+    plan = P.physical_plan(QUERIES["similarity_bruteforce_topk"](spark, SF))
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kmeans_assign_stream_is_map_only(spark):
+    """The streamed k-means assign must not shuffle the corpus: the
+    centroid matrix rides in the closure, so the plan is scan →
+    (optional spread) → MapInPandas with no joins at all."""
+    from strategy_analyzer_exporter_spark.operators.pipeline import (
+        kmeans_assign_stream,
+    )
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "embeddings").selectExpr(
+        "vec_id", "cast(embedding as array<double>) as v"
+    )
+    rows = e.orderBy("vec_id").limit(4).selectExpr("vec_id as cid", "v as cv").collect()
+    plan = P.physical_plan(kmeans_assign_stream(e, rows))
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
