@@ -332,8 +332,10 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         return kmeans_assign(e, cents).select("vec_id", "cid")
     # production path: centroids live on the driver between rounds
     # (k×dim doubles — collect() returns exact binary doubles). Cache e
-    # only for the eager iteration phase; unpersist before the lazy
-    # final assign so repeated query builds don't accumulate cache.
+    # for the iteration phase, materialize the final assignment WHILE
+    # the cache is hot (localCheckpoint, eager), then unpersist — so
+    # downstream consumers read the checkpointed n-row result and
+    # repeated query builds never accumulate cache.
     e = e.persist()
     try:
         rows = kmeans_update(
@@ -343,9 +345,9 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = kmeans_update(
                 kmeans_assign_stream(e, rows).select("vec_id", "cid"), e
             ).collect()
+        return kmeans_assign_stream(e, rows).select("vec_id", "cid").localCheckpoint()
     finally:
         e.unpersist()
-    return kmeans_assign_stream(e, rows).select("vec_id", "cid")
 
 
 def _kmeans_oracle() -> str:

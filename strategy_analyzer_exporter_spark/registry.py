@@ -27,6 +27,7 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 def _load_all() -> None:
     """Import every operator module for its registration side effects."""
     from strategy_analyzer_exporter_spark.operators import (  # noqa: F401
+        cdc,
         dedup,
         extra_queries,
         feature_queries,
