@@ -173,3 +173,71 @@ register(
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
 FROM events""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands (SMA ± 2σ over the trailing 20-bar window, per day).
+# All moments are exact integer window sums over half-up-rounded cents,
+# so the mean/variance numerators agree across engines exactly; the
+# final band values are a FIXED sequence of correctly-rounded double
+# ops (two divisions, one sqrt, one multiply-add, one divide-by-100) —
+# bit-equal to the oracle. Same plan shape as bars_rolling_corr: one
+# hash(day) shuffle shared by every window aggregate.
+
+BOLL_N = 20
+
+
+def _q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    b = bars_df(spark, sf_dir)
+    c = F.floor(F.col("close") * 100 + F.lit(0.5)).cast("long")
+    staged = b.select("day", "time", c.alias("c"), (c * c).alias("cc"))
+    w = Window.partitionBy("day").orderBy("time").rowsBetween(-(BOLL_N - 1), 0)
+    n = F.count(F.lit(1)).over(w)
+    sc = F.sum("c").over(w)
+    scc = F.sum("cc").over(w)
+    mean_c = sc.cast("double") / n.cast("double")
+    # var numerator n·Σc² − (Σc)² is an exact integer; ONE division
+    var_c = (n * scc - sc * sc).cast("double") / (n * n).cast("double")
+    sd_c = F.sqrt(var_c)
+    return (
+        staged.select(
+            "day",
+            "time",
+            n.alias("_n"),
+            (mean_c / 100.0).alias("sma"),
+            ((mean_c + 2.0 * sd_c) / 100.0).alias("upper_band"),
+            ((mean_c - 2.0 * sd_c) / 100.0).alias("lower_band"),
+        )
+        .filter(F.col("_n") == BOLL_N)
+        .drop("_n")
+    )
+
+
+_BOLL_ORACLE = f"""WITH {BARS_CTE},
+staged AS (
+    SELECT day, time, CAST(floor(close * 100 + 0.5) AS BIGINT) AS c
+    FROM bars
+),
+m AS (
+    SELECT day, time,
+           count(*) OVER w AS n,
+           CAST(sum(c) OVER w AS BIGINT) AS sc,
+           CAST(sum(c * c) OVER w AS BIGINT) AS scc
+    FROM staged
+    WINDOW w AS (PARTITION BY day ORDER BY time
+                 ROWS BETWEEN {BOLL_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day, time,
+       (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS sma,
+       ((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+          + 2.0 * sqrt(CAST(n * scc - sc * sc AS DOUBLE)
+                       / CAST(n * n AS DOUBLE))) / 100.0 AS upper_band,
+       ((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+          - 2.0 * sqrt(CAST(n * scc - sc * sc AS DOUBLE)
+                       / CAST(n * n AS DOUBLE))) / 100.0 AS lower_band
+FROM m WHERE n = {BOLL_N}"""
+
+
+register("bars_bollinger", _q_bollinger, _BOLL_ORACLE)

@@ -144,3 +144,54 @@ FROM r{PR_ITERS}"""
 
 
 register("graph_pagerank", _q_pagerank, _pagerank_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Triangle enumeration — the third classic graph kernel (after PageRank
+# and connected components). Edges are a deterministic synthetic
+# overlay on doc_ids (edge a→a+k for k ∈ {1,2,3} where (a+b) % 7 ≠ 0
+# and both endpoints exist), oriented a < b, so each triangle is
+# enumerated exactly once as (a < b < c) via the standard two-join
+# (wedge + closing edge) shape. At scale the wedge join is the
+# bottleneck and is bounded by orienting edges from lower to higher
+# DEGREE (compact-forward) instead of by id — documented swap-in; the
+# join topology below is identical either way.
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    cand = ids.select(
+        F.col("doc_id").alias("a"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+    ).select("a", (F.col("a") + F.col("k")).alias("b"))
+    edges = (
+        cand.filter((F.col("a") + F.col("b")) % 7 != 0)
+        .join(ids.select(F.col("doc_id").alias("b")), "b", "left_semi")
+        .select("a", "b")
+    )
+    e1 = edges.select(F.col("a").alias("a"), F.col("b").alias("b"))
+    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    return (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+
+
+_TRIANGLES_ORACLE = """WITH ids AS (
+    SELECT doc_id FROM documents
+),
+edges AS (
+    SELECT i.doc_id AS a, i.doc_id + k.k AS b
+    FROM ids i CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) k
+    WHERE (i.doc_id + i.doc_id + k.k) % 7 <> 0
+      AND i.doc_id + k.k IN (SELECT doc_id FROM ids)
+)
+SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM edges e1
+JOIN edges e2 ON e2.a = e1.b
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b"""
+
+
+register("graph_triangles", _q_triangles, _TRIANGLES_ORACLE)
