@@ -41,6 +41,10 @@ HEADLINE = (
     "corpus_clean_pipeline",
     "pack_sequences",
     "streaming_features",
+    # round-3 representatives
+    "similarity_pq_adc",
+    "pii_email_scrub",
+    "text_repetition_signals",
 )
 
 # queries whose work happens (partly) INSIDE the query fn — a stream
@@ -48,7 +52,8 @@ HEADLINE = (
 # its Lloyd rounds eagerly (centroids live on the driver between
 # rounds). Time build + materialization together, or the headline
 # would only measure the final cheap assign.
-EAGER_BUILD = {"streaming_features", "kmeans_embeddings"}
+# (PQ builds its four codebooks eagerly at query-build time too)
+EAGER_BUILD = {"streaming_features", "kmeans_embeddings", "similarity_pq_adc"}
 
 # Bench measures state-OPERATOR throughput, not per-trigger fixed cost:
 # one micro-batch for the 30 staged day-files. Cross-batch state

@@ -33,6 +33,16 @@ rows, min-of-3 warm):
 So: streamed-numpy for the O(n·k) scoring loops, column-UDF numpy for
 per-row signatures, Catalyst fold for oracle work — all three
 bit-identical, switchable per session.
+
+One nuance for PAIR-shaped scoring (LSH re-rank, embedding-cosine
+dedup), where both sides are large and neither fits a closure: the
+column UDF wins at bench scale (fewer interpreted ops), but it ships
+both vectors through Arrow per pair while the Catalyst fold computes
+in place with zero serialization — at extreme candidate volumes the
+fold can be the right pick, which is exactly why it stays one env
+var away. The structural fix at scale is to shrink the pair stream
+itself (tighter bands, or PQ/ADC where candidates carry codes, not
+vectors — see operators/pq.py).
 """
 
 # NOTE: no `from __future__ import annotations` here — pandas_udf
