@@ -241,3 +241,89 @@ FROM m WHERE n = {BOLL_N}"""
 
 
 register("bars_bollinger", _q_bollinger, _BOLL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# RSI(14) with Wilder smoothing — the same seeded-recursion family as
+# the reference's EMA (acc + (x − acc)/N is the EMA fold with
+# α = 1/N), so the oracle uses the identical prefix-array left fold as
+# feature_ema: DuckDB list_reduce seeds with the first element exactly
+# like the Spark fold's element_at(1) init. All per-row doubles follow
+# one pinned op sequence (lag-diff, greatest, fold, one divide chain),
+# so rsi14 matches the oracle bit-for-bit. O(n²) prefix folds bound by
+# day size — the oracle-parity shape; a scale path would reuse the
+# O(n) Arrow-batched recursion in operators/features.py.
+
+RSI_N = 14
+
+
+def _wilder(arr):
+    return F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1).cast("double"),
+        lambda acc, x: acc + (x - acc) / F.lit(float(RSI_N)),
+    )
+
+
+def _q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    b = bars_df(spark, sf_dir)
+    wl = Window.partitionBy("day").orderBy("time")
+    d = b.select(
+        "day", "time", (F.col("close") - F.lag("close").over(wl)).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    g = d.select(
+        "day",
+        "time",
+        F.greatest(F.col("delta"), F.lit(0.0)).alias("gain"),
+        F.greatest(-F.col("delta"), F.lit(0.0)).alias("loss"),
+    )
+    wp = Window.partitionBy("day").orderBy("time").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    arr = g.select(
+        "day",
+        "time",
+        F.collect_list("gain").over(wp).alias("_g"),
+        F.collect_list("loss").over(wp).alias("_l"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+    )
+    ag, al = _wilder(F.col("_g")), _wilder(F.col("_l"))
+    rsi = F.when(al == 0.0, F.lit(100.0)).otherwise(
+        F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + ag / al)
+    )
+    return arr.filter(F.col("_n") >= RSI_N).select("day", "time", rsi.alias("rsi14"))
+
+
+def _wilder_sql(arr: str) -> str:
+    return f"list_reduce({arr}, (acc, x) -> acc + (x - acc) / {float(RSI_N)})"
+
+
+_RSI_ORACLE = f"""WITH {BARS_CTE},
+d AS (
+    SELECT day, time,
+           close - lag(close) OVER (PARTITION BY day ORDER BY time) AS delta
+    FROM bars
+),
+g AS (
+    SELECT day, time, greatest(delta, 0.0) AS gain, greatest(-delta, 0.0) AS loss
+    FROM d WHERE delta IS NOT NULL
+),
+arr AS (
+    SELECT day, time,
+           list(gain) OVER w AS garr,
+           list(loss) OVER w AS larr,
+           count(*) OVER w AS n
+    FROM g
+    WINDOW w AS (PARTITION BY day ORDER BY time
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day, time,
+       CASE WHEN {_wilder_sql('larr')} = 0.0 THEN 100.0
+            ELSE 100.0 - 100.0 / (1.0 + {_wilder_sql('garr')} / {_wilder_sql('larr')})
+       END AS rsi14
+FROM arr WHERE n >= {RSI_N}"""
+
+
+register("bars_rsi", _q_rsi, _RSI_ORACLE)
