@@ -21,18 +21,21 @@ from pyspark.sql import DataFrame, SparkSession
 from strategy_analyzer_exporter_spark.registry import ORACLES, QUERIES
 
 
-def _recorded_names() -> set[str]:
-    """Query names that already have a driver CORRECTNESS row in any
-    prior round (CORRECTNESS_r*.json live next to this file)."""
+def _recorded_names() -> tuple[set[str], int]:
+    """(query names with a driver CORRECTNESS row in any prior round,
+    number of recorded rounds). CORRECTNESS_r*.json live next to this
+    file."""
     seen: set[str] = set()
+    rounds = 0
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
                 seen.update(json.load(f).keys())
+            rounds += 1
         except (OSError, ValueError):
             continue
-    return seen
+    return seen, rounds
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -51,10 +54,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round come first: the driver samples a bounded number per round
     (50 as of r02), so front-loading never-recorded names guarantees
     every registered query accumulates a driver-verified row across
-    rounds instead of resampling the same prefix."""
-    seen = _recorded_names()
-    ordered = sorted(QUERIES, key=lambda n: (n in seen, n))
-    return {n: QUERIES[n] for n in ordered}
+    rounds instead of resampling the same prefix.
+
+    The already-recorded tail is then ROTATED by round index (offset =
+    rounds × 50 over the alphabetical seen list) so recorded queries
+    are periodically re-verified — without this, a regression in an
+    operator recorded in r01 would never be re-sampled (ADVICE r03)."""
+    seen, rounds = _recorded_names()
+    fresh = sorted(n for n in QUERIES if n not in seen)
+    tail = sorted(n for n in QUERIES if n in seen)
+    if tail:
+        off = (rounds * 50) % len(tail)
+        tail = tail[off:] + tail[:off]
+    return {n: QUERIES[n] for n in fresh + tail}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -77,7 +77,13 @@ PROBE_QUERIES = (
     "corpus_clean_pipeline",
     "similarity_bruteforce_topk",
     "kmeans_embeddings",
+    # pair-shaped ANN (r03 regression pair): measured under BOTH pair
+    # kernels by _scale_probe so the column-UDF-vs-fold trade-off
+    # documented in functions/vector.py is data, not argument
+    "similarity_lsh_ann",
+    "similarity_pq_adc",
 )
+PAIR_KERNEL_PROBE = ("similarity_lsh_ann",)
 PROBE_TRIALS = 2
 
 
@@ -173,26 +179,48 @@ def _stage_10x(spark, sf_dir: str) -> str:
     return out
 
 
-def _scale_probe(spark, queries) -> dict:
+def _probe_one(spark, fn, dirs) -> dict:
     import math
 
+    entry: dict[str, float] = {}
+    for tag, d in dirs:
+        times = []
+        fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
+        for _ in range(PROBE_TRIALS):
+            t0 = time.perf_counter()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        entry[tag] = round(min(times), 3)
+    entry["exponent"] = round(
+        math.log10(max(entry["t10"], 1e-9) / max(entry["t1"], 1e-9)), 2
+    )
+    return entry
+
+
+def _scale_probe(spark, queries) -> dict:
     dir10 = _stage_10x(spark, SF_DIR)
+    dirs = (("t1", SF_DIR), ("t10", dir10))
     probe: dict[str, dict] = {}
     for name in PROBE_QUERIES:
-        fn = queries[name]
-        entry: dict[str, float] = {}
-        for tag, d in (("t1", SF_DIR), ("t10", dir10)):
-            times = []
-            fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
-            for _ in range(PROBE_TRIALS):
-                t0 = time.perf_counter()
-                fn(spark, d).write.format("noop").mode("overwrite").save()
-                times.append(time.perf_counter() - t0)
-            entry[tag] = round(min(times), 3)
-        entry["exponent"] = round(
-            math.log10(max(entry["t10"], 1e-9) / max(entry["t1"], 1e-9)), 2
-        )
-        probe[name] = entry
+        probe[name] = _probe_one(spark, queries[name], dirs)
+        if name in PAIR_KERNEL_PROBE:
+            # measure the OTHER pair kernel too (kernel choice happens
+            # at query-build time, so flip the env and rebuild)
+            from strategy_analyzer_exporter_spark.functions import vector
+
+            active = vector.pair_kernel()
+            other = "arrow" if active == "fold" else "fold"
+            prev = os.environ.get(vector.PAIR_KERNEL_ENV)
+            os.environ[vector.PAIR_KERNEL_ENV] = other
+            try:
+                probe[f"{name}[pair={other}]"] = _probe_one(
+                    spark, queries[name], dirs
+                )
+            finally:
+                if prev is None:
+                    os.environ.pop(vector.PAIR_KERNEL_ENV, None)
+                else:
+                    os.environ[vector.PAIR_KERNEL_ENV] = prev
     return probe
 
 

@@ -66,6 +66,26 @@ def kernel() -> str:
     return k if k in ("arrow", "fold") else "arrow"
 
 
+PAIR_KERNEL_ENV = "SPARK_GRAFT_PAIR_KERNEL"
+
+
+def pair_kernel() -> str:
+    """Kernel for PAIR-shaped scoring (both sides large, joined into
+    pair rows — LSH re-rank, embedding-cosine dedup, IVF re-rank).
+
+    Default ``fold``: measured at sf0.1 and on the 10× probe
+    (BENCH_r04 scale_probe), the in-place Catalyst fold beats the
+    column UDF on banded pair streams — the candidates per query are
+    bounded by construction (corpus/2^bits per bucket), so the fold's
+    per-pair interpreted cost stays small while the column UDF pays
+    Arrow transfer of BOTH 64-dim vectors per pair. ``arrow`` remains
+    one env var away for unbanded/huge pair volumes; the structural
+    fix at extreme volume is PQ/ADC (operators/pq.py), where
+    candidates carry 4 codes instead of vectors."""
+    k = os.environ.get(PAIR_KERNEL_ENV, "fold")
+    return k if k in ("arrow", "fold") else "fold"
+
+
 # ---------------------------------------------------------------------------
 # fold path (pure Catalyst, pinned order — matches DuckDB list_reduce)
 
@@ -167,6 +187,15 @@ def _arrow_bucket(planes):
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity, dual-path; both paths bit-identical."""
     if kernel() == "fold":
+        return fold_cosine(a, b)
+    return _arrow_cosine()(a, b)
+
+
+def pair_cosine(a: Column, b: Column) -> Column:
+    """Cosine for pair-shaped relations — see :func:`pair_kernel`.
+    The global ``SPARK_GRAFT_VECTOR_KERNEL=fold`` override still wins
+    (it exists to force the oracle-shaped path everywhere)."""
+    if kernel() == "fold" or pair_kernel() == "fold":
         return fold_cosine(a, b)
     return _arrow_cosine()(a, b)
 

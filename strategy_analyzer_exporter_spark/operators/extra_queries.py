@@ -31,13 +31,19 @@ from strategy_analyzer_exporter_spark.sources.tables import load_table
 _STAGED: set[str] = set()
 
 
+def _stage_root() -> str:
+    from strategy_analyzer_exporter_spark.sources.staging import staging_root
+
+    return staging_root()
+
+
 def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strategy_analyzer_exporter_spark.streaming import (
         BAR_SCHEMA,
         run_stream_to_memory,
     )
 
-    stage = os.path.join("/root/repo/.tmp", "bars_stream_" + sf_dir.strip("/").split("/")[-1])
+    stage = os.path.join(_stage_root(), "bars_stream_" + sf_dir.strip("/").split("/")[-1])
     # one file per day → every day's bars arrive time-ordered within one
     # micro-batch; days may split across batches arbitrarily. The source
     # parquet is immutable test data, so stage once per process (bench
@@ -80,7 +86,7 @@ def _q_streaming_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stage = os.path.join(
-        "/root/repo/.tmp", "bars_stream_" + sf_dir.strip("/").split("/")[-1]
+        _stage_root(), "bars_stream_" + sf_dir.strip("/").split("/")[-1]
     )
     if stage not in _STAGED:
         bars = bars_df(spark, sf_dir).select([f.name for f in BAR_SCHEMA.fields])
@@ -328,17 +334,25 @@ register("features_strict_reference_quirk", _q_quirk, features_sql(_QUIRK_CFG))
 
 # ---------------------------------------------------------------------------
 # P4 — strategy-level global warm-up gate (CurrentBars ≥ N over the whole
-# series, StrategyAnalyzerExporter.cs:86,186). A global row_number is a
-# single-partition window — fine for the one-time prefix trim it exists
-# for, wrong for anything hot; flagged in SURVEY.md §2.2.
+# series, StrategyAnalyzerExporter.cs:86,186). NOT a global row_number
+# (single-partition window — the scale shape banned by
+# tests/test_plans.py): bars are unique per (day, time) by construction
+# (bars_df groups on exactly that key), so "skip the first 20 bars" is
+# "(day, time) strictly above the 20th bar's key" — a TakeOrdered(20)
+# reduced to a 1-row threshold, broadcast into a map-only filter.
 
 
 def _q_warmup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("day", "time")
+    b = bars_df(spark, sf_dir)
+    th = (
+        b.orderBy("day", "time")
+        .limit(20)
+        .groupBy()
+        .agg(F.max(F.struct("day", "time")).alias("_th"))
+    )
     return (
-        bars_df(spark, sf_dir)
-        .withColumn("_g", F.row_number().over(w))
-        .filter(F.col("_g") > 20)
+        b.join(F.broadcast(th))
+        .filter(F.struct("day", "time") > F.col("_th"))
         .select("day", "time", "close")
     )
 

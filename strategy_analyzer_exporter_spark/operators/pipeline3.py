@@ -38,6 +38,7 @@ from strategy_analyzer_exporter_spark.functions import (
     dsum_sql,
     tokens,
 )
+from strategy_analyzer_exporter_spark.functions.topk import take_ordered_ranked
 from strategy_analyzer_exporter_spark.registry import register
 from strategy_analyzer_exporter_spark.sources.bars import BARS_CTE, bars_df
 from strategy_analyzer_exporter_spark.sources.tables import load_table
@@ -153,9 +154,11 @@ register("text_tfidf_topk", _q_tfidf, _TFIDF_ORACLE)
 
 
 # ---------------------------------------------------------------------------
-# Vocabulary build: global token frequencies, top-100. The ranking
-# window is global but runs over the ALREADY-AGGREGATED vocab relation
-# (|vocab| rows, not |corpus| rows) — the aggregation is the scale step.
+# Vocabulary build: global token frequencies, top-100. The top-k runs
+# over the already-aggregated vocab relation as TakeOrderedAndProject
+# (per-partition heaps, k-row merge) — at web scale |vocab| is still
+# millions of rows, so an unpartitioned ranking window would funnel it
+# through one task (functions/topk.py has the full argument).
 
 VOCAB_TOP = 100
 
@@ -167,12 +170,12 @@ def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf_total"),
         F.count_distinct("doc_id").alias("df_docs"),
     )
-    w = Window.orderBy(F.col("tf_total").desc(), F.col("token").asc())
-    return (
-        vocab.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= VOCAB_TOP)
-        .select("rank", "token", "tf_total", "df_docs")
-    )
+    return take_ordered_ranked(
+        vocab,
+        [F.col("tf_total").desc(), F.col("token").asc()],
+        VOCAB_TOP,
+        rank_col="rank",
+    ).select("rank", "token", "tf_total", "df_docs")
 
 
 _VOCAB_ORACLE = f"""WITH tok AS (

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from strategy_analyzer_exporter_spark.functions import davg_sql
+from strategy_analyzer_exporter_spark.functions.topk import ranked_init
 from strategy_analyzer_exporter_spark.registry import register
 from strategy_analyzer_exporter_spark.sources.tables import load_table
 
@@ -66,14 +67,8 @@ def _codebook(sub: DataFrame) -> DataFrame:
         kmeans_update,
     )
 
-    w = Window.orderBy("vec_id")
-    c0 = (
-        sub.orderBy("vec_id")
-        .limit(PQ_K)
-        .select(
-            (F.row_number().over(w) - 1).cast("long").alias("cid"),
-            F.col("v").alias("cv"),
-        )
+    c0 = ranked_init(sub, "vec_id", PQ_K, "cid").select(
+        "cid", F.col("v").alias("cv")
     )
     assigned = kmeans_assign(sub, c0).select("vec_id", "cid")
     return kmeans_update(assigned, sub).localCheckpoint()

@@ -129,16 +129,37 @@ FROM lineitem GROUP BY l_returnflag""",
 
 
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++). Engines' sketches differ, so
-    no value oracle — rows-only check; the scale story is the point:
-    the sketch is constant-size per group vs the exact two-phase dedup."""
+    """approx_count_distinct (HyperLogLog++). Engines' sketches differ,
+    so the raw estimate can never hash-match — instead each engine
+    checks its OWN estimate against the HLL accuracy contract and emits
+    the exact count plus ``|approx − exact| ≤ 5%·exact`` as a boolean
+    (rsd 0.01 → expected ~1% error, so 5% is a hard floor both engines
+    clear). The scale story is unchanged: the sketch is constant-size
+    per group vs the exact two-phase dedup."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_approx"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("_approx") - F.col("exact_orders"))
+            <= F.col("exact_orders") * F.lit(0.05)
+        ).alias("within_5pct"),
     )
 
 
-register("agg_approx_distinct", _q_approx_distinct, None)
+register(
+    "agg_approx_distinct",
+    _q_approx_distinct,
+    """SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+           <= count(DISTINCT l_orderkey) * 0.05 AS within_5pct
+FROM lineitem GROUP BY l_returnflag""",
+)
 
 
 def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

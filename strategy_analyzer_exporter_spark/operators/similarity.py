@@ -57,7 +57,12 @@ def _dot_fold_sql(a: str, b: str) -> str:
 
 
 def _cosine(a: Column, b: Column) -> Column:
-    return vector.cosine(a, b)
+    # every _cosine call site here scores JOINED PAIR ROWS (LSH/IVF
+    # re-rank, near-dup pairs) — the pair-shaped dispatcher picks the
+    # in-place fold by default (see vector.pair_kernel); the streamed
+    # brute-force path uses its own closure kernel and the fold oracle
+    # path uses fold_cosine directly.
+    return vector.pair_cosine(a, b)
 
 
 def _cosine_sql(a: str, b: str) -> str:

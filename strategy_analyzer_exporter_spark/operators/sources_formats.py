@@ -30,17 +30,12 @@ _STAGED: set[str] = set()
 
 
 def _staging_root() -> str:
-    """Staging root for format-roundtrip scratch data: honors
-    ``SPARK_GRAFT_TMP_DIR`` (so deployments pick the fast local disk or
-    a per-job scratch path), falling back to a per-user tempdir —
-    never a path hardcoded to this container's repo location."""
-    root = os.environ.get("SPARK_GRAFT_TMP_DIR")
-    if not root:
-        import tempfile
+    """Shared staging root (sources/staging.py): honors
+    ``SPARK_GRAFT_TMP_DIR``, falls back to a per-user tempdir — never a
+    path hardcoded to this container's repo location."""
+    from strategy_analyzer_exporter_spark.sources.staging import staging_root
 
-        root = os.path.join(tempfile.gettempdir(), "spark_graft_staging")
-    os.makedirs(root, exist_ok=True)
-    return root
+    return staging_root()
 
 DOC_SCHEMA = T.StructType(
     [

@@ -14,16 +14,20 @@ Plan discipline (same as relational5.py): money aggregates are
 decimal-staged ``dsum``/``davg`` (order-independent under parallel
 partials, bit-equal to DuckDB); dimension sides broadcast; ratios are
 single divisions of identically-computed doubles (bit-exact); top-N
-is row_number over (measure desc, key asc) — a total order, so the
-row set is deterministic in both engines.
+orders by (measure desc, key asc) — a total order, so the row set is
+deterministic in both engines — and runs as TakeOrderedAndProject
+with the rank attached over only the k survivors
+(functions/topk.take_ordered_ranked), never as an unpartitioned
+global-sort window.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from strategy_analyzer_exporter_spark.functions import davg, davg_sql, dsum, dsum_sql
+from strategy_analyzer_exporter_spark.functions.topk import take_ordered_ranked
 from strategy_analyzer_exporter_spark.registry import register
 from strategy_analyzer_exporter_spark.sources.tables import load_table
 
@@ -63,12 +67,9 @@ def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum("rev").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-    return (
-        grouped.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 10)
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rn")
-    )
+    return take_ordered_ranked(
+        grouped, [F.col("revenue").desc(), F.col("o_orderkey")], 10
+    ).select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rn")
 
 
 _Q3_ORACLE = f"""WITH grouped AS (
@@ -368,12 +369,9 @@ def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum("rev").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return (
-        grouped.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 20)
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "rn")
-    )
+    return take_ordered_ranked(
+        grouped, [F.col("revenue").desc(), F.col("c_custkey")], 20
+    ).select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "rn")
 
 
 _Q10_ORACLE = f"""WITH grouped AS (

@@ -52,6 +52,58 @@ def read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: struct<([^>]*)>", physical_plan(df))
 
 
+def count_unpartitioned_windows(df: DataFrame) -> int:
+    """Window expressions with an EMPTY partition spec — the single-task
+    global-sort/agg shape that melts at scale. Parses every
+    ``windowspecdefinition(part..., order..., frame)`` in the plan:
+    order args carry ASC/DESC markers and the frame arg is a
+    ``specifiedwindowframe`` — a spec with NO remaining (partition)
+    args is unpartitioned. Constant-key windows over k-row relations
+    (functions/topk.py) keep their ``lit(0)`` partition because
+    session.py excludes Spark 4's EliminateWindowPartitions rule, so
+    they do not count."""
+    plan = physical_plan(df)
+    n = 0
+    marker = "windowspecdefinition("
+    i = 0
+    while True:
+        i = plan.find(marker, i)
+        if i < 0:
+            break
+        j = i + len(marker)
+        depth = 1
+        args: list[str] = []
+        cur = []
+        while j < len(plan) and depth:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if not depth:
+                    break
+            elif ch == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+                j += 1
+                continue
+            cur.append(ch)
+            j += 1
+        if cur:
+            args.append("".join(cur).strip())
+        part = [
+            a
+            for a in args
+            if not a.startswith("specifiedwindowframe")
+            and " ASC NULLS" not in a
+            and " DESC NULLS" not in a
+        ]
+        if not part:
+            n += 1
+        i = j
+    return n
+
+
 def has_whole_stage_codegen(df: DataFrame) -> bool:
     """True if the plan compiles whole-stage-codegen subtrees. Uses
     codegen-mode explain (AQE plans don't print codegen markers in the

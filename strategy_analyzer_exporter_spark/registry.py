@@ -17,16 +17,55 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Registrations that must wait for other queries' oracles — composite
+# queries whose oracle SQL embeds other queries' oracles (e.g.
+# ann_recall). A module-level sibling import would crash when the
+# sibling is the partially-initialized ENTRY import (see
+# tests/test_pipeline_ops.py::test_operator_modules_import_standalone),
+# and a flat "run after _load_all" hook breaks in the same scenario
+# (the entry module's own body — and registrations — complete only
+# AFTER _load_all returns). So each deferral declares the names it
+# needs and is flushed as soon as the last one registers, whatever the
+# import order.
+_PENDING: list[tuple[tuple[str, ...], Callable[[], None]]] = []
+_FLUSHING = False
+
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     QUERIES[name] = fn
     if oracle is not None:
         ORACLES[name] = oracle
+    _flush_deferred()
+
+
+def register_deferred(fn: Callable[[], None], requires: tuple[str, ...]) -> None:
+    _PENDING.append((tuple(requires), fn))
+    _flush_deferred()
+
+
+def _flush_deferred() -> None:
+    global _FLUSHING
+    if _FLUSHING:
+        return
+    _FLUSHING = True
+    try:
+        progress = True
+        while progress:
+            progress = False
+            for item in list(_PENDING):
+                req, cb = item
+                if set(req) <= ORACLES.keys():
+                    _PENDING.remove(item)
+                    cb()
+                    progress = True
+    finally:
+        _FLUSHING = False
 
 
 def _load_all() -> None:
     """Import every operator module for its registration side effects."""
     from strategy_analyzer_exporter_spark.operators import (  # noqa: F401
+        ann_recall,
         cdc,
         dedup,
         extra_queries,

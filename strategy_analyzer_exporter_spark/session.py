@@ -15,6 +15,16 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Spark 4's EliminateWindowPartitions folds constant window partition
+# keys away — turning the deliberate `partitionBy(lit(0))` that
+# functions/topk.py uses on k-row relations back into an UNPARTITIONED
+# WindowExec, whose "moving all data to a single partition" warning we
+# reserve as a real scale signal (every other constant-key window in
+# this repo is over ≤ top-k rows by construction). Excluding the rule
+# costs nothing: it only ever fires on foldable partition specs, which
+# this codebase writes solely for that k-row pattern.
+_EXCLUDED_RULES = "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions"
+
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """Apply the correctness-critical runtime confs to a session we did
@@ -23,6 +33,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
     Spark 4 read the corpus' TIMESTAMP(NANOS) parquet columns."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
 
 
 def get_spark(
@@ -83,6 +94,7 @@ def get_spark(
         # the corpus' events.parquet uses TIMESTAMP(NANOS) which Spark 4
         # rejects by default; read as int64 nanos and convert in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
     )
     if extra_conf:
         for k, v in extra_conf.items():

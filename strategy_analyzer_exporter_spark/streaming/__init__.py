@@ -51,6 +51,14 @@ from strategy_analyzer_exporter_spark.functions.exact import (
     slope as _slope,
 )
 
+def _stage_root() -> str:
+    """Shared scratch root (sources/staging.py) — honors
+    SPARK_GRAFT_TMP_DIR; no container-specific hardcoding (ADVICE r03)."""
+    from strategy_analyzer_exporter_spark.sources.staging import staging_root
+
+    return staging_root()
+
+
 BAR_SCHEMA = T.StructType(
     [
         T.StructField("day", T.IntegerType()),
@@ -236,7 +244,7 @@ def run_windowed_counts_to_memory(
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     # stage the events with ts normalized to a plain timestamp column
-    stage = os.path.join("/root/repo/.tmp", "events_stream_" + sf_dir.strip("/").split("/")[-1])
+    stage = os.path.join(_stage_root(), "events_stream_" + sf_dir.strip("/").split("/")[-1])
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
     ev.write.mode("overwrite").parquet(stage)
     schema = T.StructType(
@@ -279,7 +287,7 @@ def run_streaming_dedup_to_memory(
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     stage = os.path.join(
-        "/root/repo/.tmp", "events_dedup_stream_" + sf_dir.strip("/").split("/")[-1]
+        _stage_root(), "events_dedup_stream_" + sf_dir.strip("/").split("/")[-1]
     )
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
     ev.write.mode("overwrite").parquet(stage)
@@ -320,20 +328,29 @@ def run_streaming_dedup_watermarked_to_memory(
 
     The projection is exactly the dedup key, so whichever arrival
     survives is value-identical and the result is arrival-order-
-    independent."""
+    independent. Staged one file per day with forced chronological
+    mtimes (sources/staging.stage_days_ordered): with an uncontrolled
+    multi-part stage a late-day file could be processed first and the
+    2-day watermark would then silently DROP genuinely-old days as late
+    data (ADVICE r03, medium)."""
     import os
 
+    from strategy_analyzer_exporter_spark.sources.staging import (
+        stage_days_ordered,
+        staging_root,
+    )
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     stage = os.path.join(
-        "/root/repo/.tmp", "events_dedup_wm_stream_" + sf_dir.strip("/").split("/")[-1]
+        staging_root(),
+        "events_dedup_wm_stream_" + sf_dir.strip("/").split("/")[-1],
     )
     # day is a TIMESTAMP (midnight) not a DATE: the harness compares
     # pandas dtypes and DuckDB's DATE surfaces as datetime64 anyway
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", F.date_trunc("DAY", F.col("ts")).alias("day")
     )
-    ev.write.mode("overwrite").parquet(stage)
+    stage_days_ordered(ev, stage)
     schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
@@ -343,7 +360,9 @@ def run_streaming_dedup_watermarked_to_memory(
         ]
     )
     stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "day_*"))
     )
     q = (
         stream.withWatermark("ts", "2 days")
@@ -374,16 +393,24 @@ _RUNNING_STATE = T.StructType([T.StructField("n", T.LongType())])
 
 def _running_count_update(key, pdfs, state):
     """Per-user cumulative event counter: the minimal custom stateful
-    operator (one long of state per key). Rows are sorted by
-    (ts, event_id) inside each batch; batches arrive in staged file
-    order, so the running index matches the batch row_number oracle."""
+    operator (one long of state per key). ``applyInPandasWithState``
+    delivers a group as an ITERATOR of Arrow-batch-sized chunks
+    (maxRecordsPerBatch, default 10k) — sorting each chunk separately
+    would give a non-global order whenever a group spans chunks, so the
+    whole batch is materialized and sorted ONCE by (ts, event_id)
+    (ADVICE r03). Group state is one long; the materialized rows are
+    one user-day — bounded. Batches arrive in staged file order, so the
+    running index matches the batch row_number oracle."""
     import pandas as pd
 
     n = state.get[0] if state.exists else 0
     out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        for row in pdf.itertuples(index=False):
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for row in whole.itertuples(index=False):
             n += 1
             out.append((int(row.user_id), int(row.event_id), n))
     state.update((n,))
@@ -400,34 +427,20 @@ def run_streaming_running_counts_to_memory(
     (ts, event_id). Oracle: batch row_number over the same total
     order."""
     import os
-    import time as _time
 
+    from strategy_analyzer_exporter_spark.sources.staging import (
+        stage_days_ordered,
+        staging_root,
+    )
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     stage = os.path.join(
-        "/root/repo/.tmp", "events_running_stream_" + sf_dir.strip("/").split("/")[-1]
+        staging_root(), "events_running_stream_" + sf_dir.strip("/").split("/")[-1]
     )
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", F.to_date("ts").alias("day")
     )
-    days = [r.day for r in ev.select("day").distinct().orderBy("day").collect()]
-    if not os.path.exists(os.path.join(stage, "_STAGED_OK")):
-        for i, day in enumerate(days):
-            (
-                ev.filter(F.col("day") == F.lit(day))
-                .select("user_id", "event_id", "ts")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(stage, f"day_{i:04d}"))
-            )
-        # FileStreamSource orders by (mtime, path): force strictly
-        # increasing mtimes so days stream chronologically
-        t0 = _time.time() - 86400
-        for i in range(len(days)):
-            d = os.path.join(stage, f"day_{i:04d}")
-            for f in sorted(os.listdir(d)):
-                os.utime(os.path.join(d, f), (t0 + i, t0 + i))
-        open(os.path.join(stage, "_STAGED_OK"), "w").close()
+    stage_days_ordered(ev, stage)
     schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
@@ -507,7 +520,7 @@ def run_session_windows_to_memory(
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     stage = os.path.join(
-        "/root/repo/.tmp", "events_sess_stream_" + sf_dir.strip("/").split("/")[-1]
+        _stage_root(), "events_sess_stream_" + sf_dir.strip("/").split("/")[-1]
     )
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     if not os.path.exists(os.path.join(stage, "real", "_SUCCESS")):
@@ -578,7 +591,7 @@ def run_interval_join_to_memory(
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     stage = os.path.join(
-        "/root/repo/.tmp", "events_ijoin_stream_" + sf_dir.strip("/").split("/")[-1]
+        _stage_root(), "events_ijoin_stream_" + sf_dir.strip("/").split("/")[-1]
     )
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         load_table(spark, sf_dir, "events").select(

@@ -30,5 +30,20 @@ def test_unseen_queries_come_first():
 def test_every_query_resolvable():
     qs, osql = E.queries(), E.oracle_sql()
     assert set(osql) <= set(qs)
-    # rows-only set is the documented pair
-    assert set(qs) - set(osql) == {"multimodal_decode_stub", "agg_approx_distinct"}
+    # every registered query is value-checkable (r04: the decode stub is
+    # retired from the registry, agg_approx_distinct emits its accuracy
+    # contract as a checkable boolean)
+    assert set(qs) == set(osql)
+
+
+def test_seen_tail_rotates_by_round():
+    """Recorded queries must be periodically re-sampled: the seen tail
+    rotates with the number of recorded rounds, so a regression in an
+    already-recorded operator is eventually re-verified (ADVICE r03)."""
+    seen, rounds = E._recorded_names()
+    names = list(E.queries())
+    tail = [n for n in names if n in seen]
+    expected = sorted(tail)
+    if expected:
+        off = (rounds * 50) % len(expected)
+        assert tail == expected[off:] + expected[:off]

@@ -15,10 +15,8 @@ ORACLES = E.oracle_sql()
 
 def test_every_query_has_callable():
     assert len(QUERIES) >= 40
-    missing_oracles = set(QUERIES) - set(ORACLES)
-    # only genuinely non-SQL-expressible ops may omit the oracle
-    assert missing_oracles <= {"agg_approx_distinct", "multimodal_decode_stub",
-                               "streaming_features", "ema_full_series"}
+    # r04: every registered query carries a full value oracle
+    assert set(QUERIES) == set(ORACLES)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -118,6 +118,50 @@ def test_q15_single_fact_shuffle(spark):
     assert plan.count("Scan parquet") <= 3, plan  # lineitem + supplier (+reuse)
 
 
+def test_pq_recall_floor(spark):
+    """ANN quality is a measured, asserted number, not a vibe: PQ/ADC
+    recall@3 vs exact top-5 ground truth must clear a deterministic
+    floor (both pipelines are bit-exact vs their oracles, so this value
+    is stable across runs). Measured: mean 0.30 at sf0.001, 0.37 at
+    sf0.01 on the synthetic corpus — floor set at 0.2. LSH-bucket rows
+    are sanity-bounded only (an 8-bit bucket on this corpus finds
+    near-orthogonal candidates; its recall is honestly ~0)."""
+    rows = QUERIES["similarity_pq_recall"](spark, SF).collect()
+    pq = [r for r in rows if r.method == "pq_adc"]
+    assert len(pq) == 10 and all(r.n_approx == 3 for r in pq)
+    assert sum(r.recall for r in pq) / len(pq) >= 0.2
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+
+
+def test_media_decode_stub_plumbing(spark):
+    """The generic decode stub is library-only (not registered — it can
+    never be value-checked; multimodal_decode_ppm is the oracle-backed
+    decode), but its Spark plumbing — schema, mapInPandas batch shape,
+    deterministic fake decoder — must stay real and tested."""
+    from strategy_analyzer_exporter_spark.operators.multimodal import (
+        _q_media_decode,
+        media_table,
+    )
+
+    out = _q_media_decode(spark, SF)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id",
+        "media_type",
+        "decoded_ok",
+        "decoder",
+        "mean_byte",
+        "resized_width",
+        "resized_height",
+    ]
+    rows = out.collect()
+    assert len(rows) == media_table(spark, SF).count()
+    assert all(r.decoded_ok and r.decoder == "fake-deterministic" for r in rows)
+    assert all(0.0 <= r.mean_byte <= 255.0 for r in rows)
+    assert all(
+        1 <= r.resized_width <= 64 and 1 <= r.resized_height <= 64 for r in rows
+    )
+
+
 def test_multimodal_feature_hash_map_only(spark):
     q = QUERIES["multimodal_feature_hash"](spark, SF)
     assert P.count_exchanges(q) == 0, P.physical_plan(q)
@@ -137,7 +181,7 @@ def test_operator_modules_import_standalone():
     mods = [
         "multimodal", "dedup", "pipeline", "graph", "relational5",
         "sources_formats", "text", "similarity", "pipeline3",
-        "pq", "quality", "pii", "mixture", "tpch2",
+        "pq", "quality", "pii", "mixture", "tpch2", "ann_recall",
     ]
     for m in mods:
         r = subprocess.run(

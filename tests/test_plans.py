@@ -183,7 +183,25 @@ def test_bruteforce_streams_corpus_not_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_kmeans_assign_stream_is_map_only(spark):
+def test_no_registered_query_has_unpartitioned_window(spark):
+    """No registered query may rank through a WindowExec with an empty
+    partition spec — that moves the whole relation to ONE task (the
+    q3/q10/vocab defect of VERDICT r03). Global top-k must be
+    TakeOrderedAndProject + a constant-key window over the k survivors
+    (functions/topk.py). Streaming queries are skipped: their returned
+    DataFrame is a finished memory-table result with no window surface,
+    and building one runs a whole stream."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("streaming_"):
+            continue
+        q = fn(spark, SF)
+        n = P.count_unpartitioned_windows(q)
+        if n:
+            offenders[name] = n
+    assert not offenders, offenders
     """The streamed k-means assign must not shuffle the corpus: the
     centroid matrix rides in the closure, so the plan is scan →
     (optional spread) → MapInPandas with no joins at all."""
