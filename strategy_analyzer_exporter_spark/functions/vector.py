@@ -200,6 +200,21 @@ def pair_cosine(a: Column, b: Column) -> Column:
     return _arrow_cosine()(a, b)
 
 
+def pair_bucket(v: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket signature for the banded-ANN family, following the
+    same kernel choice as :func:`pair_cosine`: measured at sf0.1 and on
+    the 10× probe, the whole banded query (bucket + re-rank) runs
+    fastest ALL-fold — 0.35 s vs 0.67 s at 1×, 0.74 s vs 1.60 s at 10×
+    (reused-plan, warm) — because an 8-plane codegen dot fold is cheap
+    while each Python stage pays a fixed Arrow round-trip. The arrow
+    bucket stays the default for signature-only pipelines via
+    :func:`bucket`."""
+    key = tuple(tuple(p) for p in planes)
+    if kernel() == "fold" or pair_kernel() == "fold":
+        return _fold_bucket(v, key)
+    return _arrow_bucket(key)(v)
+
+
 def sqdist(a: Column, b: Column) -> Column:
     """Squared L2 distance, dual-path; both paths bit-identical."""
     if kernel() == "fold":

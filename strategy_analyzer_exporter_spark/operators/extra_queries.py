@@ -492,3 +492,92 @@ register(
 UNION ALL
 SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: view → click → purchase, strictly ordered in event
+# time per user. The scalable funnel shape is k chained (filter →
+# per-user min) aggregations, each gated on the previous stage's
+# timestamp via a BROADCAST of the per-user stage relation (one row per
+# user — always tiny relative to events). k passes over the events
+# scan, no events-side shuffle beyond the per-stage user agg; at 100 TB
+# this beats any collect-per-user-sort approach by never materializing
+# per-user event lists.
+#
+# Missing stages surface as a HIGH-DATE SENTINEL, not NULL: the
+# cross-engine harness can never compare NULL timestamps equal (pandas
+# object-vs-NaT pitfall), and 2260-12-31 stays inside datetime64[ns]
+# range.
+
+_FUNNEL_SENTINEL = "2260-12-31 23:59:59"
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(t1), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    sent = F.lit(_FUNNEL_SENTINEL).cast("timestamp")
+    out = (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            F.coalesce("t_click", sent).alias("t_click"),
+            F.coalesce("t_purchase", sent).alias("t_purchase"),
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("stage"),
+        )
+    )
+    return out
+
+
+register(
+    "events_funnel_3step",
+    _q_funnel,
+    f"""WITH t1 AS (
+    SELECT user_id, min(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN t1 ON e.user_id = t1.user_id
+    WHERE e.event_type = 'click' AND e.ts > t1.t_view
+    GROUP BY e.user_id
+),
+t3 AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN t2 ON e.user_id = t2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+    GROUP BY e.user_id
+)
+SELECT t1.user_id, t1.t_view,
+       coalesce(t2.t_click, TIMESTAMP '{_FUNNEL_SENTINEL}') AS t_click,
+       coalesce(t3.t_purchase, TIMESTAMP '{_FUNNEL_SENTINEL}') AS t_purchase,
+       CAST(1 + (t2.user_id IS NOT NULL)::INT + (t3.user_id IS NOT NULL)::INT
+            AS BIGINT) AS stage
+FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id""",
+)

@@ -327,3 +327,212 @@ FROM arr WHERE n >= {RSI_N}"""
 
 
 register("bars_rsi", _q_rsi, _RSI_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# ATR(14) with Wilder smoothing — true range folded through the same
+# seeded recursion as RSI (acc + (x − acc)/N). First bar of a day has
+# no previous close, so its true range is high − low (the standard
+# convention). All per-row doubles follow one pinned op sequence
+# (lag, three subtractions, abs, greatest, fold), so atr14 matches the
+# oracle bit-for-bit. Same oracle-parity prefix-fold shape as RSI; the
+# O(n) scale path is the Arrow-batched recursion in
+# operators/features.py.
+
+
+def _q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    b = bars_df(spark, sf_dir)
+    wl = Window.partitionBy("day").orderBy("time")
+    pc = F.lag("close").over(wl)
+    tr = F.when(pc.isNull(), F.col("high") - F.col("low")).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - pc),
+            F.abs(F.col("low") - pc),
+        )
+    )
+    t = b.select("day", "time", tr.alias("tr"))
+    wp = Window.partitionBy("day").orderBy("time").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    arr = t.select(
+        "day",
+        "time",
+        F.collect_list("tr").over(wp).alias("_t"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+    )
+    return arr.filter(F.col("_n") >= RSI_N).select(
+        "day", "time", _wilder(F.col("_t")).alias("atr14")
+    )
+
+
+_ATR_ORACLE = f"""WITH {BARS_CTE},
+t AS (
+    SELECT day, time,
+           CASE WHEN lag(close) OVER w IS NULL THEN high - low
+                ELSE greatest(high - low,
+                              abs(high - lag(close) OVER w),
+                              abs(low - lag(close) OVER w))
+           END AS tr
+    FROM bars
+    WINDOW w AS (PARTITION BY day ORDER BY time)
+),
+arr AS (
+    SELECT day, time,
+           list(tr) OVER wp AS tarr,
+           count(*) OVER wp AS n
+    FROM t
+    WINDOW wp AS (PARTITION BY day ORDER BY time
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day, time, {_wilder_sql('tarr')} AS atr14
+FROM arr WHERE n >= {RSI_N}"""
+
+
+register("bars_atr", _q_atr, _ATR_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median of close over a 21-bar frame per day. The frame
+# is materialized as a sorted 21-element array and the median is its
+# middle ELEMENT (odd window — no interpolation, so the output is one
+# of the input doubles, bit-exact in any engine). The window is
+# day-partitioned — no global sort anywhere; at scale the 21-element
+# arrays are constant-size per row.
+
+MED_W = 21
+
+
+def _q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    b = bars_df(spark, sf_dir)
+    wf = Window.partitionBy("day").orderBy("time").rowsBetween(-(MED_W - 1), 0)
+    arr = b.select(
+        "day",
+        "time",
+        "close",
+        F.collect_list("close").over(wf).alias("_w"),
+    )
+    return arr.filter(F.size("_w") == MED_W).select(
+        "day",
+        "time",
+        "close",
+        F.element_at(F.array_sort("_w"), (MED_W + 1) // 2).alias(
+            f"median_{MED_W}"
+        ),
+    )
+
+
+_MED_ORACLE = f"""WITH {BARS_CTE},
+arr AS (
+    SELECT day, time, close,
+           list(close) OVER (PARTITION BY day ORDER BY time
+                             ROWS BETWEEN {MED_W - 1} PRECEDING AND CURRENT ROW)
+               AS w
+    FROM bars
+)
+SELECT day, time, close,
+       list_sort(w)[{(MED_W + 1) // 2}] AS median_{MED_W}
+FROM arr WHERE len(w) = {MED_W}"""
+
+
+register("bars_rolling_median", _q_rolling_median, _MED_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# MACD(12, 26, 9): fast/slow EMA difference plus the signal line (EMA-9
+# of the MACD series) and histogram. Every EMA is the same
+# first-element-seeded left fold as the reference's recursion (and
+# bars_rsi): macd per row comes from two prefix folds over closes; the
+# signal folds over the PREFIX ARRAY OF MACD VALUES, each recomputed
+# from its own close prefix — O(n²)-in-window oracle-parity shape,
+# bounded by day size (the O(n) scale path is the Arrow-batched
+# recursion in operators/features.py). One pinned op sequence per cell,
+# so all three outputs match the oracle bit-for-bit.
+
+MACD_FAST, MACD_SLOW, MACD_SIG = 12, 26, 9
+
+
+def _ema_fold(arr, span: int):
+    return F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1).cast("double"),
+        lambda acc, x: acc + F.lit(2.0 / (span + 1.0)) * (x - acc),
+    )
+
+
+def _ema_fold_sql(arr: str, span: int) -> str:
+    # α must be COMPUTED in double (CAST(2.0 AS DOUBLE) / (span+1)):
+    # writing the 17-digit α literal inline makes DuckDB parse it as
+    # DECIMAL(18,17) first, whose double cast is 1 ulp off the Python/
+    # Spark double — measured: half the macd rows drift ~1e-12 (short-
+    # decimal literals like 14.0 cast exactly, which is why the RSI/ATR
+    # folds never hit this)
+    a = f"(CAST(2.0 AS DOUBLE) / {float(span + 1)})"
+    return f"list_reduce({arr}, (acc, x) -> acc + {a} * (x - acc))"
+
+
+def _q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    b = bars_df(spark, sf_dir)
+    wp = Window.partitionBy("day").orderBy("time").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    arr = b.select(
+        "day",
+        "time",
+        F.collect_list("close").over(wp).alias("_c"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+    )
+    macd_of = lambda prefix: _ema_fold(prefix, MACD_FAST) - _ema_fold(  # noqa: E731
+        prefix, MACD_SLOW
+    )
+    macd = macd_of(F.col("_c"))
+    # prefix array of macd values: position i uses the close prefix 1..i
+    macd_series = F.transform(
+        F.sequence(F.lit(1), F.size("_c")),
+        lambda i: macd_of(F.slice(F.col("_c"), 1, i)),
+    )
+    signal = _ema_fold(macd_series, MACD_SIG)
+    return arr.filter(F.col("_n") >= MACD_SLOW).select(
+        "day",
+        "time",
+        macd.alias("macd"),
+        signal.alias("signal"),
+        (macd - signal).alias("histogram"),
+    )
+
+
+def _macd_of_sql(prefix: str) -> str:
+    return (
+        f"{_ema_fold_sql(prefix, MACD_FAST)} - {_ema_fold_sql(prefix, MACD_SLOW)}"
+    )
+
+
+_MACD_ORACLE = f"""WITH {BARS_CTE},
+arr AS (
+    SELECT day, time,
+           list(close) OVER wp AS c,
+           count(*) OVER wp AS n
+    FROM bars
+    WINDOW wp AS (PARTITION BY day ORDER BY time
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+m AS (
+    SELECT day, time, n, c,
+           {_macd_of_sql('c')} AS macd,
+           list_transform(range(1, len(c) + 1),
+               i -> {_macd_of_sql('list_slice(c, 1, i)')}) AS mseries
+    FROM arr
+)
+SELECT day, time, macd,
+       {_ema_fold_sql('mseries', MACD_SIG)} AS signal,
+       macd - {_ema_fold_sql('mseries', MACD_SIG)} AS histogram
+FROM m WHERE n >= {MACD_SLOW}"""
+
+
+register("bars_macd", _q_macd, _MACD_ORACLE)

@@ -403,3 +403,50 @@ SELECT day, time,
 FROM moments WHERE n = {CORR_N}"""
 
 register("bars_rolling_corr", _q_rolling_corr, _CORR_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build: token → document frequency + SORTED posting
+# list of doc_ids — the search-index construction shape. One explode +
+# one hash aggregation on token (the same scale step as the vocab
+# build); the posting list is collected then array_sort'ed so the
+# output is deterministic regardless of shuffle arrival order. At 100
+# TB posting lists for stopword-class tokens get long — the df floor
+# keeps the demo relation honest, and a production index would shard
+# postings by (token, doc_id bucket) before the collect.
+
+POSTINGS_MIN_DF = 5
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    return (
+        tok.distinct()
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_docs"),
+            # CSV-serialized postings: the cross-engine harness compares
+            # scalar cells (the scalar_array_funcs convention); sorting
+            # before joining makes the string deterministic
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df_docs") >= POSTINGS_MIN_DF)
+    )
+
+
+_INVERTED_ORACLE = f"""WITH tok AS (
+    SELECT DISTINCT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df_docs,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM tok GROUP BY token
+HAVING count(*) >= {POSTINGS_MIN_DF}"""
+
+register("text_inverted_index", _q_inverted_index, _INVERTED_ORACLE)

@@ -162,6 +162,62 @@ FROM lineitem GROUP BY l_returnflag""",
 )
 
 
+def _q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna in Spark, t-digest in
+    DuckDB) — sketch values differ across engines, so like
+    agg_approx_distinct each engine checks its OWN estimate against the
+    sketch's contract: the approximate median's RANK must sit within
+    2% of the true 0.5 quantile rank (accuracy=1000 → Spark guarantees
+    0.1%; t-digest on these group sizes is far tighter). The rank check
+    is the correct contract — quantile sketches bound rank error, not
+    value error. Shape: one agg for the sketch (3-row result,
+    broadcast) + one rescan to rank it — constant state per group at
+    any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    ap = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("_a"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    j = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(ap), "l_returnflag"
+    )
+    out = j.groupBy("l_returnflag").agg(
+        F.max("n_rows").alias("n_rows"),
+        F.sum(F.when(F.col("l_extendedprice") <= F.col("_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("_rank_le"),
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        (
+            F.abs(
+                F.col("_rank_le").cast("double") / F.col("n_rows").cast("double")
+                - F.lit(0.5)
+            )
+            <= F.lit(0.02)
+        ).alias("within_2pct_rank"),
+    )
+
+
+register(
+    "agg_approx_percentile_bound",
+    _q_approx_percentile,
+    """WITH ap AS (
+    SELECT l_returnflag,
+           approx_quantile(l_extendedprice, 0.5) AS a,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT li.l_returnflag, max(ap.n_rows) AS n_rows,
+       abs(CAST(sum(CASE WHEN li.l_extendedprice <= ap.a THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(max(ap.n_rows) AS DOUBLE) - 0.5) <= 0.02
+           AS within_2pct_rank
+FROM lineitem li JOIN ap ON li.l_returnflag = ap.l_returnflag
+GROUP BY li.l_returnflag""",
+)
+
+
 def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over the nation→region dimension join.
     Scale: region/nation are tiny → broadcast both; only the agg shuffles."""

@@ -198,7 +198,10 @@ SELECT query_id, cand_id, cos_sim, rn FROM ranked WHERE rn <= {TOP_K}"""
 
 
 def _bucket_expr(v: Column) -> Column:
-    return vector.bucket(v, _hyperplanes())
+    # the banded-ANN family performs best with the SAME kernel for
+    # bucket and re-rank (all-fold by default — vector.pair_bucket has
+    # the measurements); signature-only pipelines keep vector.bucket
+    return vector.pair_bucket(v, _hyperplanes())
 
 
 def _bucket_sql(v: str) -> str:

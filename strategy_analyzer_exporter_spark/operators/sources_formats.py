@@ -66,6 +66,8 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             # header off (schema is explicit), full quoting with escaped
             # quotes — the only mode that survives arbitrary text
             w.option("quoteAll", True).option("escape", '"').csv(path)
+        elif fmt == "orc":
+            w.orc(path)
         else:
             w.json(path)
         _STAGED.add(path)
@@ -94,8 +96,20 @@ def _q_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(d)
 
 
+def _q_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC roundtrip — the second columnar lake format Spark ships a
+    native vectorized reader for. Binary-typed columnar storage
+    roundtrips every type losslessly (no quoting/escaping surface), so
+    a value mismatch here would indicate a reader/writer defect, not a
+    serialization convention. Oracle runs on the original parquet."""
+    path = _stage(spark, sf_dir, "orc")
+    d = spark.read.schema(DOC_SCHEMA).orc(path)
+    return _agg(d)
+
+
 register("source_csv_roundtrip", _q_csv, _AGG_ORACLE)
 register("source_jsonl_roundtrip", _q_jsonl, _AGG_ORACLE)
+register("source_orc_roundtrip", _q_orc, _AGG_ORACLE)
 
 
 # ---------------------------------------------------------------------------

@@ -68,6 +68,7 @@ def _load_all() -> None:
         ann_recall,
         cdc,
         dedup,
+        etl,
         extra_queries,
         feature_queries,
         finance,

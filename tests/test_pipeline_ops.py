@@ -181,7 +181,8 @@ def test_operator_modules_import_standalone():
     mods = [
         "multimodal", "dedup", "pipeline", "graph", "relational5",
         "sources_formats", "text", "similarity", "pipeline3",
-        "pq", "quality", "pii", "mixture", "tpch2", "ann_recall",
+        "pq", "quality", "pii", "mixture", "tpch2", "ann_recall", "etl",
+        "finance",
     ]
     for m in mods:
         r = subprocess.run(
