@@ -45,6 +45,10 @@ HEADLINE = (
     "similarity_pq_adc",
     "pii_email_scrub",
     "text_repetition_signals",
+    # round-4 representatives
+    "bars_macd",
+    "embedding_quantize_int8",
+    "events_funnel_3step",
 )
 
 # queries whose work happens (partly) INSIDE the query fn — a stream
@@ -237,6 +241,7 @@ def main() -> None:
 
     results: dict[str, float] = {}
     extras: dict[str, object] = {}
+    exchanges: dict[str, int] = {}
     for name in HEADLINE:
         fn = queries[name]
         times: list[float] = []
@@ -260,6 +265,11 @@ def main() -> None:
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
+            # plan-shape audit alongside the wall time: shuffle count is
+            # the number that must stay flat as data grows
+            from strategy_analyzer_exporter_spark import plans as _P
+
+            exchanges[name] = _P.count_exchanges(df)
         dt = sorted(times)[len(times) // 2]  # median
         results[name] = round(dt, 3)
         if name == "features_flagship":
@@ -267,6 +277,7 @@ def main() -> None:
             extras["features_rows"] = n
             extras["features_rows_per_s"] = round(n / dt, 1)
 
+    extras["exchanges"] = exchanges
     extras["scale_probe"] = _scale_probe(spark, queries)
 
     total = round(sum(results.values()), 3)

@@ -581,3 +581,51 @@ SELECT t1.user_id, t1.t_view,
 FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
 LEFT JOIN t3 ON t1.user_id = t3.user_id""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-seen week; for each
+# (cohort_week, week_offset) the count of cohort users active that
+# week. Two hash aggregations (first-seen per user, then the cohort
+# matrix) + one broadcast of the per-user cohort relation — the
+# standard scalable retention shape; nothing materializes per-user
+# activity lists. Week truncation is Monday-start in both engines;
+# the offset division is exact (day difference is a multiple of 7).
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / F.lit(7.0))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+register(
+    "events_retention_cohorts",
+    _q_retention,
+    """WITH ev AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+first AS (
+    SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, e.week) / 7 AS BIGINT)
+           AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM ev e JOIN first f ON e.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset""",
+)

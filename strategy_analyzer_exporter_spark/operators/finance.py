@@ -536,3 +536,68 @@ FROM m WHERE n >= {MACD_SLOW}"""
 
 
 register("bars_macd", _q_macd, _MACD_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Stochastic oscillator %K(14) / %D(3): windowed min/max over the
+# trailing 14 bars plus a 3-bar simple average of %K. Every value is a
+# fixed sequence of correctly-rounded double ops on identical inputs
+# (window min/max pick existing doubles; the ratio and the 3-term
+# pinned-order average are single expressions), so both engines agree
+# bit-for-bit. Flat-window convention: hh == ll emits 50.0. One
+# day-partitioned shuffle shared by all the window expressions.
+
+STOCH_N = 14
+
+
+def _q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    b = bars_df(spark, sf_dir)
+    wf = Window.partitionBy("day").orderBy("time").rowsBetween(-(STOCH_N - 1), 0)
+    wl = Window.partitionBy("day").orderBy("time")
+    staged = b.select(
+        "day",
+        "time",
+        "close",
+        F.max("high").over(wf).alias("hh"),
+        F.min("low").over(wf).alias("ll"),
+        F.count(F.lit(1)).over(wf).alias("_n"),
+    )
+    k = F.when(F.col("hh") == F.col("ll"), F.lit(50.0)).otherwise(
+        F.lit(100.0) * (F.col("close") - F.col("ll")) / (F.col("hh") - F.col("ll"))
+    )
+    withk = staged.filter(F.col("_n") >= STOCH_N).select(
+        "day", "time", k.alias("pct_k")
+    )
+    k1, k2 = F.lag("pct_k", 1).over(wl), F.lag("pct_k", 2).over(wl)
+    d = (F.col("pct_k") + k1 + k2) / F.lit(3.0)
+    return withk.select("day", "time", "pct_k", d.alias("pct_d")).filter(
+        F.col("pct_d").isNotNull()
+    )
+
+
+_STOCH_ORACLE = f"""WITH {BARS_CTE},
+staged AS (
+    SELECT day, time, close,
+           max(high) OVER wf AS hh,
+           min(low) OVER wf AS ll,
+           count(*) OVER wf AS n
+    FROM bars
+    WINDOW wf AS (PARTITION BY day ORDER BY time
+                  ROWS BETWEEN {STOCH_N - 1} PRECEDING AND CURRENT ROW)
+),
+withk AS (
+    SELECT day, time,
+           CASE WHEN hh = ll THEN 50.0
+                ELSE 100.0 * (close - ll) / (hh - ll) END AS pct_k
+    FROM staged WHERE n >= {STOCH_N}
+)
+SELECT day, time, pct_k,
+       (pct_k + lag(pct_k, 1) OVER w + lag(pct_k, 2) OVER w) / 3.0 AS pct_d
+FROM withk
+WINDOW w AS (PARTITION BY day ORDER BY time)
+QUALIFY pct_d IS NOT NULL"""
+
+
+register("bars_stochastic", _q_stochastic, _STOCH_ORACLE)

@@ -183,6 +183,26 @@ def test_bruteforce_streams_corpus_not_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_embedding_quantize_is_map_only(spark):
+    """int8 quantization is a per-row pure function of the vector:
+    zero exchanges, like the PII scrub."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["embedding_quantize_int8"](spark, SF)
+    assert P.count_exchanges(q) == 0, P.physical_plan(q)
+
+
+def test_funnel_broadcasts_stage_relations(spark):
+    """Each funnel stage gates on the previous stage via a BROADCAST of
+    the per-user stage relation — the events side must never shuffle
+    into the stage join (the per-user relations are orders of magnitude
+    smaller than the fact scan)."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["events_funnel_3step"](spark, SF)
+    assert P.count_broadcast_joins(q) >= 2, P.physical_plan(q)
+
+
 def test_no_registered_query_has_unpartitioned_window(spark):
     """No registered query may rank through a WindowExec with an empty
     partition spec — that moves the whole relation to ONE task (the
