@@ -182,3 +182,25 @@ def export_to_duckdb(
     if telemetry is not None:
         telemetry.mark_finished()
     return n
+
+
+def print_data_bar_sink(df: DataFrame, limit: int = 20, printer=print) -> int:
+    """S10 parity: the reference's optional per-row debug print
+    (EnablePrintDataBar, StrategyAnalyzerExporter.cs:218-225 — one
+    ``t=…, d=…, O=…, H=…, L=…, C=…, Vol=…`` line per bar, emitted
+    through EventManager.cs:5-14). Debug surface, not a correctness
+    surface: rows are hard-capped at ``limit`` so pointing it at a
+    100 TB relation collects k rows, never the relation. Returns the
+    number of rows printed. The streaming analogue is the ``console``
+    format (or a foreachBatch calling this formatter per epoch)."""
+    key_map = {
+        "time": "t", "day": "d", "open": "O", "high": "H",
+        "low": "L", "close": "C", "volume": "Vol",
+    }
+    rows = df.limit(limit).collect()
+    cols = df.columns
+    for r in rows:
+        printer(
+            ", ".join(f"{key_map.get(c, c)}={r[c]}" for c in cols)
+        )
+    return len(rows)
