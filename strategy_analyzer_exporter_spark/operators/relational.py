@@ -785,3 +785,85 @@ register(
     """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)""",
 )
+
+
+# As-of with MAX STALENESS: same union-and-carry-forward shape as
+# join_asof, but the carried payload is a (ts, value) struct so the
+# match can be nulled when the most recent purchase is older than the
+# tolerance — the market-data "quote too stale to use" rule. Cost is
+# identical to the tolerance-free as-of: one shuffle + one sort.
+
+ASOF_TOL_S = 6 * 3600  # 6 hours
+
+
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "event_type")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", F.struct("ts", "value").alias("_p"))
+    )
+    tagged = left.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.lit(None).cast("struct<ts:timestamp,value:double>").alias("_p"),
+        F.lit(1).alias("_side"),
+    ).unionByName(
+        right.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(None).cast("string").alias("event_type"),
+            F.col("_p").cast("struct<ts:timestamp,value:double>"),
+            F.lit(0).alias("_side"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        tagged.withColumn("_a", F.last("_p", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    age_us = F.timestamp_diff("MICROSECOND", F.col("_a.ts"), F.col("ts"))
+    fresh = age_us <= F.lit(ASOF_TOL_S * 1_000_000)
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(fresh, F.col("_a.value")).alias("asof_fresh_value"),
+        F.coalesce(fresh, F.lit(False)).alias("has_fresh_purchase"),
+    )
+
+
+register(
+    "join_asof_tolerance",
+    _q_asof_tolerance,
+    f"""WITH purch AS (
+    SELECT user_id, ts, value
+    FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS _rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE _rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= {ASOF_TOL_S * 1_000_000}
+            THEN p.value END AS asof_fresh_value,
+       coalesce(epoch_us(e.ts) - epoch_us(p.ts) <= {ASOF_TOL_S * 1_000_000}, FALSE)
+           AS has_fresh_purchase
+FROM events e
+ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+)

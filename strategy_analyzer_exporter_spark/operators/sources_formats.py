@@ -144,3 +144,62 @@ _PART_ORACLE = """SELECT lang, source, count(*) AS n_docs,
 FROM documents WHERE lang IN ('en', 'de') GROUP BY lang, source"""
 
 register("source_partitioned_pruned", _q_partitioned, _PART_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: a lake table whose early files predate two columns.
+# Batch 1 (even doc_ids) is written with 3 columns, batch 2 (odd) with
+# all 5; reading the directory with mergeSchema=true must unify to the
+# widest schema with NULLs for the missing columns — the evolution
+# contract every long-lived 100 TB table depends on (schema merging is
+# a footer-only operation; data files are never rewritten). The oracle
+# reproduces the split from the original parquet with CASE/NULL.
+
+
+def _stage_evolved(spark: SparkSession, sf_dir: str) -> str:
+    path = os.path.join(
+        _staging_root(), "docs_evolve_" + sf_dir.strip("/").split("/")[-1]
+    )
+    if path not in _STAGED:
+        d = load_table(spark, sf_dir, "documents")
+        (
+            d.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "text", "lang")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "b1"))
+        )
+        (
+            d.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "b2"))
+        )
+        _STAGED.add(path)
+    return path
+
+
+def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_evolved(spark, sf_dir)
+    d = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "b*")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("source").cast("long").alias("n_with_source"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).cast("long").alias(
+            "chars_known"
+        ),
+    )
+
+
+register(
+    "source_schema_evolution",
+    _q_schema_evolution,
+    """SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN doc_id % 2 = 1 THEN source END) AS BIGINT)
+           AS n_with_source,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS chars_known
+FROM documents GROUP BY lang""",
+)
