@@ -212,6 +212,11 @@ def _scale_probe(spark, queries) -> dict:
             # at query-build time, so flip the env and rebuild)
             from strategy_analyzer_exporter_spark.functions import vector
 
+            if vector.kernel() == "fold":
+                # the global fold override wins inside pair_cosine/
+                # pair_bucket, so a flipped pair-kernel env would be a
+                # silent no-op and the [pair=arrow] label a lie — skip
+                continue
             active = vector.pair_kernel()
             other = "arrow" if active == "fold" else "fold"
             prev = os.environ.get(vector.PAIR_KERNEL_ENV)

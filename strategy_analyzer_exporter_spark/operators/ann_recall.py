@@ -37,20 +37,23 @@ from strategy_analyzer_exporter_spark.registry import (
 
 def _recall_stats(approx: DataFrame, truth: DataFrame, method: str) -> DataFrame:
     """Per-query hit counts of ``approx`` (query_id, cand_id, ...)
-    against ``truth``. The division is small-int / small-int — exact in
-    double in both engines."""
+    against ``truth``, with the per-query truth size carried along.
+    Divisions are small-int / small-int — exact in double in both
+    engines."""
+    truth_counts = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
     j = approx.select("query_id", "cand_id").join(
         F.broadcast(truth.withColumn("_hit", F.lit(1))),
         ["query_id", "cand_id"],
         "left",
     )
-    return (
-        j.groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_approx"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
-        )
-        .select(F.lit(method).alias("method"), "query_id", "n_approx", "n_hits")
+    per = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
+    )
+    return per.join(F.broadcast(truth_counts), "query_id").select(
+        F.lit(method).alias("method"), "query_id", "n_approx", "n_truth", "n_hits"
     )
 
 
@@ -60,12 +63,23 @@ def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pq = _recall_stats(QUERIES["similarity_pq_adc"](spark, sf_dir), truth, "pq_adc")
     lsh = _recall_stats(QUERIES["similarity_lsh_ann"](spark, sf_dir), truth, "lsh_ann")
+    # both quality numbers, honestly named: hit_rate (hits over what the
+    # index RETURNED — precision@k) and recall (hits over the exact
+    # top-5 ground-truth set). A 3-candidate index with all 3 in the
+    # truth set has hit_rate 1.0 but recall 0.6 — conflating the two
+    # overstates index quality.
     return (
         pq.unionByName(lsh)
         .withColumn(
-            "recall", F.col("n_hits").cast("double") / F.col("n_approx").cast("double")
+            "hit_rate",
+            F.col("n_hits").cast("double") / F.col("n_approx").cast("double"),
         )
-        .select("method", "query_id", "n_approx", "n_hits", "recall")
+        .withColumn(
+            "recall", F.col("n_hits").cast("double") / F.col("n_truth").cast("double")
+        )
+        .select(
+            "method", "query_id", "n_approx", "n_truth", "n_hits", "hit_rate", "recall"
+        )
     )
 
 
@@ -75,6 +89,10 @@ def _register() -> None:
     lsh = ORACLES["similarity_lsh_ann"]
     oracle = f"""WITH truth AS (
     SELECT query_id, cand_id FROM ({truth}) t
+),
+tn AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+    FROM truth GROUP BY query_id
 ),
 pq AS (SELECT query_id, cand_id FROM ({pq}) t),
 lsh AS (SELECT query_id, cand_id FROM ({lsh}) t),
@@ -93,9 +111,10 @@ stats AS (
     FROM lsh a LEFT JOIN truth t USING (query_id, cand_id)
     GROUP BY a.query_id
 )
-SELECT method, query_id, n_approx, n_hits,
-       CAST(n_hits AS DOUBLE) / CAST(n_approx AS DOUBLE) AS recall
-FROM stats"""
+SELECT s.method, s.query_id, s.n_approx, tn.n_truth, s.n_hits,
+       CAST(s.n_hits AS DOUBLE) / CAST(s.n_approx AS DOUBLE) AS hit_rate,
+       CAST(s.n_hits AS DOUBLE) / CAST(tn.n_truth AS DOUBLE) AS recall
+FROM stats s JOIN tn ON s.query_id = tn.query_id"""
     register("similarity_pq_recall", _q_pq_recall, oracle)
 
 

@@ -20,6 +20,7 @@ from strategy_analyzer_exporter_spark.operators.features import (
 )
 from strategy_analyzer_exporter_spark.registry import register
 from strategy_analyzer_exporter_spark.sources.bars import BARS_CTE, bars_df
+from strategy_analyzer_exporter_spark.sources.staging import staging_root
 from strategy_analyzer_exporter_spark.sources.tables import load_table
 
 
@@ -31,19 +32,13 @@ from strategy_analyzer_exporter_spark.sources.tables import load_table
 _STAGED: set[str] = set()
 
 
-def _stage_root() -> str:
-    from strategy_analyzer_exporter_spark.sources.staging import staging_root
-
-    return staging_root()
-
-
 def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strategy_analyzer_exporter_spark.streaming import (
         BAR_SCHEMA,
         run_stream_to_memory,
     )
 
-    stage = os.path.join(_stage_root(), "bars_stream_" + sf_dir.strip("/").split("/")[-1])
+    stage = os.path.join(staging_root(), "bars_stream_" + sf_dir.strip("/").split("/")[-1])
     # one file per day → every day's bars arrive time-ordered within one
     # micro-batch; days may split across batches arbitrarily. The source
     # parquet is immutable test data, so stage once per process (bench
@@ -86,7 +81,7 @@ def _q_streaming_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stage = os.path.join(
-        _stage_root(), "bars_stream_" + sf_dir.strip("/").split("/")[-1]
+        staging_root(), "bars_stream_" + sf_dir.strip("/").split("/")[-1]
     )
     if stage not in _STAGED:
         bars = bars_df(spark, sf_dir).select([f.name for f in BAR_SCHEMA.fields])

@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from strategy_analyzer_exporter_spark.sources.staging import staging_root
+
 from strategy_analyzer_exporter_spark.operators.features import (
     FeatureConfig,
     TESTDATA_CONFIG,
@@ -50,14 +52,6 @@ from strategy_analyzer_exporter_spark.functions.exact import (
     q12 as _q12,
     slope as _slope,
 )
-
-def _stage_root() -> str:
-    """Shared scratch root (sources/staging.py) — honors
-    SPARK_GRAFT_TMP_DIR; no container-specific hardcoding (ADVICE r03)."""
-    from strategy_analyzer_exporter_spark.sources.staging import staging_root
-
-    return staging_root()
-
 
 BAR_SCHEMA = T.StructType(
     [
@@ -244,7 +238,7 @@ def run_windowed_counts_to_memory(
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     # stage the events with ts normalized to a plain timestamp column
-    stage = os.path.join(_stage_root(), "events_stream_" + sf_dir.strip("/").split("/")[-1])
+    stage = os.path.join(staging_root(), "events_stream_" + sf_dir.strip("/").split("/")[-1])
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
     ev.write.mode("overwrite").parquet(stage)
     schema = T.StructType(
@@ -287,7 +281,7 @@ def run_streaming_dedup_to_memory(
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     stage = os.path.join(
-        _stage_root(), "events_dedup_stream_" + sf_dir.strip("/").split("/")[-1]
+        staging_root(), "events_dedup_stream_" + sf_dir.strip("/").split("/")[-1]
     )
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
     ev.write.mode("overwrite").parquet(stage)
@@ -335,10 +329,7 @@ def run_streaming_dedup_watermarked_to_memory(
     data (ADVICE r03, medium)."""
     import os
 
-    from strategy_analyzer_exporter_spark.sources.staging import (
-        stage_days_ordered,
-        staging_root,
-    )
+    from strategy_analyzer_exporter_spark.sources.staging import stage_days_ordered
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     stage = os.path.join(
@@ -428,10 +419,7 @@ def run_streaming_running_counts_to_memory(
     order."""
     import os
 
-    from strategy_analyzer_exporter_spark.sources.staging import (
-        stage_days_ordered,
-        staging_root,
-    )
+    from strategy_analyzer_exporter_spark.sources.staging import stage_days_ordered
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     stage = os.path.join(
@@ -520,7 +508,7 @@ def run_session_windows_to_memory(
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     stage = os.path.join(
-        _stage_root(), "events_sess_stream_" + sf_dir.strip("/").split("/")[-1]
+        staging_root(), "events_sess_stream_" + sf_dir.strip("/").split("/")[-1]
     )
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     if not os.path.exists(os.path.join(stage, "real", "_SUCCESS")):
@@ -591,7 +579,7 @@ def run_interval_join_to_memory(
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     stage = os.path.join(
-        _stage_root(), "events_ijoin_stream_" + sf_dir.strip("/").split("/")[-1]
+        staging_root(), "events_ijoin_stream_" + sf_dir.strip("/").split("/")[-1]
     )
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         load_table(spark, sf_dir, "events").select(

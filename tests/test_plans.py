@@ -222,6 +222,9 @@ def test_no_registered_query_has_unpartitioned_window(spark):
         if n:
             offenders[name] = n
     assert not offenders, offenders
+
+
+def test_kmeans_assign_stream_is_map_only(spark):
     """The streamed k-means assign must not shuffle the corpus: the
     centroid matrix rides in the closure, so the plan is scan →
     (optional spread) → MapInPandas with no joins at all."""
