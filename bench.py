@@ -45,8 +45,10 @@ HEADLINE = (
     "similarity_pq_adc",
     "pii_email_scrub",
     "text_repetition_signals",
-    # round-4 representatives
-    "bars_macd",
+    # round-4 representatives (bars_stochastic, not bars_macd: the MACD
+    # signal is an oracle-parity prefix-fold — O(n²) per day by design,
+    # correctness surface, not a throughput surface)
+    "bars_stochastic",
     "embedding_quantize_int8",
     "events_funnel_3step",
 )

@@ -446,12 +446,15 @@ register("bars_rolling_median", _q_rolling_median, _MED_ORACLE)
 # MACD(12, 26, 9): fast/slow EMA difference plus the signal line (EMA-9
 # of the MACD series) and histogram. Every EMA is the same
 # first-element-seeded left fold as the reference's recursion (and
-# bars_rsi): macd per row comes from two prefix folds over closes; the
-# signal folds over the PREFIX ARRAY OF MACD VALUES, each recomputed
-# from its own close prefix — O(n²)-in-window oracle-parity shape,
-# bounded by day size (the O(n) scale path is the Arrow-batched
-# recursion in operators/features.py). One pinned op sequence per cell,
-# so all three outputs match the oracle bit-for-bit.
+# bars_rsi): macd per row comes from two prefix folds over closes
+# (O(i) each → O(n²) per day, the RSI/ATR oracle-parity shape); the
+# signal then folds over the prefix array of the ALREADY-COMPUTED macd
+# COLUMN — collected with a second window, never recomputed per
+# position (a nested recompute is O(n³)/day: measured as a hard hang
+# at sf0.1's ~3000 bars/day). The O(n) scale path for this whole
+# recursion family is the Arrow-batched recursion in
+# operators/features.py. One pinned op sequence per cell, so all three
+# outputs match the oracle bit-for-bit.
 
 MACD_FAST, MACD_SLOW, MACD_SIG = 12, 26, 9
 
@@ -486,24 +489,28 @@ def _q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "time",
         F.collect_list("close").over(wp).alias("_c"),
-        F.count(F.lit(1)).over(wp).alias("_n"),
     )
-    macd_of = lambda prefix: _ema_fold(prefix, MACD_FAST) - _ema_fold(  # noqa: E731
-        prefix, MACD_SLOW
+    macd = _ema_fold(F.col("_c"), MACD_FAST) - _ema_fold(F.col("_c"), MACD_SLOW)
+    withm = arr.select("day", "time", macd.alias("macd"))
+    # signal: EMA-9 folded over the prefix array of the macd COLUMN —
+    # the second window collects values computed once per row
+    wm = Window.partitionBy("day").orderBy("time").rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    macd = macd_of(F.col("_c"))
-    # prefix array of macd values: position i uses the close prefix 1..i
-    macd_series = F.transform(
-        F.sequence(F.lit(1), F.size("_c")),
-        lambda i: macd_of(F.slice(F.col("_c"), 1, i)),
-    )
-    signal = _ema_fold(macd_series, MACD_SIG)
-    return arr.filter(F.col("_n") >= MACD_SLOW).select(
+    sig = withm.select(
         "day",
         "time",
-        macd.alias("macd"),
+        "macd",
+        F.collect_list("macd").over(wm).alias("_m"),
+        F.count(F.lit(1)).over(wm).alias("_n"),
+    )
+    signal = _ema_fold(F.col("_m"), MACD_SIG)
+    return sig.filter(F.col("_n") >= MACD_SLOW).select(
+        "day",
+        "time",
+        "macd",
         signal.alias("signal"),
-        (macd - signal).alias("histogram"),
+        (F.col("macd") - signal).alias("histogram"),
     )
 
 
@@ -516,23 +523,27 @@ def _macd_of_sql(prefix: str) -> str:
 _MACD_ORACLE = f"""WITH {BARS_CTE},
 arr AS (
     SELECT day, time,
-           list(close) OVER wp AS c,
-           count(*) OVER wp AS n
+           list(close) OVER wp AS c
     FROM bars
     WINDOW wp AS (PARTITION BY day ORDER BY time
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 m AS (
-    SELECT day, time, n, c,
-           {_macd_of_sql('c')} AS macd,
-           list_transform(range(1, len(c) + 1),
-               i -> {_macd_of_sql('list_slice(c, 1, i)')}) AS mseries
+    SELECT day, time, {_macd_of_sql('c')} AS macd
     FROM arr
+),
+s AS (
+    SELECT day, time, macd,
+           list(macd) OVER wm AS mseries,
+           count(*) OVER wm AS n
+    FROM m
+    WINDOW wm AS (PARTITION BY day ORDER BY time
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT day, time, macd,
        {_ema_fold_sql('mseries', MACD_SIG)} AS signal,
        macd - {_ema_fold_sql('mseries', MACD_SIG)} AS histogram
-FROM m WHERE n >= {MACD_SLOW}"""
+FROM s WHERE n >= {MACD_SLOW}"""
 
 
 register("bars_macd", _q_macd, _MACD_ORACLE)
