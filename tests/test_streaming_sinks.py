@@ -272,3 +272,39 @@ def test_schema_to_ddl(spark):
     ddl = spark_schema_to_duckdb_ddl(df.schema, "features")
     assert ddl.startswith('CREATE TABLE IF NOT EXISTS "features"')
     assert '"close" REAL' in ddl and '"day" INTEGER' in ddl
+
+
+def test_stage_days_ordered_forces_chronological_mtimes(spark, tmp_path):
+    """The staged replay contract (ADVICE r03 medium): one directory per
+    day, and file mtimes strictly increasing in day order, so a
+    maxFilesPerTrigger=1 stream can never advance its watermark past
+    unprocessed older days."""
+    import pyspark.sql.functions as F
+
+    from strategy_analyzer_exporter_spark.sources.staging import (
+        stage_days_ordered,
+    )
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", F.to_date("ts").alias("day")
+    )
+    stage = str(tmp_path / "days")
+    stage_days_ordered(ev, stage)
+    day_dirs = sorted(d for d in os.listdir(stage) if d.startswith("day_"))
+    assert len(day_dirs) >= 2
+    prev = None
+    for d in day_dirs:
+        files = [
+            os.path.join(stage, d, f)
+            for f in os.listdir(os.path.join(stage, d))
+            if not f.startswith("_") and not f.startswith(".")
+        ]
+        assert files, d
+        mt = max(os.path.getmtime(f) for f in files)
+        if prev is not None:
+            assert mt > prev, (d, mt, prev)
+        prev = mt
+    # idempotent: the flag blocks a restage on the second call
+    assert os.path.exists(os.path.join(stage, "_STAGED_OK"))
+    stage_days_ordered(ev, stage)
