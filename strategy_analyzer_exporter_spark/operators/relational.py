@@ -867,3 +867,58 @@ SELECT e.event_id, e.user_id, e.ts, e.event_type,
 FROM events e
 ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.ts""",
 )
+
+
+# Revenue concentration: what share of total revenue the top-20
+# customers carry — the "how skewed is this key" audit every pipeline
+# wants before choosing a partitioning. TakeOrdered produces the k-row
+# top set (functions/topk.py argument), both sums are decimal-staged
+# (order-independent), and the share is one double division of
+# identically-computed inputs — bit-exact.
+
+CONC_TOP_N = 20
+
+
+def _q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(X.dsum("o_totalprice").alias("rev"))
+    top = (
+        per.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+        .limit(CONC_TOP_N)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_top"),
+            X.dsum("rev").alias("top_rev"),
+        )
+    )
+    total = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        X.dsum("rev").alias("total_rev"),
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "n_top",
+        "n_customers",
+        "top_rev",
+        "total_rev",
+        (F.col("top_rev") / F.col("total_rev")).alias("top_share"),
+    )
+
+
+register(
+    "agg_revenue_concentration",
+    _q_revenue_concentration,
+    f"""WITH per AS (
+    SELECT o_custkey, {X.dsum_sql('o_totalprice')} AS rev
+    FROM orders GROUP BY o_custkey
+),
+top AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_top, {X.dsum_sql('rev')} AS top_rev
+    FROM (SELECT * FROM per ORDER BY rev DESC, o_custkey LIMIT {CONC_TOP_N})
+),
+total AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_customers, {X.dsum_sql('rev')} AS total_rev
+    FROM per
+)
+SELECT top.n_top, total.n_customers, top.top_rev, total.total_rev,
+       top.top_rev / total.total_rev AS top_share
+FROM top CROSS JOIN total""",
+)
