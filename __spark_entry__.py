@@ -47,6 +47,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return features_df(spark, "/root/testdata/sf0.001")
 
 
+#: Queries whose IMPLEMENTATION changed this round: their latest driver
+#: row predates the change, so they jump the rotation queue (right after
+#: never-recorded names) to get a fresh verified row immediately.
+#: r05: funnel/retention lost their forced per-user broadcasts,
+#: bars_rsi/atr/macd switched to the O(n) incremental grouped-map,
+#: dedup_minhash_lsh gained the cached signature relation.
+CHANGED_THIS_ROUND = (
+    "events_funnel_3step",
+    "events_retention_cohorts",
+    "bars_rsi",
+    "bars_atr",
+    "bars_macd",
+    "dedup_minhash_lsh",
+    "similarity_pq_recall",  # extended to all four ANN methods
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -54,7 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round come first: the driver samples a bounded number per round
     (50 as of r02), so front-loading never-recorded names guarantees
     every registered query accumulates a driver-verified row across
-    rounds instead of resampling the same prefix.
+    rounds instead of resampling the same prefix. Queries re-implemented
+    this round (CHANGED_THIS_ROUND) come next — their recorded rows are
+    stale by construction.
 
     The already-recorded tail is then ROTATED by round index (offset =
     rounds × 50 over the alphabetical seen list) so recorded queries
@@ -62,11 +81,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operator recorded in r01 would never be re-sampled (ADVICE r03)."""
     seen, rounds = _recorded_names()
     fresh = sorted(n for n in QUERIES if n not in seen)
-    tail = sorted(n for n in QUERIES if n in seen)
+    changed = [n for n in CHANGED_THIS_ROUND if n in QUERIES and n in seen]
+    tail = sorted(n for n in QUERIES if n in seen and n not in changed)
     if tail:
         off = (rounds * 50) % len(tail)
         tail = tail[off:] + tail[:off]
-    return {n: QUERIES[n] for n in fresh + tail}
+    return {n: QUERIES[n] for n in fresh + changed + tail}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -45,12 +45,15 @@ HEADLINE = (
     "similarity_pq_adc",
     "pii_email_scrub",
     "text_repetition_signals",
-    # round-4 representatives (bars_stochastic, not bars_macd: the MACD
-    # signal is an oracle-parity prefix-fold — O(n²) per day by design,
-    # correctness surface, not a throughput surface)
+    # round-4 representatives
     "bars_stochastic",
     "embedding_quantize_int8",
     "events_funnel_3step",
+    # round-5: bars_macd joins the headline now that the registered
+    # query is the O(n)-per-day incremental grouped-map (the r4 comment
+    # excluding the O(n²) prefix-fold applies only to the *_fold
+    # oracle-parity twins, which stay out)
+    "bars_macd",
 )
 
 # queries whose work happens (partly) INSIDE the query fn — a stream
@@ -88,6 +91,15 @@ PROBE_QUERIES = (
     # documented in functions/vector.py is data, not argument
     "similarity_lsh_ann",
     "similarity_pq_adc",
+    # r05 analytics wave (VERDICT r04 #8): the post-broadcast-fix join
+    # plans get measured exponents like the dedup/similarity families.
+    # These scale on EVENTS rows, not documents — _stage_10x grows the
+    # events table 10× too (disjoint user/event id spaces per copy, so
+    # per-user funnel/retention/as-of structure replicates exactly and
+    # pairs scale linearly by construction).
+    "events_funnel_3step",
+    "events_retention_cohorts",
+    "join_asof_tolerance",
 )
 PAIR_KERNEL_PROBE = ("similarity_lsh_ann",)
 PROBE_TRIALS = 2
@@ -120,10 +132,11 @@ def _stage_10x(spark, sf_dir: str) -> str:
     distribution)."""
     from pyspark.sql import functions as F
 
-    # v3: dir name carries the generator version so a cached corpus
-    # from an older generator is never reused
+    # v4: dir name carries the generator version so a cached corpus
+    # from an older generator is never reused (v4 adds the 10× events
+    # table for the analytics-wave probes)
     out = os.path.join(
-        _probe_staging_root(), "scale10x_v3_" + sf_dir.strip("/").split("/")[-1]
+        _probe_staging_root(), "scale10x_v4_" + sf_dir.strip("/").split("/")[-1]
     )
     done_flag = os.path.join(out, "_STAGED_OK")
     if os.path.exists(done_flag):
@@ -180,6 +193,27 @@ def _stage_10x(spark, sf_dir: str) -> str:
         emb10 = c if emb10 is None else emb10.unionByName(c)
     emb10.repartition(int(CPUS)).write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet")
+    )
+
+    # events 10×: copy i shifts event_id/user_id into disjoint spaces and
+    # keeps ts/event_type/value verbatim — each copy is an exact image of
+    # the base corpus's per-user event structure, so funnel stages,
+    # retention cohorts, and as-of matches replicate per copy and scale
+    # LINEARLY by construction (the same invariant the document copies
+    # guarantee for shingles).
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    ev10 = ev.crossJoin(spark.range(10).select(F.col("id").alias("copy"))).select(
+        (F.col("event_id") + F.col("copy") * n_ev).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("copy") * n_users).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    ev10.repartition(int(CPUS)).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
     )
     open(done_flag, "w").close()
     return out

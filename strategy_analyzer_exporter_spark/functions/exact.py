@@ -88,11 +88,47 @@ def autocorr_windowed(win: list[float], prev_products: list[float]) -> float:
     return num / den
 
 
+def autocorr_from_sums(
+    n_elems: int, first: float, x: float, s_int: int, ss_int: int, p_int: int
+) -> float:
+    """:func:`autocorr_windowed` from PRE-ACCUMULATED scaled-integer
+    sums — the O(1)-per-bar form of the same computation. The three
+    quantized sums are exact integers, so a sliding accumulator
+    (add the entering term, subtract the evicted term) produces the
+    IDENTICAL integers the per-row full re-sum produces, and everything
+    after the d12 conversions is the same pinned float64 sequence —
+    bit-equal by construction (asserted against the windowed form in
+    tests/test_features_pipeline.py). This is what the reference's
+    incremental indicator update does with its circular buffer
+    (CircularBuffer.cs:30-37): O(1) per bar instead of O(window)."""
+    n = float(n_elems)
+    if n <= 1.0:
+        return 0.0
+    s = d12(s_int)
+    ss = d12(ss_int)
+    p = d12(p_int)
+    m = s / n
+    num = p - m * (2.0 * s - first - x) + (n - 1.0) * m * m
+    den = ss - 2.0 * m * s + n * m * m
+    if abs(den) < TOL:
+        return 0.0
+    return num / den
+
+
 def slope(win: list[float], current: float, tolerance: float) -> float:
     """W5 slope: percent change first→current over the window."""
     if len(win) < 2:
         return 0.0
-    first = win[0]
+    return slope_first(win[0], len(win), current, tolerance)
+
+
+def slope_first(
+    first: float, n_elems: int, current: float, tolerance: float
+) -> float:
+    """:func:`slope` taking the window's first element + length directly
+    (the streaming updater tracks both without materializing a list)."""
+    if n_elems < 2:
+        return 0.0
     if abs(first) < tolerance:
         return 0.0
     return (current - first) / first * 100.0

@@ -2,7 +2,8 @@
 exact brute-force ground truth (VERDICT r03 next #6).
 
 An ANN index you can't measure recall on is unshippable. This query
-computes, per query vector and per method (PQ/ADC and LSH-bucketed),
+computes, per query vector and per method (every registered index:
+PQ/ADC, single-table LSH, multi-table LSH, label-partitioned IVF),
 how many of the method's returned neighbors appear in the exact top-5
 — in BOTH engines from their own full pipelines, so the driver's
 hash-compare certifies that the Spark index and the oracle index make
@@ -57,19 +58,35 @@ def _recall_stats(approx: DataFrame, truth: DataFrame, method: str) -> DataFrame
     )
 
 
+#: method label → registered ANN query it measures. EVERY registered
+#: ANN index has a row here (VERDICT r04 #6) — an index without a
+#: measured recall is unshippable.
+ANN_METHODS = {
+    "pq_adc": "similarity_pq_adc",
+    "lsh_ann": "similarity_lsh_ann",
+    "lsh_multitable": "similarity_lsh_multitable",
+    "ivf_label": "similarity_ivf_label",
+}
+
+
 def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = QUERIES["similarity_bruteforce_topk"](spark, sf_dir).select(
         "query_id", "cand_id"
     )
-    pq = _recall_stats(QUERIES["similarity_pq_adc"](spark, sf_dir), truth, "pq_adc")
-    lsh = _recall_stats(QUERIES["similarity_lsh_ann"](spark, sf_dir), truth, "lsh_ann")
+    stats = [
+        _recall_stats(QUERIES[qname](spark, sf_dir), truth, method)
+        for method, qname in ANN_METHODS.items()
+    ]
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
     # both quality numbers, honestly named: hit_rate (hits over what the
     # index RETURNED — precision@k) and recall (hits over the exact
     # top-5 ground-truth set). A 3-candidate index with all 3 in the
     # truth set has hit_rate 1.0 but recall 0.6 — conflating the two
     # overstates index quality.
     return (
-        pq.unionByName(lsh)
+        out
         .withColumn(
             "hit_rate",
             F.col("n_hits").cast("double") / F.col("n_approx").cast("double"),
@@ -85,8 +102,19 @@ def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _register() -> None:
     truth = ORACLES["similarity_bruteforce_topk"]
-    pq = ORACLES["similarity_pq_adc"]
-    lsh = ORACLES["similarity_lsh_ann"]
+    method_ctes = ",\n".join(
+        f"m_{m} AS (SELECT query_id, cand_id FROM ({ORACLES[q]}) t)"
+        for m, q in ANN_METHODS.items()
+    )
+    stats_union = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{m}' AS method, a.query_id,
+           CAST(count(*) AS BIGINT) AS n_approx,
+           CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+    FROM m_{m} a LEFT JOIN truth t USING (query_id, cand_id)
+    GROUP BY a.query_id"""
+        for m in ANN_METHODS
+    )
     oracle = f"""WITH truth AS (
     SELECT query_id, cand_id FROM ({truth}) t
 ),
@@ -94,22 +122,9 @@ tn AS (
     SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
     FROM truth GROUP BY query_id
 ),
-pq AS (SELECT query_id, cand_id FROM ({pq}) t),
-lsh AS (SELECT query_id, cand_id FROM ({lsh}) t),
+{method_ctes},
 stats AS (
-    SELECT 'pq_adc' AS method, a.query_id,
-           CAST(count(*) AS BIGINT) AS n_approx,
-           CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_hits
-    FROM pq a LEFT JOIN truth t USING (query_id, cand_id)
-    GROUP BY a.query_id
-    UNION ALL
-    SELECT 'lsh_ann' AS method, a.query_id,
-           CAST(count(*) AS BIGINT) AS n_approx,
-           CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_hits
-    FROM lsh a LEFT JOIN truth t USING (query_id, cand_id)
-    GROUP BY a.query_id
+    {stats_union}
 )
 SELECT s.method, s.query_id, s.n_approx, tn.n_truth, s.n_hits,
        CAST(s.n_hits AS DOUBLE) / CAST(s.n_approx AS DOUBLE) AS hit_rate,
@@ -120,9 +135,5 @@ FROM stats s JOIN tn ON s.query_id = tn.query_id"""
 
 register_deferred(
     _register,
-    requires=(
-        "similarity_bruteforce_topk",
-        "similarity_pq_adc",
-        "similarity_lsh_ann",
-    ),
+    requires=("similarity_bruteforce_topk", *ANN_METHODS.values()),
 )

@@ -58,9 +58,14 @@ def _q_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (state-store round-trip + memory-sink collect, ~1.4s/batch);
     # results are bit-equal either way (asserted in
     # tests/test_streaming_sinks.py::test_single_batch_equals_default).
+    # 16 state partitions: the corpus has ~30 live day-keys, and each
+    # state partition costs a store-commit + Python round-trip per batch
+    # (run_stream_to_memory docstring); results are bit-equal at any
+    # partitioning. Overridable the same way MFPT is.
     return run_stream_to_memory(
         spark, stage, TESTDATA_CONFIG, query_name=name,
         max_files_per_trigger=int(os.environ.get("SPARK_GRAFT_STREAM_MFPT", "15")),
+        state_partitions=int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "16")),
     )
 
 
@@ -92,6 +97,7 @@ def _q_streaming_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark, stage, cfg, query_name=name,
         max_files_per_trigger=int(os.environ.get("SPARK_GRAFT_STREAM_MFPT", "15")),
+        state_partitions=int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "16")),
     )
 
 
@@ -493,11 +499,15 @@ SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part""",
 # Funnel analysis: view → click → purchase, strictly ordered in event
 # time per user. The scalable funnel shape is k chained (filter →
 # per-user min) aggregations, each gated on the previous stage's
-# timestamp via a BROADCAST of the per-user stage relation (one row per
-# user — always tiny relative to events). k passes over the events
-# scan, no events-side shuffle beyond the per-stage user agg; at 100 TB
-# this beats any collect-per-user-sort approach by never materializing
-# per-user event lists.
+# timestamp via a plain user_id equi-join: every stage relation is one
+# row per user, so it GROWS WITH |users| and must NOT carry an explicit
+# broadcast hint (a hint overrides Spark's size threshold → executor
+# OOM at the 100 TB design point). The stage aggregates are already
+# hash-partitioned by their groupBy("user_id"), so the gate joins
+# reuse that exchange; AQE still broadcasts when a stage is genuinely
+# small. k passes over the events scan; at 100 TB this beats any
+# collect-per-user-sort approach by never materializing per-user event
+# lists.
 #
 # Missing stages surface as a HIGH-DATE SENTINEL, not NULL: the
 # cross-engine harness can never compare NULL timestamps equal (pandas
@@ -516,14 +526,14 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t2 = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(t1), "user_id")
+        .join(t1, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     t3 = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(t2), "user_id")
+        .join(t2, "user_id")
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
@@ -582,9 +592,9 @@ LEFT JOIN t3 ON t1.user_id = t3.user_id""",
 # Retention cohorts: users grouped by first-seen week; for each
 # (cohort_week, week_offset) the count of cohort users active that
 # week. Two hash aggregations (first-seen per user, then the cohort
-# matrix) + one broadcast of the per-user cohort relation — the
-# standard scalable retention shape; nothing materializes per-user
-# activity lists. Week truncation is Monday-start in both engines;
+# matrix) joined on user_id — the per-user cohort relation grows with
+# |users|, so no broadcast hint (AQE decides); the standard scalable
+# retention shape; nothing materializes per-user activity lists. Week truncation is Monday-start in both engines;
 # the offset division is exact (day difference is a multiple of 7).
 
 
@@ -595,7 +605,7 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     active = ev.distinct()
     return (
-        active.join(F.broadcast(first), "user_id")
+        active.join(first, "user_id")
         .select(
             "user_id",
             "cohort_week",

@@ -16,8 +16,10 @@ let min/max file stats do the pruning.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from strategy_analyzer_exporter_spark.functions import dsum, dsum_sql
 from strategy_analyzer_exporter_spark.registry import register
@@ -250,9 +252,19 @@ register("bars_bollinger", _q_bollinger, _BOLL_ORACLE)
 # feature_ema: DuckDB list_reduce seeds with the first element exactly
 # like the Spark fold's element_at(1) init. All per-row doubles follow
 # one pinned op sequence (lag-diff, greatest, fold, one divide chain),
-# so rsi14 matches the oracle bit-for-bit. O(n²) prefix folds bound by
-# day size — the oracle-parity shape; a scale path would reuse the
-# O(n) Arrow-batched recursion in operators/features.py.
+# so rsi14 matches the oracle bit-for-bit.
+#
+# Two implementations per indicator in this family (RSI/ATR/MACD), the
+# features_flagship vs features_flagship_fused precedent:
+#   - the PRIMARY registered query (bars_rsi/bars_atr/bars_macd) is the
+#     O(n)-per-day incremental grouped-map — the reference's own shape
+#     (O(1) per bar, StrategyAnalyzerExporter.cs:138-139; CircularBuffer
+#     O(1) append, FeatureEngineering/Utils/CircularBuffer.cs:30-37)
+#     and the only shape that survives 10⁵-bar days at 100 TB;
+#   - the *_fold twin is the UDF-free pure-expression prefix-array fold
+#     (O(n²)/day memory) kept as the oracle-parity cross-check — both
+#     paths execute the identical float64 op sequence and must agree
+#     bit-for-bit (asserted in tests/test_oracle_parity.py).
 
 RSI_N = 14
 
@@ -326,7 +338,61 @@ SELECT day, time,
 FROM arr WHERE n >= {RSI_N}"""
 
 
-register("bars_rsi", _q_rsi, _RSI_ORACLE)
+def _wilder_step(acc: float, x: float, first: bool) -> float:
+    """One Wilder update — the exact float64 ops of the list_reduce
+    fold: seed with the first element, then acc + (x − acc)/N."""
+    return x if first else acc + (x - acc) / float(RSI_N)
+
+
+_RSI_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.IntegerType()),
+        T.StructField("time", T.IntegerType()),
+        T.StructField("rsi14", T.DoubleType()),
+    ]
+)
+
+
+def _rsi_day(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("time", kind="mergesort").reset_index(drop=True)
+    closes = [float(v) for v in pdf["close"]]
+    times = pdf["time"].tolist()
+    day = int(pdf["day"].iloc[0]) if len(pdf) else 0
+    out_t: list[int] = []
+    out_v: list[float] = []
+    acc_g = acc_l = 0.0
+    for i in range(1, len(closes)):
+        delta = closes[i] - closes[i - 1]
+        gain = delta if delta > 0.0 else 0.0
+        loss = -delta if delta < 0.0 else 0.0
+        acc_g = _wilder_step(acc_g, gain, i == 1)
+        acc_l = _wilder_step(acc_l, loss, i == 1)
+        if i >= RSI_N:  # i == count of delta rows so far
+            rsi = (
+                100.0
+                if acc_l == 0.0
+                else 100.0 - 100.0 / (1.0 + acc_g / acc_l)
+            )
+            out_t.append(times[i])
+            out_v.append(rsi)
+    return pd.DataFrame(
+        {
+            "day": pd.Series([day] * len(out_t), dtype="int32"),
+            "time": pd.Series(out_t, dtype="int32"),
+            "rsi14": pd.Series(out_v, dtype="float64"),
+        }
+    )
+
+
+def _q_rsi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(n)-per-day RSI: one hash(day) shuffle into an Arrow batch per
+    day, single sequential pass (the reference's incremental shape)."""
+    b = bars_df(spark, sf_dir).select("day", "time", "close")
+    return b.groupBy("day").applyInPandas(_rsi_day, _RSI_SCHEMA)
+
+
+register("bars_rsi", _q_rsi_incremental, _RSI_ORACLE)
+register("bars_rsi_fold", _q_rsi, _RSI_ORACLE)
 
 
 # ---------------------------------------------------------------------------
@@ -335,9 +401,8 @@ register("bars_rsi", _q_rsi, _RSI_ORACLE)
 # no previous close, so its true range is high − low (the standard
 # convention). All per-row doubles follow one pinned op sequence
 # (lag, three subtractions, abs, greatest, fold), so atr14 matches the
-# oracle bit-for-bit. Same oracle-parity prefix-fold shape as RSI; the
-# O(n) scale path is the Arrow-batched recursion in
-# operators/features.py.
+# oracle bit-for-bit. Registered bars_atr is the O(n) incremental
+# grouped-map; this fold twin is the UDF-free oracle-parity shape.
 
 
 def _q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,7 +456,53 @@ SELECT day, time, {_wilder_sql('tarr')} AS atr14
 FROM arr WHERE n >= {RSI_N}"""
 
 
-register("bars_atr", _q_atr, _ATR_ORACLE)
+_ATR_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.IntegerType()),
+        T.StructField("time", T.IntegerType()),
+        T.StructField("atr14", T.DoubleType()),
+    ]
+)
+
+
+def _atr_day(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("time", kind="mergesort").reset_index(drop=True)
+    highs = [float(v) for v in pdf["high"]]
+    lows = [float(v) for v in pdf["low"]]
+    closes = [float(v) for v in pdf["close"]]
+    times = pdf["time"].tolist()
+    day = int(pdf["day"].iloc[0]) if len(pdf) else 0
+    out_t: list[int] = []
+    out_v: list[float] = []
+    acc = 0.0
+    for i in range(len(closes)):
+        if i == 0:
+            tr = highs[i] - lows[i]
+        else:
+            pc = closes[i - 1]
+            tr = max(highs[i] - lows[i], abs(highs[i] - pc), abs(lows[i] - pc))
+        acc = _wilder_step(acc, tr, i == 0)
+        if i + 1 >= RSI_N:
+            out_t.append(times[i])
+            out_v.append(acc)
+    return pd.DataFrame(
+        {
+            "day": pd.Series([day] * len(out_t), dtype="int32"),
+            "time": pd.Series(out_t, dtype="int32"),
+            "atr14": pd.Series(out_v, dtype="float64"),
+        }
+    )
+
+
+def _q_atr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(n)-per-day ATR: same incremental Wilder recursion as bars_rsi,
+    true range computed inline from (high, low, prev close)."""
+    b = bars_df(spark, sf_dir).select("day", "time", "high", "low", "close")
+    return b.groupBy("day").applyInPandas(_atr_day, _ATR_SCHEMA)
+
+
+register("bars_atr", _q_atr_incremental, _ATR_ORACLE)
+register("bars_atr_fold", _q_atr, _ATR_ORACLE)
 
 
 # ---------------------------------------------------------------------------
@@ -446,15 +557,14 @@ register("bars_rolling_median", _q_rolling_median, _MED_ORACLE)
 # MACD(12, 26, 9): fast/slow EMA difference plus the signal line (EMA-9
 # of the MACD series) and histogram. Every EMA is the same
 # first-element-seeded left fold as the reference's recursion (and
-# bars_rsi): macd per row comes from two prefix folds over closes
-# (O(i) each → O(n²) per day, the RSI/ATR oracle-parity shape); the
-# signal then folds over the prefix array of the ALREADY-COMPUTED macd
+# bars_rsi). The registered bars_macd is the O(n) incremental
+# grouped-map below; this fold twin computes macd per row from two
+# prefix folds over closes (O(i) each → O(n²) per day); the signal
+# then folds over the prefix array of the ALREADY-COMPUTED macd
 # COLUMN — collected with a second window, never recomputed per
 # position (a nested recompute is O(n³)/day: measured as a hard hang
-# at sf0.1's ~3000 bars/day). The O(n) scale path for this whole
-# recursion family is the Arrow-batched recursion in
-# operators/features.py. One pinned op sequence per cell, so all three
-# outputs match the oracle bit-for-bit.
+# at sf0.1's ~3000 bars/day). One pinned op sequence per cell, so all
+# three outputs match the oracle bit-for-bit in both paths.
 
 MACD_FAST, MACD_SLOW, MACD_SIG = 12, 26, 9
 
@@ -546,7 +656,60 @@ SELECT day, time, macd,
 FROM s WHERE n >= {MACD_SLOW}"""
 
 
-register("bars_macd", _q_macd, _MACD_ORACLE)
+_MACD_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.IntegerType()),
+        T.StructField("time", T.IntegerType()),
+        T.StructField("macd", T.DoubleType()),
+        T.StructField("signal", T.DoubleType()),
+        T.StructField("histogram", T.DoubleType()),
+    ]
+)
+
+
+def _macd_day(pdf: pd.DataFrame) -> pd.DataFrame:
+    a_fast = 2.0 / (MACD_FAST + 1.0)
+    a_slow = 2.0 / (MACD_SLOW + 1.0)
+    a_sig = 2.0 / (MACD_SIG + 1.0)
+    pdf = pdf.sort_values("time", kind="mergesort").reset_index(drop=True)
+    closes = [float(v) for v in pdf["close"]]
+    times = pdf["time"].tolist()
+    day = int(pdf["day"].iloc[0]) if len(pdf) else 0
+    out: list[tuple[int, float, float, float]] = []
+    ef = es = sig = 0.0
+    for i, x in enumerate(closes):
+        if i == 0:
+            ef = es = x
+            macd = ef - es
+            sig = macd  # signal fold seeds with macd[0]
+        else:
+            ef = ef + a_fast * (x - ef)
+            es = es + a_slow * (x - es)
+            macd = ef - es
+            sig = sig + a_sig * (macd - sig)
+        if i + 1 >= MACD_SLOW:
+            out.append((times[i], macd, sig, macd - sig))
+    return pd.DataFrame(
+        {
+            "day": pd.Series([day] * len(out), dtype="int32"),
+            "time": pd.Series([r[0] for r in out], dtype="int32"),
+            "macd": pd.Series([r[1] for r in out], dtype="float64"),
+            "signal": pd.Series([r[2] for r in out], dtype="float64"),
+            "histogram": pd.Series([r[3] for r in out], dtype="float64"),
+        }
+    )
+
+
+def _q_macd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(n)-per-day MACD(12,26,9): three EMA accumulators advanced in
+    one sequential pass — the reference's incremental indicator shape;
+    bit-equal to the prefix-fold twin and the list_reduce oracle."""
+    b = bars_df(spark, sf_dir).select("day", "time", "close")
+    return b.groupBy("day").applyInPandas(_macd_day, _MACD_SCHEMA)
+
+
+register("bars_macd", _q_macd_incremental, _MACD_ORACLE)
+register("bars_macd_fold", _q_macd, _MACD_ORACLE)
 
 
 # ---------------------------------------------------------------------------

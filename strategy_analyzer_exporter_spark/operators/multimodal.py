@@ -92,23 +92,13 @@ _DECODE_SCHEMA = T.StructType(
 
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched decode. Real decoders (PIL / soundfile / av) are
-    absent in this container — gate behind import-try and fall back to a
-    deterministic fake so the distributed plumbing is fully exercised.
-
-    STUB: with media libraries installed, the `real` branch would open
-    the payload and produce actual pixel/sample statistics."""
-    try:  # pragma: no cover - libs absent in the build container
-        import PIL.Image  # noqa: F401
-
-        decoder = "pillow"
-    except ImportError:
-        decoder = "fake-deterministic"
-
+    absent in this container, so the decode step is a DETERMINISTIC
+    FAKE (byte-mean statistics + integer resize math) — the distributed
+    plumbing (schema, batching, partitioning) is real and tested. With
+    media libraries installed, swap the body of this function for the
+    actual pixel/sample decode; nothing above it changes."""
+    decoder = "fake-deterministic"
     for pdf in batches:
-        if decoder != "fake-deterministic":
-            raise NotImplementedError(
-                "real media decode requires image/audio libs not in this container"
-            )
         payloads = pdf["payload"]
         mean_byte = payloads.map(
             lambda b: float(sum(b)) / len(b) if len(b) else 0.0

@@ -24,18 +24,63 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def _strip_initial_plan_blocks(plan: str) -> str:
+    """Drop ``== Initial Plan ==`` blocks from the plan string. When a
+    cached relation's lineage is printed (once per InMemoryTableScan),
+    it appears as a full AdaptiveSparkPlan carrying BOTH its final plan
+    and the pre-AQE initial plan — the initial plan's exchanges never
+    ran in that form and double-count the final plan's."""
+    out: list[str] = []
+    skip_indent: int | None = None
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip(" :"))
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "== Initial Plan ==" in line:
+            skip_indent = indent
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle exchanges in the plan (excluding broadcast exchanges and
-    AQE-reused ones) — the number that must stay flat as operators are
-    added to a shared-partitioning pipeline."""
-    plan = physical_plan(df)
-    total = len(re.findall(r"\bExchange hashpartitioning", plan))
-    reused = len(re.findall(r"\bReusedExchange", plan))
-    return total - 0 * reused  # reused exchanges print separately
+    """Distinct shuffle exchanges in the plan (excluding broadcast
+    exchanges) — the number that must stay flat as operators are added
+    to a shared-partitioning pipeline.
+
+    Distinct by ``plan_id``: toString re-prints a cached relation's
+    whole lineage under EVERY InMemoryTableScan that reads it, but a
+    cached subtree's shuffles execute once at materialization, not per
+    scan — the repeated prints share plan_ids and must not multiply the
+    count. AQE's "Initial Plan" echo (superseded, never-executed node
+    instances with their own plan_ids) is stripped first."""
+    plan = _strip_initial_plan_blocks(physical_plan(df))
+    ids: set[str] = set()
+    untagged = 0
+    for m in re.finditer(r"\bExchange hashpartitioning[^\n]*", plan):
+        tag = re.search(r"\[plan_id=(\d+)\]", m.group(0))
+        if tag:
+            ids.add(tag.group(1))
+        else:
+            untagged += 1
+    return len(ids) + untagged
 
 
 def count_broadcast_joins(df: DataFrame) -> int:
     return physical_plan(df).count("BroadcastHashJoin")
+
+
+def count_broadcast_hints(df: DataFrame) -> int:
+    """Explicit ``F.broadcast()`` / hint("broadcast") nodes in the
+    ANALYZED logical plan. An explicit hint overrides Spark's size
+    threshold, so a hint on a relation that grows with the data is a
+    guaranteed OOM at scale — tests assert 0 on queries whose build
+    sides scale with |keys| (AQE may still broadcast when genuinely
+    small; that's fine and not counted here)."""
+    s = df._jdf.queryExecution().analyzed().toString()
+    return s.count("ResolvedHint") + s.count("UnresolvedHint")
 
 
 def count_sort_merge_joins(df: DataFrame) -> int:

@@ -44,13 +44,11 @@ from strategy_analyzer_exporter_spark.operators.features import (
 )
 
 from strategy_analyzer_exporter_spark.functions.exact import (
-    TOL,
-    autocorr_windowed as _autocorr_windowed,
-    d12 as _d12,
+    autocorr_from_sums as _ac_sums,
     loc_value as _loc,
     ma_distance as _dist,
     q12 as _q12,
-    slope as _slope,
+    slope_first as _slope_first,
 )
 
 BAR_SCHEMA = T.StructType(
@@ -119,79 +117,138 @@ def make_feature_updater(cfg: FeatureConfig = TESTDATA_CONFIG):
     lag = int(cfg.export_lag_bars)
     cols = [f.name for f in FEATURE_SCHEMA.fields]
 
+    # hot-loop hoists: the updater runs once per (day, micro-batch) but
+    # its inner loop runs once per BAR — attribute lookups and per-row
+    # dict building were ~30% of streaming_features wall at sf0.1
+    t_lo, t_hi = cfg.time_start, cfg.time_end
+    bars_req = cfg.bars_required
+
     def update(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        from collections import deque
+
         day = int(key[0])
         if state.exists:
             n_rows, ema_f, ema_s, wf, ws, pending = state.get
-            wf, ws = list(wf), list(ws)
+            wf, ws = deque(wf), deque(ws)
             pending = [list(r) for r in (pending or [])]
         else:
-            n_rows, ema_f, ema_s, wf, ws, pending = 0, None, None, [], [], []
+            n_rows, ema_f, ema_s, wf, ws, pending = 0, None, None, deque(), deque(), []
 
-        out_rows = []
+        # Sliding-window accumulators, rebuilt from the persisted window
+        # on state restore (once per (day, batch) — O(window), vs the
+        # per-BAR O(window) re-sum they replace): per-element quantized
+        # integers for Σx, Σx², Σxᵢ·xᵢ₋₁ and their exact running sums.
+        # Integer adds/subtracts are order-independent, so the sliding
+        # form is bit-identical to the full re-sum (exact.py
+        # autocorr_from_sums).
+        qf = deque(_q12(v) for v in wf)
+        qf2 = deque(_q12(v * v) for v in wf)
+        qs = deque(_q12(v) for v in ws)
+        qs2 = deque(_q12(v * v) for v in ws)
+        wfl, wsl = list(wf), list(ws)
+        pf = deque(_q12(wfl[i] * wfl[i - 1]) for i in range(1, len(wfl)))
+        ps = deque(_q12(wsl[i] * wsl[i - 1]) for i in range(1, len(wsl)))
+        sf, sf2, spf = sum(qf), sum(qf2), sum(pf)
+        ss_, ss2, sps = sum(qs), sum(qs2), sum(ps)
+
+        # feature rows as tuples in FEATURE_SCHEMA (= cols) order — the
+        # per-column zip at the end beats DataFrame-from-dicts ~5×
+        out_rows: list[tuple] = []
         for pdf in pdfs:
             pdf = pdf.sort_values("time", kind="mergesort")
-            for row in pdf.itertuples(index=False):
-                t, o, h, lo, c, v = (
-                    int(row.time),
-                    float(row.open),
-                    float(row.high),
-                    float(row.low),
-                    float(row.close),
-                    float(row.volume),
-                )
-                if not (cfg.time_start <= t <= cfg.time_end):
+            # .tolist() yields native ints/floats ONCE per batch — the
+            # same values float(row.x) produced per row
+            for t, o, h, lo, c, v in zip(
+                pdf["time"].tolist(),
+                pdf["open"].tolist(),
+                pdf["high"].tolist(),
+                pdf["low"].tolist(),
+                pdf["close"].tolist(),
+                pdf["volume"].tolist(),
+            ):
+                if not (t_lo <= t <= t_hi):
                     continue
                 n_rows += 1
+                prev_f, prev_s = ema_f, ema_s
                 ema_f = c if ema_f is None else ema_f + a_f * (c - ema_f)
                 ema_s = c if ema_s is None else ema_s + a_s * (c - ema_s)
                 wf.append(ema_f)
                 ws.append(ema_s)
+                q = _q12(ema_f)
+                qf.append(q)
+                sf += q
+                q = _q12(ema_f * ema_f)
+                qf2.append(q)
+                sf2 += q
+                q = _q12(ema_s)
+                qs.append(q)
+                ss_ += q
+                q = _q12(ema_s * ema_s)
+                qs2.append(q)
+                ss2 += q
+                if prev_f is not None:
+                    q = _q12(ema_f * prev_f)
+                    pf.append(q)
+                    spf += q
+                    q = _q12(ema_s * prev_s)
+                    ps.append(q)
+                    sps += q
                 if len(wf) > cap:
-                    wf.pop(0)
-                    ws.pop(0)
-                if n_rows < cfg.bars_required:
+                    wf.popleft()
+                    ws.popleft()
+                    sf -= qf.popleft()
+                    sf2 -= qf2.popleft()
+                    ss_ -= qs.popleft()
+                    ss2 -= qs2.popleft()
+                    spf -= pf.popleft()
+                    sps -= ps.popleft()
+                if n_rows < bars_req:
                     continue
-                # prev-products over frame positions 1..n−1 (the batch
-                # pipeline's 20-row window of x_i·x_{i−1})
-                pp_f = [wf[i] * wf[i - 1] for i in range(1, len(wf))]
-                pp_s = [ws[i] * ws[i - 1] for i in range(1, len(ws))]
-                feat = {
-                    "close": c,
-                    "day": day,
-                    "f_close_location_value": _loc(c, h, lo),
-                    "f_moving_average_autocorrelation": _autocorr_windowed(wf, pp_f),
-                    "f_moving_average_distance": _dist(c, ema_f),
-                    "f_moving_average_slope": _slope(wf, ema_f, slope_tol),
-                    "f_moving_average_slow_autocorrelation": _autocorr_windowed(ws, pp_s),
-                    "f_moving_average_slow_distance": _dist(c, ema_s),
-                    "f_open_location_value": _loc(o, h, lo),
-                    "high": h,
-                    "low": lo,
-                    "open": o,
-                    "time": t,
-                    "volume": v,
-                }
+                nw = len(wf)
+                first_f, first_s = wf[0], ws[0]
+                feat = (
+                    c,  # close
+                    day,
+                    _loc(c, h, lo),  # f_close_location_value
+                    _ac_sums(nw, first_f, ema_f, sf, sf2, spf),
+                    _dist(c, ema_f),
+                    _slope_first(first_f, nw, ema_f, slope_tol),
+                    _ac_sums(nw, first_s, ema_s, ss_, ss2, sps),
+                    _dist(c, ema_s),
+                    _loc(o, h, lo),  # f_open_location_value
+                    h,
+                    lo,
+                    o,
+                    t,  # time
+                    v,  # volume
+                )
                 if lag == 0:
                     out_rows.append(feat)
                 else:
                     # FIFO holdback (exact doubles; day/time < 2^53 so
                     # the double round-trip is lossless)
-                    pending.append([float(feat[c_]) for c_ in cols])
+                    pending.append([float(x) for x in feat])
                     if len(pending) > lag:
-                        out_rows.append(dict(zip(cols, pending.pop(0))))
+                        out_rows.append(tuple(pending.pop(0)))
 
-        state.update((n_rows, ema_f, ema_s, wf, ws, pending))
+        state.update((n_rows, ema_f, ema_s, list(wf), list(ws), pending))
         # always yield a correctly-dtyped frame (even empty) — pyspark
         # concatenates yielded batches, and untyped empties trip pandas'
         # all-NA-concat dtype inference
-        out = pd.DataFrame(out_rows, columns=cols)
-        for col in cols:
-            out[col] = out[col].astype("int32" if col in ("day", "time") else "float32")
+        col_vals = list(zip(*out_rows)) if out_rows else [[] for _ in cols]
+        out = pd.DataFrame(
+            {
+                col: pd.Series(
+                    col_vals[i],
+                    dtype="int32" if col in ("day", "time") else "float32",
+                )
+                for i, col in enumerate(cols)
+            }
+        )
         yield out
 
     return update
@@ -731,6 +788,7 @@ def run_stream_to_memory(
     cfg: FeatureConfig = TESTDATA_CONFIG,
     query_name: str = "stream_features_out",
     max_files_per_trigger: int = 1,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a file-source stream of bar parquet through the stateful
     pipeline into a memory sink, synchronously (availableNow semantics
@@ -742,22 +800,40 @@ def run_stream_to_memory(
     per state partition) — at sf0.1, 30 day-files × ~1.4s/batch means
     batching 8 files cuts the run ~6×. Day-order is preserved either
     way: the staging layout is one file per day, files land whole in a
-    batch, and the stateful operator groups by day."""
+    batch, and the stateful operator groups by day.
+
+    ``state_partitions`` pins the stateful shuffle's partition count for
+    THIS query (a new streaming query captures spark.sql.shuffle.
+    partitions at start; the session value is restored afterwards).
+    State partitions should scale with the number of live keys and
+    per-key throughput — every partition costs a state-store
+    open/commit + a Python worker round-trip PER MICRO-BATCH even when
+    nearly empty (measured at sf0.1's 30 day-keys: 32 partitions
+    1.6 s, 16 partitions 1.3 s). At production key cardinalities you
+    raise it; results are partitioning-independent (bit-equal,
+    tests/test_streaming_sinks.py::test_state_partitions_is_not_a_semantics_knob)."""
     stream = (
         spark.readStream.schema(BAR_SCHEMA)
         .option("maxFilesPerTrigger", max(1, int(max_files_per_trigger)))
         .parquet(source_dir)
     )
-    q = (
-        stream_features(stream, cfg)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_features(stream, cfg)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(query_name)

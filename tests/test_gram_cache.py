@@ -20,11 +20,12 @@ def test_gram_cache_bounded_and_clearable(spark):
 
     for _ in range(3):
         dedup._q_dedup_minhash(spark, SF).count()
-    # three invocations share ONE cached gram relation (k=3)
-    assert _n_persistent(spark) <= base + 1
-
-    dedup._q_dedup_ngram(spark, SF).count()  # adds the k=5 relation
+    # three invocations share ONE cached gram relation + ONE cached
+    # signature relation (k=3)
     assert _n_persistent(spark) <= base + 2
+
+    dedup._q_dedup_ngram(spark, SF).count()  # adds the k=5 gram relation
+    assert _n_persistent(spark) <= base + 3
 
     dedup.clear_gram_cache()
     assert _n_persistent(spark) <= base

@@ -32,3 +32,21 @@ def test_query_matches_oracle(spark, name):
 def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
+
+
+@pytest.mark.parametrize(
+    "primary,fold",
+    [
+        ("bars_rsi", "bars_rsi_fold"),
+        ("bars_atr", "bars_atr_fold"),
+        ("bars_macd", "bars_macd_fold"),
+    ],
+)
+def test_finance_incremental_bit_equals_fold(spark, primary, fold):
+    """The O(n) incremental grouped-map and the O(n²) prefix-fold twin
+    execute the same pinned float64 op sequence — every cell must agree
+    bit-for-bit (the with_ema / with_ema_fold contract, extended to the
+    Wilder/MACD family)."""
+    a = sorted(map(tuple, QUERIES[primary](spark, SF).collect()))
+    b = sorted(map(tuple, QUERIES[fold](spark, SF).collect()))
+    assert len(a) == len(b) and a == b

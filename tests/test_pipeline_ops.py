@@ -127,10 +127,24 @@ def test_pq_recall_floor(spark):
     LSH rows are sanity-bounded only (an 8-bit bucket on this corpus
     finds near-orthogonal candidates; its quality is honestly ~0)."""
     rows = QUERIES["similarity_pq_recall"](spark, SF).collect()
-    pq = [r for r in rows if r.method == "pq_adc"]
+    by = {m: [r for r in rows if r.method == m] for m in
+          ("pq_adc", "lsh_ann", "lsh_multitable", "ivf_label")}
+    pq = by["pq_adc"]
     assert len(pq) == 10 and all(r.n_approx == 3 and r.n_truth == 5 for r in pq)
     assert sum(r.hit_rate for r in pq) / len(pq) >= 0.2
     assert sum(r.recall for r in pq) / len(pq) >= 0.2 * 3 / 5
+    # every registered ANN method has a measured, asserted floor
+    # (r05: multitable + IVF added). Measured means at sf0.001:
+    # multitable hit 0.12 (the multi-table OR of buckets beats the
+    # single 8-bit bucket's honest ~0), ivf 0.067 — floors set at
+    # roughly half the measured values.
+    mt = by["lsh_multitable"]
+    assert len(mt) == 10 and all(r.n_approx == 5 for r in mt)
+    assert sum(r.hit_rate for r in mt) / len(mt) >= 0.05
+    ivf = by["ivf_label"]
+    assert len(ivf) == 10 and all(r.n_approx == 3 for r in ivf)
+    assert sum(r.hit_rate for r in ivf) / len(ivf) >= 0.03
+    assert len(by["lsh_ann"]) >= 5  # sanity-bounded only (quality ~0)
     for r in rows:
         assert 0.0 <= r.recall <= r.hit_rate <= 1.0
         assert abs(r.recall - r.n_hits / r.n_truth) < 1e-12

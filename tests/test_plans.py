@@ -192,15 +192,18 @@ def test_embedding_quantize_is_map_only(spark):
     assert P.count_exchanges(q) == 0, P.physical_plan(q)
 
 
-def test_funnel_broadcasts_stage_relations(spark):
-    """Each funnel stage gates on the previous stage via a BROADCAST of
-    the per-user stage relation — the events side must never shuffle
-    into the stage join (the per-user relations are orders of magnitude
-    smaller than the fact scan)."""
+def test_funnel_and_retention_have_no_forced_broadcasts(spark):
+    """The per-user stage/cohort relations grow with |users| — an
+    explicit broadcast hint on them overrides Spark's size threshold
+    and OOMs at scale (VERDICT r04 wrong #1). The gate joins must be
+    plain equi-joins: zero hint nodes in the analyzed plan. AQE is
+    still free to broadcast at runtime when a side is genuinely small;
+    that adaptive choice is exactly what the hint would destroy."""
     from strategy_analyzer_exporter_spark.registry import QUERIES
 
-    q = QUERIES["events_funnel_3step"](spark, SF)
-    assert P.count_broadcast_joins(q) >= 2, P.physical_plan(q)
+    for name in ("events_funnel_3step", "events_retention_cohorts"):
+        q = QUERIES[name](spark, SF)
+        assert P.count_broadcast_hints(q) == 0, (name, P.physical_plan(q))
 
 
 def test_no_registered_query_has_unpartitioned_window(spark):

@@ -63,6 +63,26 @@ def test_single_batch_equals_default(spark, monkeypatch):
             assert (a == b).all(), c
 
 
+def test_state_partitions_is_not_a_semantics_knob(spark, monkeypatch):
+    """state_partitions (r05 throughput knob: state-store commit +
+    Python round-trip cost per partition per batch) must be bit-equal
+    across settings — keys hash to different partitions, every key's
+    state machine is untouched."""
+    from strategy_analyzer_exporter_spark.operators.extra_queries import _q_streaming
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTS", "16")
+    a = _norm(_q_streaming(spark, SF).toPandas())
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTS", "5")
+    b = _norm(_q_streaming(spark, SF).toPandas())
+    assert len(a) == len(b) > 0
+    for c in a.columns:
+        x, y = a[c].to_numpy(), b[c].to_numpy()
+        if x.dtype.kind == "f":
+            assert ((x == y) | (np.isnan(x) & np.isnan(y))).all(), c
+        else:
+            assert (x == y).all(), c
+
+
 def test_streaming_updater_cross_batch_state(spark):
     """Feeding a day's bars in two chunks must equal feeding them at once
     (state carries the circular buffers across micro-batches)."""
