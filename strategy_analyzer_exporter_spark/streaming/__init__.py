@@ -25,9 +25,7 @@ So a streaming run over in-order bars produces byte-identical rows to
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterable, Iterator
-from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
 import pandas as pd

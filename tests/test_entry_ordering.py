@@ -36,6 +36,15 @@ def test_every_query_resolvable():
     assert set(qs) == set(osql)
 
 
+def test_changed_this_round_names_are_registered():
+    """A stale name in CHANGED_THIS_ROUND would silently drop out of the
+    priority band (queries() filters on membership) — catch typos and
+    renames at test time."""
+    import strategy_analyzer_exporter_spark.registry as R
+
+    assert set(E.CHANGED_THIS_ROUND) <= set(R.QUERIES)
+
+
 def test_seen_tail_rotates_by_round():
     """Recorded queries must be periodically re-sampled: the seen tail
     rotates with the number of recorded rounds, so a regression in an

@@ -206,6 +206,34 @@ def test_funnel_and_retention_have_no_forced_broadcasts(spark):
         assert P.count_broadcast_hints(q) == 0, (name, P.physical_plan(q))
 
 
+def test_finance_incremental_is_one_day_shuffle(spark):
+    """The O(n) incremental indicator family (r05) must keep the
+    grouped-map shape: exactly ONE hash(day) exchange feeding the
+    Python state pass — a second exchange means the bars derivation
+    stopped sharing its day partitioning with the applyInPandas."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    for name in ("bars_rsi", "bars_atr", "bars_macd"):
+        q = QUERIES[name](spark, SF)
+        assert P.count_exchanges(q) == 1, (name, P.physical_plan(q))
+
+
+def test_minhash_exchange_budget(spark):
+    """dedup_minhash_lsh's per-run shuffle budget (r04 #4 exchange
+    diet): the cached signature relation means candidate generation and
+    the Jaccard verify add only a handful of distinct shuffles on top of
+    the one-time gram/signature cache builds. Budget ≤ 6 distinct
+    exchanges (measured 2 warm at sf0.001; headroom for AQE SMJ
+    fallbacks at larger sf)."""
+    from strategy_analyzer_exporter_spark.operators import dedup
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    dedup.clear_gram_cache()
+    q = QUERIES["dedup_minhash_lsh"](spark, SF)
+    q.write.format("noop").mode("overwrite").save()
+    assert P.count_exchanges(q) <= 6, P.physical_plan(q)
+
+
 def test_no_registered_query_has_unpartitioned_window(spark):
     """No registered query may rank through a WindowExec with an empty
     partition spec — that moves the whole relation to ONE task (the
