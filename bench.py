@@ -100,6 +100,16 @@ PROBE_QUERIES = (
     "events_funnel_3step",
     "events_retention_cohorts",
     "join_asof_tolerance",
+    # the one-pass twins: same oracles, 1 scan / 1-2 shuffles — their
+    # exponents vs the relational shapes are the measured case for the
+    # single-pass window forms at scale
+    "events_funnel_one_pass",
+    "events_retention_one_pass",
+    # day-keyed pipelines over the v5 corpus (disjoint day ranges per
+    # copy → 10× DAYS): the reference's own feature pipeline and the
+    # incremental indicator family, measured instead of argued
+    "features_flagship",
+    "bars_macd",
 )
 PAIR_KERNEL_PROBE = ("similarity_lsh_ann",)
 PROBE_TRIALS = 2
@@ -132,11 +142,14 @@ def _stage_10x(spark, sf_dir: str) -> str:
     distribution)."""
     from pyspark.sql import functions as F
 
-    # v4: dir name carries the generator version so a cached corpus
-    # from an older generator is never reused (v4 adds the 10× events
-    # table for the analytics-wave probes)
+    # v5: dir name carries the generator version so a cached corpus
+    # from an older generator is never reused (v4 added the 10× events
+    # table; v5 shifts each copy's timestamps into a disjoint 90-day
+    # range so day-keyed pipelines — bars, features, streaming state —
+    # see 10× DAYS instead of 10 copies collapsing onto one (day, time)
+    # grid in the bars dedupe)
     out = os.path.join(
-        _probe_staging_root(), "scale10x_v4_" + sf_dir.strip("/").split("/")[-1]
+        _probe_staging_root(), "scale10x_v5_" + sf_dir.strip("/").split("/")[-1]
     )
     done_flag = os.path.join(out, "_STAGED_OK")
     if os.path.exists(done_flag):
@@ -195,18 +208,26 @@ def _stage_10x(spark, sf_dir: str) -> str:
         os.path.join(out, "embeddings.parquet")
     )
 
-    # events 10×: copy i shifts event_id/user_id into disjoint spaces and
-    # keeps ts/event_type/value verbatim — each copy is an exact image of
-    # the base corpus's per-user event structure, so funnel stages,
-    # retention cohorts, and as-of matches replicate per copy and scale
-    # LINEARLY by construction (the same invariant the document copies
-    # guarantee for shingles).
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # events 10×: copy i shifts event_id/user_id into disjoint spaces
+    # and shifts ts by i·90 days (a uniform per-copy offset — within-
+    # user event ORDER and gaps are untouched) — each copy is an exact
+    # image of the base corpus's per-user event structure, so funnel
+    # stages, retention cohorts, and as-of matches replicate per copy
+    # and scale LINEARLY by construction (the same invariant the
+    # document copies guarantee for shingles), while the disjoint day
+    # ranges make bars-derived pipelines see 10× distinct days.
+    # load_table, not a raw read: it normalizes the TIMESTAMP(NANOS)
+    # ts (read as LONG under nanosAsLong) to a microsecond timestamp,
+    # which timestampadd needs; the staged copy round-trips as
+    # TIMESTAMP(MICROS), which load_table passes through
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
     n_ev = ev.count()
     n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
     ev10 = ev.crossJoin(spark.range(10).select(F.col("id").alias("copy"))).select(
         (F.col("event_id") + F.col("copy") * n_ev).alias("event_id"),
-        "ts",
+        F.expr("timestampadd(DAY, CAST(copy * 90 AS INT), ts)").alias("ts"),
         (F.col("user_id") + F.col("copy") * n_users).alias("user_id"),
         "event_type",
         "value",

@@ -559,10 +559,7 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-register(
-    "events_funnel_3step",
-    _q_funnel,
-    f"""WITH t1 AS (
+_FUNNEL_ORACLE = f"""WITH t1 AS (
     SELECT user_id, min(ts) AS t_view FROM events
     WHERE event_type = 'view' GROUP BY user_id
 ),
@@ -584,8 +581,88 @@ SELECT t1.user_id, t1.t_view,
        CAST(1 + (t2.user_id IS NOT NULL)::INT + (t3.user_id IS NOT NULL)::INT
             AS BIGINT) AS stage
 FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
-LEFT JOIN t3 ON t1.user_id = t3.user_id""",
-)
+LEFT JOIN t3 ON t1.user_id = t3.user_id"""
+
+
+register("events_funnel_3step", _q_funnel, _FUNNEL_ORACLE)
+
+
+# One-pass funnel twin: the relational shape above scans events k times
+# (once per stage) and shuffles 5× — correct, but at 100 TB the event
+# log is the dominant cost and k scans of it hurt. This variant scans
+# events ONCE and shuffles ONCE, entirely JVM-side:
+#
+#   - a RANGE (UNBOUNDED PRECEDING, 1 PRECEDING) window on event-time
+#     micros gives every event the min STRICTLY-EARLIER view ts, so a
+#     click "qualifies" (ts > the user's first view) iff that running
+#     min is non-null — the strict bound handles ts ties exactly like
+#     the relational `ts > t_view`;
+#   - the same frame over qualifying-click ts qualifies purchases
+#     (ts > min qualifying click ⟺ some qualifying click is strictly
+#     earlier);
+#   - one groupBy(user_id) then takes the three mins. The window
+#     already hash-partitioned by user_id, so the aggregate reuses the
+#     exchange — ONE shuffle total (plan-asserted).
+#
+# A grouped-map (applyInPandas) variant was measured and REJECTED: it
+# also achieves 1 scan / 1 shuffle, but the entire event log crosses
+# Arrow into Python — 7.3 s vs 1.9 s for the 3-scan relational shape at
+# 10× sf0.01. The Arrow boundary costs more than two extra codegen'd
+# JVM scans; this window form keeps the single-pass plan without it.
+# Same oracle as events_funnel_3step — results identical.
+
+
+def _q_funnel_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts may surface as TIMESTAMP or TIMESTAMP_NTZ depending on how the
+    # nanos parquet was read; the session timezone is pinned UTC, so the
+    # cast is value-identity either way
+    tsm = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", tsm.alias("_tsm")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("_tsm")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    is_view = F.col("event_type") == "view"
+    prior_view = F.min(F.when(is_view, F.col("_tsm"))).over(w_prev)
+    qual_click = F.when(
+        (F.col("event_type") == "click") & prior_view.isNotNull(), F.col("_tsm")
+    )
+    staged = ev.select(
+        "user_id",
+        "_tsm",
+        is_view.alias("_is_view"),
+        (F.col("event_type") == "purchase").alias("_is_buy"),
+        qual_click.alias("_qc"),
+        F.min(qual_click).over(w_prev).alias("_prior_qc"),
+    )
+    qual_buy = F.when(
+        F.col("_is_buy") & F.col("_prior_qc").isNotNull(), F.col("_tsm")
+    )
+    agg = staged.groupBy("user_id").agg(
+        F.min(F.when(F.col("_is_view"), F.col("_tsm"))).alias("_tv"),
+        F.min("_qc").alias("_tc"),
+        F.min(qual_buy).alias("_tp"),
+    )
+    sent = F.lit(_FUNNEL_SENTINEL).cast("timestamp")
+    return agg.filter(F.col("_tv").isNotNull()).select(
+        "user_id",
+        F.timestamp_micros(F.col("_tv")).alias("t_view"),
+        F.coalesce(F.timestamp_micros(F.col("_tc")), sent).alias("t_click"),
+        F.coalesce(F.timestamp_micros(F.col("_tp")), sent).alias("t_purchase"),
+        (
+            F.lit(1)
+            + F.when(F.col("_tc").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("_tp").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("stage"),
+    )
+
+
+register("events_funnel_one_pass", _q_funnel_one_pass, _FUNNEL_ORACLE)
 
 
 # ---------------------------------------------------------------------------
@@ -618,10 +695,7 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "events_retention_cohorts",
-    _q_retention,
-    """WITH ev AS (
+_RETENTION_ORACLE = """WITH ev AS (
     SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
 ),
 first AS (
@@ -632,5 +706,50 @@ SELECT f.cohort_week,
            AS week_offset,
        CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
 FROM ev e JOIN first f ON e.user_id = f.user_id
-GROUP BY f.cohort_week, week_offset""",
-)
+GROUP BY f.cohort_week, week_offset"""
+
+
+register("events_retention_cohorts", _q_retention, _RETENTION_ORACLE)
+
+
+# One-pass retention twin (same idea as events_funnel_one_pass): the
+# relational shape above pays a (user, week) distinct, a per-user min
+# aggregate, a join, and the final matrix aggregate. Here the
+# (user, week) dedupe happens INSIDE the hash(user_id) window partition
+# (the bars-derivation lag trick — keep a week's first row), the cohort
+# week is the running min over the same window (same partition + order
+# → one WindowExec, one exchange), and only the final
+# (cohort_week, week_offset) matrix aggregate shuffles again: 1 scan,
+# 2 exchanges, no join. Same oracle — results identical.
+
+
+def _q_retention_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("week")
+    dedup = (
+        ev.withColumn("_prev", F.lag("week").over(w_seq))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("week")))
+        .drop("_prev")
+    )
+    w_run = w_seq.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dedup.select(
+            "user_id",
+            "week",
+            F.min("week").over(w_run).alias("cohort_week"),
+        )
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / F.lit(7.0))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+register("events_retention_one_pass", _q_retention_one_pass, _RETENTION_ORACLE)
