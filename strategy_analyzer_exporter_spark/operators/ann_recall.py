@@ -9,10 +9,13 @@ how many of the method's returned neighbors appear in the exact top-5
 hash-compare certifies that the Spark index and the oracle index make
 the *same approximation errors*, not merely similar ones.
 
-Scale shape: the three inputs are the already-registered ANN queries
-(each scale-audited on its own); their outputs are k rows per query —
-the joins and aggregations here are over ≤ 10×5-row relations and the
-ground-truth side broadcasts.
+Scale shape: the inputs are the already-registered ANN queries (each
+scale-audited on its own); their outputs are k rows per query — the
+joins and aggregations here are over ≤ 10×5-row relations and the
+ground-truth side broadcasts. The query's plan shows ~21 exchanges,
+but that is the SUM of its five composed pipelines (truth + four
+indexes), each individually within budget — this is an offline quality
+diagnostic whose per-pipeline scale stories live with the pipelines.
 
 Registration is DEFERRED (registry.register_deferred): the oracle SQL
 embeds the brute-force / LSH / PQ oracles verbatim as derived tables,
