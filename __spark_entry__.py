@@ -47,9 +47,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return features_df(spark, "/root/testdata/sf0.001")
 
 
-#: Queries whose IMPLEMENTATION changed this round: their latest driver
-#: row predates the change, so they jump the rotation queue (right after
-#: never-recorded names) to get a fresh verified row immediately.
+#: Queries whose IMPLEMENTATION changed in round CHANGED_AS_OF_ROUND:
+#: their latest driver row predates the change, so they jump the
+#: rotation queue (right after never-recorded names) to get a fresh
+#: verified row immediately. The band AUTO-EXPIRES: once the number of
+#: recorded CORRECTNESS rounds reaches CHANGED_AS_OF_ROUND, the
+#: change-round's own rows exist and the band stops consuming sample
+#: slots (no hand-maintained cleanup to forget).
 #: r05: funnel/retention lost their forced per-user broadcasts,
 #: bars_rsi/atr/macd switched to the O(n) incremental grouped-map,
 #: dedup_minhash_lsh gained the cached signature relation.
@@ -62,6 +66,7 @@ CHANGED_THIS_ROUND = (
     "dedup_minhash_lsh",
     "similarity_pq_recall",  # extended to all four ANN methods
 )
+CHANGED_AS_OF_ROUND = 5  # rounds recorded BEFORE the change = 4
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -81,7 +86,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operator recorded in r01 would never be re-sampled (ADVICE r03)."""
     seen, rounds = _recorded_names()
     fresh = sorted(n for n in QUERIES if n not in seen)
-    changed = [n for n in CHANGED_THIS_ROUND if n in QUERIES and n in seen]
+    changed = (
+        [n for n in CHANGED_THIS_ROUND if n in QUERIES and n in seen]
+        if rounds < CHANGED_AS_OF_ROUND
+        else []
+    )
     tail = sorted(n for n in QUERIES if n in seen and n not in changed)
     if tail:
         off = (rounds * 50) % len(tail)

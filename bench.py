@@ -228,7 +228,9 @@ def _stage_10x(spark, sf_dir: str) -> str:
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    n_ev = ev.count()
+    # max+1, not count(): the disjoint-id-space invariant must not
+    # assume dense 0..n-1 ids (equal today, so staged output unchanged)
+    n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
     n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
     ev10 = ev.crossJoin(spark.range(10).select(F.col("id").alias("copy"))).select(
         (F.col("event_id") + F.col("copy") * n_ev).alias("event_id"),

@@ -97,8 +97,9 @@ def autocorr_from_sums(
     (add the entering term, subtract the evicted term) produces the
     IDENTICAL integers the per-row full re-sum produces, and everything
     after the d12 conversions is the same pinned float64 sequence —
-    bit-equal by construction (asserted against the windowed form in
-    tests/test_features_pipeline.py). This is what the reference's
+    bit-equal by construction (asserted directly against the windowed
+    form in tests/test_features_pipeline.py::
+    test_autocorr_from_sums_bit_equals_windowed). This is what the reference's
     incremental indicator update does with its circular buffer
     (CircularBuffer.cs:30-37): O(1) per bar instead of O(window)."""
     n = float(n_elems)

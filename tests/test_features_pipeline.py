@@ -183,3 +183,53 @@ def test_q12_integer_matches_decimal_reference():
         cases.append(rnd.uniform(-1, 1) * (10 ** rnd.uniform(-15, 15)))
     for x in cases:
         assert q12(x) == q12_decimal(x), repr(x)
+
+
+def test_autocorr_from_sums_bit_equals_windowed():
+    """The streaming updater's sliding exact-integer accumulators must
+    reproduce autocorr_windowed's full re-sum bit-for-bit on arbitrary
+    series and window caps — integer add/subtract is order-independent,
+    so the sliding sums equal the scratch sums exactly, and everything
+    after the d12 conversions is the same pinned float sequence. This
+    is the direct check the r05 O(1)-per-bar rewrite rests on (seeded
+    deterministic fuzz over magnitudes 1e-3..1e6, caps 2..8)."""
+    import random
+
+    from strategy_analyzer_exporter_spark.functions.exact import (
+        autocorr_from_sums,
+        autocorr_windowed,
+        q12,
+    )
+
+    rnd = random.Random(20260814)
+    for trial in range(300):
+        cap = rnd.randint(2, 8)
+        n = rnd.randint(0, 40)
+        xs = [rnd.uniform(1e-3, 1.0) * (10 ** rnd.uniform(0, 6)) for _ in range(n)]
+        win: list[float] = []
+        qv: list[int] = []
+        qvv: list[int] = []
+        qp: list[int] = []
+        s = ss = p = 0
+        for x in xs:
+            prev = win[-1] if win else None
+            win.append(x)
+            q = q12(x)
+            qv.append(q)
+            s += q
+            q = q12(x * x)
+            qvv.append(q)
+            ss += q
+            if prev is not None:
+                q = q12(x * prev)
+                qp.append(q)
+                p += q
+            if len(win) > cap:
+                win.pop(0)
+                s -= qv.pop(0)
+                ss -= qvv.pop(0)
+                p -= qp.pop(0)
+            pp = [win[i] * win[i - 1] for i in range(1, len(win))]
+            a = autocorr_windowed(win, pp)
+            b = autocorr_from_sums(len(win), win[0], win[-1], s, ss, p)
+            assert a == b, (trial, x, win, a, b)
