@@ -21,17 +21,22 @@ from pyspark.sql import DataFrame, SparkSession
 from strategy_analyzer_exporter_spark.registry import ORACLES, QUERIES
 
 
-def _recorded_names() -> tuple[set[str], int]:
-    """(query names with a driver CORRECTNESS row in any prior round,
+def _recorded_names() -> tuple[dict[str, int], int]:
+    """({query name: latest round with a driver CORRECTNESS row},
     number of recorded rounds). CORRECTNESS_r*.json live next to this
-    file."""
-    seen: set[str] = set()
+    file; membership tests on the dict behave like the old set."""
+    import re
+
+    seen: dict[str, int] = {}
     rounds = 0
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                for name in json.load(f):
+                    seen[name] = max(seen.get(name, 0), rnd)
             rounds += 1
         except (OSError, ValueError):
             continue
@@ -50,10 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Queries whose IMPLEMENTATION changed in round CHANGED_AS_OF_ROUND:
 #: their latest driver row predates the change, so they jump the
 #: rotation queue (right after never-recorded names) to get a fresh
-#: verified row immediately. The band AUTO-EXPIRES: once the number of
-#: recorded CORRECTNESS rounds reaches CHANGED_AS_OF_ROUND, the
-#: change-round's own rows exist and the band stops consuming sample
-#: slots (no hand-maintained cleanup to forget).
+#: verified row immediately. The band AUTO-EXPIRES PER QUERY: a name
+#: leaves the band as soon as it has a recorded row from round
+#: CHANGED_AS_OF_ROUND or later (so a query that missed one round's
+#: 50-slot sample keeps its priority until actually re-verified, and
+#: no hand-maintained cleanup is needed).
 #: r05: funnel/retention lost their forced per-user broadcasts,
 #: bars_rsi/atr/macd switched to the O(n) incremental grouped-map,
 #: dedup_minhash_lsh gained the cached signature relation.
@@ -66,7 +72,7 @@ CHANGED_THIS_ROUND = (
     "dedup_minhash_lsh",
     "similarity_pq_recall",  # extended to all four ANN methods
 )
-CHANGED_AS_OF_ROUND = 5  # rounds recorded BEFORE the change = 4
+CHANGED_AS_OF_ROUND = 5  # a row from round ≥ 5 post-dates the change
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -86,11 +92,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operator recorded in r01 would never be re-sampled (ADVICE r03)."""
     seen, rounds = _recorded_names()
     fresh = sorted(n for n in QUERIES if n not in seen)
-    changed = (
-        [n for n in CHANGED_THIS_ROUND if n in QUERIES and n in seen]
-        if rounds < CHANGED_AS_OF_ROUND
-        else []
-    )
+    changed = [
+        n
+        for n in CHANGED_THIS_ROUND
+        if n in QUERIES and 0 < seen.get(n, 0) < CHANGED_AS_OF_ROUND
+    ]
     tail = sorted(n for n in QUERIES if n in seen and n not in changed)
     if tail:
         off = (rounds * 50) % len(tail)

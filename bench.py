@@ -228,13 +228,24 @@ def _stage_10x(spark, sf_dir: str) -> str:
     from strategy_analyzer_exporter_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    # max+1, not count(): the disjoint-id-space invariant must not
-    # assume dense 0..n-1 ids (equal today, so staged output unchanged)
-    n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
-    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    # ONE scan for all staging scalars. max+1, not count(): the
+    # disjoint-id-space invariant must not assume dense 0..n-1 ids
+    # (equal today, so staged output unchanged). The per-copy ts shift
+    # is derived from the corpus's actual day span (not a hard-coded
+    # 90): a corpus spanning ≥ the shift would silently collapse day
+    # keys across copies and fake the day-keyed probe exponents.
+    # max(90, span+1) keeps the standard ≤30-day corpora byte-identical
+    # to the v5 cache while staying correct for any span.
+    max_eid, max_uid, ts_lo, ts_hi = ev.agg(
+        F.max("event_id"), F.max("user_id"), F.min("ts"), F.max("ts")
+    ).collect()[0]
+    n_ev = max_eid + 1
+    n_users = max_uid + 1
+    span_days = (ts_hi - ts_lo).days + 1
+    shift_days = max(90, span_days + 1)
     ev10 = ev.crossJoin(spark.range(10).select(F.col("id").alias("copy"))).select(
         (F.col("event_id") + F.col("copy") * n_ev).alias("event_id"),
-        F.expr("timestampadd(DAY, CAST(copy * 90 AS INT), ts)").alias("ts"),
+        F.expr(f"timestampadd(DAY, CAST(copy * {shift_days} AS INT), ts)").alias("ts"),
         (F.col("user_id") + F.col("copy") * n_users).alias("user_id"),
         "event_type",
         "value",

@@ -78,9 +78,16 @@ def count_broadcast_hints(df: DataFrame) -> int:
     threshold, so a hint on a relation that grows with the data is a
     guaranteed OOM at scale — tests assert 0 on queries whose build
     sides scale with |keys| (AQE may still broadcast when genuinely
-    small; that's fine and not counted here)."""
+    small; that's fine and not counted here). Only BROADCAST-strategy
+    hints count: a shuffle/merge/rebalance hint is a different (and
+    legitimate) instruction and must not trip the broadcast guard."""
     s = df._jdf.queryExecution().analyzed().toString()
-    return s.count("ResolvedHint") + s.count("UnresolvedHint")
+    n = 0
+    for line in s.splitlines():
+        if "ResolvedHint" in line or "UnresolvedHint" in line:
+            if re.search(r"broadcast|mapjoin", line, re.IGNORECASE):
+                n += 1
+    return n
 
 
 def count_sort_merge_joins(df: DataFrame) -> int:

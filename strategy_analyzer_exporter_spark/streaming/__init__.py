@@ -801,37 +801,39 @@ def run_stream_to_memory(
     batch, and the stateful operator groups by day.
 
     ``state_partitions`` pins the stateful shuffle's partition count for
-    THIS query (a new streaming query captures spark.sql.shuffle.
-    partitions at start; the session value is restored afterwards).
-    State partitions should scale with the number of live keys and
-    per-key throughput — every partition costs a state-store
-    open/commit + a Python worker round-trip PER MICRO-BATCH even when
-    nearly empty (measured at sf0.1's 30 day-keys: 32 partitions
-    1.6 s, 16 partitions 1.3 s). At production key cardinalities you
-    raise it; results are partitioning-independent (bit-equal,
+    THIS query via an ISOLATED child session (``spark.newSession()`` —
+    same SparkContext, own SQLConf), so concurrent plans on the caller's
+    session never observe the pinned value (a streaming query captures
+    spark.sql.shuffle.partitions at start). State partitions should
+    scale with the number of live keys and per-key throughput — every
+    partition costs a state-store open/commit + a Python worker
+    round-trip PER MICRO-BATCH even when nearly empty (measured at
+    sf0.1's 30 day-keys: 32 partitions 1.6 s, 16 partitions 1.3 s). At
+    production key cardinalities you raise it; results are
+    partitioning-independent (bit-equal,
     tests/test_streaming_sinks.py::test_state_partitions_is_not_a_semantics_knob)."""
+    sess = spark
+    if state_partitions:
+        from strategy_analyzer_exporter_spark.session import ensure_session_confs
+
+        sess = spark.newSession()
+        ensure_session_confs(sess)  # child session starts from defaults
+        sess.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
     stream = (
-        spark.readStream.schema(BAR_SCHEMA)
+        sess.readStream.schema(BAR_SCHEMA)
         .option("maxFilesPerTrigger", max(1, int(max_files_per_trigger)))
         .parquet(source_dir)
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions:
-        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    q = (
+        stream_features(stream, cfg)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
     try:
-        q = (
-            stream_features(stream, cfg)
-            .writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("append")
-            .trigger(processingTime="0 seconds")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        q.processAllAvailable()
     finally:
-        if state_partitions:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(query_name)
+        q.stop()
+    return sess.table(query_name)

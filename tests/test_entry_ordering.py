@@ -53,11 +53,11 @@ def test_seen_tail_rotates_by_round():
     rows are stale by construction."""
     seen, rounds = E._recorded_names()
     names = list(E.queries())
-    changed = (
-        [n for n in E.CHANGED_THIS_ROUND if n in seen]
-        if rounds < E.CHANGED_AS_OF_ROUND
-        else []
-    )
+    changed = [
+        n
+        for n in E.CHANGED_THIS_ROUND
+        if 0 < seen.get(n, 0) < E.CHANGED_AS_OF_ROUND
+    ]
     tail = [n for n in names if n in seen]
     assert tail[: len(changed)] == changed
     rotated = tail[len(changed) :]
