@@ -780,6 +780,27 @@ def foreach_batch_duckdb_sink(
     return write_epoch
 
 
+#: (parent session id, partitions) → cached isolated child session.
+#: newSession() pays a one-time SessionState/catalog init (~0.35 s);
+#: reusing one child per (parent, partitions) keeps the isolation
+#: WITHOUT that cost on every query run. Entries live as long as the
+#: parent SparkSession — a handful per process.
+_STATE_SESSIONS: dict[tuple[int, int], SparkSession] = {}
+
+
+def _state_session(spark: SparkSession, parts: int) -> SparkSession:
+    from strategy_analyzer_exporter_spark.session import ensure_session_confs
+
+    key = (id(spark), parts)
+    sess = _STATE_SESSIONS.get(key)
+    if sess is None:
+        sess = spark.newSession()
+        ensure_session_confs(sess)  # child session starts from defaults
+        sess.conf.set("spark.sql.shuffle.partitions", str(parts))
+        _STATE_SESSIONS[key] = sess
+    return sess
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_dir: str,
@@ -812,13 +833,9 @@ def run_stream_to_memory(
     production key cardinalities you raise it; results are
     partitioning-independent (bit-equal,
     tests/test_streaming_sinks.py::test_state_partitions_is_not_a_semantics_knob)."""
-    sess = spark
-    if state_partitions:
-        from strategy_analyzer_exporter_spark.session import ensure_session_confs
-
-        sess = spark.newSession()
-        ensure_session_confs(sess)  # child session starts from defaults
-        sess.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    sess = (
+        _state_session(spark, int(state_partitions)) if state_partitions else spark
+    )
     stream = (
         sess.readStream.schema(BAR_SCHEMA)
         .option("maxFilesPerTrigger", max(1, int(max_files_per_trigger)))
