@@ -233,6 +233,18 @@ def test_funnel_one_pass_is_single_shuffle(spark):
     assert "Pandas" not in plan, plan
 
 
+def test_relational_analytics_exchange_budgets(spark):
+    """The relational funnel/retention twins keep their measured shuffle
+    budgets (r05: 5 and 4) — a regression here (e.g. a lost exchange
+    reuse after a refactor) shows up as a count jump long before it
+    shows up as wall time."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    for name, budget in (("events_funnel_3step", 6), ("events_retention_cohorts", 5)):
+        q = QUERIES[name](spark, SF)
+        assert P.count_exchanges(q) <= budget, (name, P.physical_plan(q))
+
+
 def test_retention_one_pass_budget(spark):
     """One scan, two exchanges (hash(user_id) window for dedupe+cohort,
     then the matrix aggregate), no join — vs the relational twin's
