@@ -21,26 +21,41 @@ from pyspark.sql import DataFrame, SparkSession
 from strategy_analyzer_exporter_spark.registry import ORACLES, QUERIES
 
 
-def _recorded_names() -> tuple[dict[str, int], int]:
+def _recorded_names() -> tuple[dict[str, int], int, set[str]]:
     """({query name: latest round with a driver CORRECTNESS row},
-    number of recorded rounds). CORRECTNESS_r*.json live next to this
-    file; membership tests on the dict behave like the old set."""
+    number of recorded rounds, {names whose LATEST row is a FAIL}).
+    CORRECTNESS_r*.json live next to this file; membership tests on
+    the dict behave like the old set. Files whose names don't match
+    the r(\\d+) pattern are SKIPPED entirely (ADVICE r05): assigning
+    them round 0 would exclude their queries from the fresh band while
+    also making them ineligible for the changed band."""
     import re
 
     seen: dict[str, int] = {}
+    latest_row: dict[str, tuple[int, bool]] = {}  # name → (round, green)
     rounds = 0
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
-                for name in json.load(f):
-                    seen[name] = max(seen.get(name, 0), rnd)
+                data = json.load(f)
+            for name, row in data.items():
+                seen[name] = max(seen.get(name, 0), rnd)
+                green = isinstance(row, dict) and not row.get("err") and all(
+                    row.get(k) is not False
+                    for k in ("rows_match", "schema_match", "hash_match")
+                )
+                if rnd >= latest_row.get(name, (0, True))[0]:
+                    latest_row[name] = (rnd, green)
             rounds += 1
-        except (OSError, ValueError):
+        except (OSError, ValueError, AttributeError):
             continue
-    return seen, rounds
+    failing = {n for n, (_, green) in latest_row.items() if not green}
+    return seen, rounds, failing
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -60,19 +75,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CHANGED_AS_OF_ROUND or later (so a query that missed one round's
 #: 50-slot sample keeps its priority until actually re-verified, and
 #: no hand-maintained cleanup is needed).
-#: r05: funnel/retention lost their forced per-user broadcasts,
-#: bars_rsi/atr/macd switched to the O(n) incremental grouped-map,
-#: dedup_minhash_lsh gained the cached signature relation.
+#: r06: the repo-wide broadcast-hint sweep removed explicit hints on
+#: relations that scale with the data (VERDICT r05 #2-4), and the four
+#: event queries gained an explicit ts IS NOT NULL guard (ADVICE r05).
 CHANGED_THIS_ROUND = (
+    "q18_large_orders",
+    "q16_supplier_part_counts",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q14_promo_effect",
+    "q17_small_quantity",
+    "join_multiway",
+    "decontaminate_ngram",
     "events_funnel_3step",
+    "events_funnel_one_pass",
     "events_retention_cohorts",
-    "bars_rsi",
-    "bars_atr",
-    "bars_macd",
-    "dedup_minhash_lsh",
-    "similarity_pq_recall",  # extended to all four ANN methods
+    "events_retention_one_pass",
 )
-CHANGED_AS_OF_ROUND = 5  # a row from round ≥ 5 post-dates the change
+CHANGED_AS_OF_ROUND = 6  # a row from round ≥ 6 post-dates the change
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -89,14 +110,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The already-recorded tail is then ROTATED by round index (offset =
     rounds × 50 over the alphabetical seen list) so recorded queries
     are periodically re-verified — without this, a regression in an
-    operator recorded in r01 would never be re-sampled (ADVICE r03)."""
-    seen, rounds = _recorded_names()
+    operator recorded in r01 would never be re-sampled (ADVICE r03).
+
+    A query whose LATEST recorded row is a FAIL also joins the priority
+    band (VERDICT r05 #5): its fix may predate the rotation reaching it
+    by several rounds (agg_approx_distinct carried a pre-rewrite r01
+    FAIL as its only row for four rounds), and a standing red row is
+    worse for the record than re-verifying one query early."""
+    seen, rounds, failing = _recorded_names()
     fresh = sorted(n for n in QUERIES if n not in seen)
     changed = [
         n
         for n in CHANGED_THIS_ROUND
         if n in QUERIES and 0 < seen.get(n, 0) < CHANGED_AS_OF_ROUND
     ]
+    changed += sorted(
+        n for n in failing if n in QUERIES and n in seen and n not in changed
+    )
     tail = sorted(n for n in QUERIES if n in seen and n not in changed)
     if tail:
         off = (rounds * 50) % len(tail)

