@@ -76,9 +76,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 50-slot sample keeps its priority until actually re-verified, and
 #: no hand-maintained cleanup is needed).
 #: r06: the repo-wide broadcast-hint sweep removed explicit hints on
-#: relations that scale with the data (VERDICT r05 #2-4), and the four
-#: event queries gained an explicit ts IS NOT NULL guard (ADVICE r05).
+#: relations that scale with the data (VERDICT r05 #2-4), the four
+#: event queries gained an explicit ts IS NOT NULL guard (ADVICE r05),
+#: and the gram cache now advertises hashpartitioning(doc_id) to its
+#: consumers (VERDICT r05 #8).
 CHANGED_THIS_ROUND = (
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
+    "dedup_cluster_cc_star",
     "q18_large_orders",
     "q16_supplier_part_counts",
     "q3_shipping_priority",

@@ -113,9 +113,11 @@ def _gram_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFram
         return cached
     d = load_table(spark, sf_dir, "documents")
     # the test corpus is one small parquet file → one input partition;
-    # spread the shingling across cores. (At real scale the scan already
-    # yields many partitions; results are partitioning-independent.)
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # spread the shingling across cores. Round-robin, not keyed: the
+    # CACHE-VISIBLE partitioning is established after shingling below.
+    # (At real scale the scan already yields many partitions; results
+    # are partitioning-independent.)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
@@ -132,7 +134,21 @@ def _gram_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFram
                         grams.append(g)
             yield pd.DataFrame({"doc_id": ids, "gram": grams})
 
-    out = d.mapInPandas(gen, "doc_id bigint, gram string").persist()
+    # hash-partition the gram rows by doc_id AFTER shingling, so the
+    # PERSISTED relation advertises hashpartitioning(doc_id) to
+    # Catalyst (mapInPandas output partitioning is opaque — without
+    # this, every doc_id-keyed consumer re-shuffles the full gram
+    # relation). With it, the signature aggregation and the Jaccard
+    # verify's doc_a side reuse the cached layout exchange-free, and
+    # joins on (doc_b, gram) co-partition by shuffling only the SMALL
+    # candidate-pair side to match (VERDICT r05 #8: the verify's t10
+    # tail was exactly these two full-gram shuffles). One keyed gram
+    # shuffle at cache-build time buys zero per-query gram shuffles.
+    out = (
+        d.mapInPandas(gen, "doc_id bigint, gram string")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .persist()
+    )
     if len(_GRAM_CACHE) >= _GRAM_CACHE_MAX:
         _GRAM_CACHE.popitem()[1].unpersist()
     _GRAM_CACHE[key] = out
@@ -180,16 +196,26 @@ def _verify_jaccard(
     ``sizes`` (doc_id, n): pass a relation whose |grams| count falls out
     of an aggregation the caller already pays for (minhash folds it into
     the signature groupBy) so the plan reuses that exchange instead of
-    adding a separate per-doc count shuffle."""
+    adding a separate per-doc count shuffle.
+
+    The gram cache advertises hashpartitioning(doc_id) (see _gram_rows),
+    so NEITHER intersection join re-shuffles grams: the doc_a side reuses
+    the cached layout outright, and the (doc_b, gram) join co-partitions
+    by shuffling only the small candidate-pair side (VERDICT r05 #8 —
+    previously the full gram relation shuffled twice here). Two stronger
+    restrictions were measured at the 10× probe and REJECTED: a
+    left-semi of grams on the candidate doc set derived from ``cand``
+    re-runs the whole band join (5.5 s vs 2.8 s), and deriving that set
+    from colliding buckets via a window count over (band, key) costs
+    more at 1× than the shuffles it saves at 10× (t1 1.46 s vs 0.56 s,
+    t10 equal)."""
     if sizes is None:
         sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
-    # deliberately NO broadcast hints here: `grams` feeds four subtrees
-    # (cand's shingling, ga, gb, sizes) and plain shuffle joins let Spark
-    # reuse one gram exchange for all of them, while broadcast(cand)
-    # forces a separate driver-collected recompute of the whole LSH
-    # upstream — measured 82s vs 2.3s warm at sf0.1
+    # deliberately NO broadcast hints here: broadcast(cand) forces a
+    # separate driver-collected recompute of the whole LSH upstream —
+    # measured 82s vs 2.3s warm at sf0.1 (and cand scales with data)
     inter = (
         cand.join(ga, "doc_a")
         .join(gb, ["doc_b", "gram"])

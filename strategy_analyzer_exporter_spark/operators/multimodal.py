@@ -301,6 +301,177 @@ register("multimodal_decode_ppm", _q_ppm_decode, _ppm_oracle())
 
 
 # ---------------------------------------------------------------------------
+# Second REAL decode format: BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+# 24-bpp, uncompressed). Where PPM exercises text-header tokenization
+# over a tight raster, BMP exercises the four binary-raster pitfalls:
+# little-endian struct fields, an explicit pixel-data OFFSET, 4-byte
+# ROW PADDING, BOTTOM-UP row storage (positive height), and BGR channel
+# order. Channel sums alone are invariant to row order, so the query
+# also emits the TOP image row's byte sum (position-sensitive — a
+# parser that forgets bottom-up storage matches every other column and
+# breaks on this one), and the per-channel split breaks if BGR is read
+# as RGB. Oracle recomputes everything from the closed-form pixel
+# formula — it never sees the bytes.
+
+BMP_HEADER_SIZE = 54  # 14-byte file header + 40-byte info header
+
+
+def _bmp_px(doc_id: int, i: int, c: int) -> int:
+    """Channel c (0=R,1=G,2=B) of pixel i in the TOP-DOWN raster."""
+    return (doc_id * 11 + i * 17 + c * 29) % 256
+
+
+def make_bmp(doc_id: int, top_down: bool = False) -> bytes:
+    """Deterministic 24-bpp BMP fixture: width 4+id%5, height 3+id%4,
+    pixel formula `_bmp_px`. Stored bottom-up (positive height) with
+    4-byte row padding and BGR byte order, per the format; pass
+    ``top_down=True`` for the negative-height variant (same logical
+    image — parser equivalence is property-tested)."""
+    import struct
+
+    doc_id = int(doc_id)
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    stride = (w * 3 + 3) // 4 * 4
+    img_size = stride * h
+    fh = struct.pack(
+        "<2sIHHI", b"BM", BMP_HEADER_SIZE + img_size, 0, 0, BMP_HEADER_SIZE
+    )
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h if top_down is False else -h, 1, 24, 0,
+        img_size, 2835, 2835, 0, 0,
+    )
+    rows = bytearray()
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for yy in ys:
+        row = bytearray()
+        for x in range(w):
+            i = yy * w + x  # index in the logical top-down raster
+            row += bytes(
+                (_bmp_px(doc_id, i, 2), _bmp_px(doc_id, i, 1), _bmp_px(doc_id, i, 0))
+            )
+        row += b"\x00" * (stride - w * 3)
+        rows += row
+    return fh + ih + bytes(rows)
+
+
+def parse_bmp(b: bytes):
+    """Strict 24-bpp uncompressed BMP parser. Returns (w, h, raster)
+    with raster normalized to TOP-DOWN RGB interleave (both storage
+    orientations accepted), or None for anything malformed."""
+    import struct
+
+    if len(b) < BMP_HEADER_SIZE or b[:2] != b"BM":
+        return None
+    offset = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    if hdr_size != 40 or comp != 0 or bpp != 24 or planes != 1 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = -h if top_down else h
+    stride = (w * 3 + 3) // 4 * 4
+    if offset < BMP_HEADER_SIZE or len(b) < offset + stride * h:
+        return None
+    out = bytearray()
+    for y in range(h):  # output row y = logical top-down row
+        src = y if top_down else h - 1 - y
+        rowoff = offset + src * stride
+        for x in range(w):
+            p = rowoff + x * 3
+            out += bytes((b[p + 2], b[p + 1], b[p]))  # BGR -> RGB
+    return w, h, bytes(out)
+
+
+def bmp_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One genuine BMP payload per document (binary column)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [make_bmp(i) for i in pdf["doc_id"]],
+                }
+            )
+
+    return d.mapInPandas(gen, "media_id long, payload binary")
+
+
+_BMP_SCHEMA = (
+    "media_id long, decoded_ok boolean, width int, height int, "
+    "n_pixels long, sum_r long, sum_g long, sum_b long, "
+    "top_row_sum long, mean_byte double"
+)
+
+
+def _bmp_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            parsed = parse_bmp(bytes(payload))
+            if parsed is None:
+                rows.append((int(mid), False, 0, 0, 0, 0, 0, 0, 0, 0.0))
+                continue
+            w, h, raster = parsed
+            sr, sg, sb = sum(raster[0::3]), sum(raster[1::3]), sum(raster[2::3])
+            top = sum(raster[: w * 3])  # logical TOP row, all channels
+            mean = (sr + sg + sb) / (3 * w * h)  # exact ints, one division
+            rows.append((int(mid), True, w, h, w * h, sr, sg, sb, top, mean))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "decoded_ok", "width", "height", "n_pixels",
+                "sum_r", "sum_g", "sum_b", "top_row_sum", "mean_byte",
+            ],
+        )
+
+
+def _q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BMP decode: parse every payload's bytes (offset,
+    padding, bottom-up rows, BGR), emit per-channel integer sums, the
+    top-row positional checksum, and the mean. Map-only — the same
+    zero-exchange featurizer plan shape as the PPM decode."""
+    return bmp_media_table(spark, sf_dir).mapInPandas(
+        _bmp_decode_batches, _BMP_SCHEMA
+    )
+
+
+def _bmp_oracle() -> str:
+    def chan(c: int) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(0, width*height), "
+            f"i -> (media_id * 11 + i * 17 + {c} * 29) % 256)) AS BIGINT)"
+        )
+
+    top = (
+        "CAST(list_sum(list_transform(range(0, width), i -> "
+        "(media_id * 11 + i * 17) % 256"
+        " + (media_id * 11 + i * 17 + 29) % 256"
+        " + (media_id * 11 + i * 17 + 58) % 256)) AS BIGINT)"
+    )
+    return f"""WITH base AS (
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 5 AS INTEGER) AS width,
+           CAST(3 + doc_id % 4 AS INTEGER) AS height
+    FROM documents
+),
+sums AS (
+    SELECT media_id, TRUE AS decoded_ok, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           {chan(0)} AS sum_r,
+           {chan(1)} AS sum_g,
+           {chan(2)} AS sum_b,
+           {top} AS top_row_sum
+    FROM base
+)
+SELECT *, CAST(sum_r + sum_g + sum_b AS DOUBLE) / (3 * n_pixels) AS mean_byte
+FROM sums"""
+
+
+register("multimodal_decode_bmp", _q_bmp_decode, _bmp_oracle())
+
+
+# ---------------------------------------------------------------------------
 # Deterministic feature extraction (hash features). The decode-based
 # extractor above is necessarily rows-only (and stubbed — no media libs
 # in this container); this one is the oracle-checkable stand-in: a

@@ -1,12 +1,18 @@
-"""PPM parser unit coverage: the decode query's oracle only certifies
-well-formed fixtures; these exercise the parser's rejection paths and
-header tolerance directly."""
+"""PPM/BMP parser unit coverage: the decode queries' oracles only
+certify well-formed fixtures; these exercise the parsers' rejection
+paths, header tolerance, and (BMP) orientation handling directly."""
 
 from __future__ import annotations
 
+import struct
+
 from strategy_analyzer_exporter_spark.operators.multimodal import (
+    BMP_HEADER_SIZE,
     PPM_MAXV,
+    _bmp_px,
+    make_bmp,
     make_ppm,
+    parse_bmp,
     parse_ppm,
 )
 
@@ -33,3 +39,46 @@ def test_rejections():
     assert parse_ppm(b"P6\n2 1\n127\n" + bytes(6)) is None  # wrong maxval
     assert parse_ppm(b"P6\nx 1\n255\n" + bytes(6)) is None  # non-numeric
     assert parse_ppm(b"P6\n0 1\n255\n") is None  # zero dim
+
+
+# --- BMP -------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_matches_formula():
+    """Parsed raster must be the logical TOP-DOWN RGB image — i.e. the
+    parser undid bottom-up row storage, BGR order, and row padding."""
+    for doc_id in (0, 1, 7, 123, 4096):
+        w, h, raster = parse_bmp(make_bmp(doc_id))
+        assert (w, h) == (4 + doc_id % 5, 3 + doc_id % 4)
+        assert len(raster) == w * h * 3
+        for i in (0, w - 1, w * h - 1):  # first row, row end, last pixel
+            for c in range(3):
+                assert raster[3 * i + c] == _bmp_px(doc_id, i, c)
+
+
+def test_bmp_orientations_equivalent():
+    """Negative-height (top-down) storage decodes to the SAME logical
+    image as the default bottom-up storage."""
+    for doc_id in (2, 9, 55):
+        assert parse_bmp(make_bmp(doc_id)) == parse_bmp(
+            make_bmp(doc_id, top_down=True)
+        )
+
+
+def test_bmp_rejections():
+    good = make_bmp(5)
+    assert parse_bmp(b"XX" + good[2:]) is None  # wrong magic
+    assert parse_bmp(good[:-1]) is None  # truncated raster
+    assert parse_bmp(good[:BMP_HEADER_SIZE - 1]) is None  # header only
+    # 8-bpp: patch the bit-count field (offset 28, uint16)
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    assert parse_bmp(bytes(bad_bpp)) is None
+    # compressed (BI_RLE8 = 1 at offset 30)
+    bad_comp = bytearray(good)
+    struct.pack_into("<I", bad_comp, 30, 1)
+    assert parse_bmp(bytes(bad_comp)) is None
+    # pixel offset pointing inside the header
+    bad_off = bytearray(good)
+    struct.pack_into("<I", bad_off, 10, 7)
+    assert parse_bmp(bytes(bad_off)) is None
