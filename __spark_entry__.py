@@ -130,8 +130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for n in CHANGED_THIS_ROUND
         if n in QUERIES and 0 < seen.get(n, 0) < CHANGED_AS_OF_ROUND
     ]
+    # failing ⊆ seen by construction (both are filled from the same
+    # parsed rows), so only registry membership needs checking
     changed += sorted(
-        n for n in failing if n in QUERIES and n in seen and n not in changed
+        n for n in failing if n in QUERIES and n not in changed
     )
     tail = sorted(n for n in QUERIES if n in seen and n not in changed)
     if tail:

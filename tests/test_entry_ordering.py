@@ -94,3 +94,19 @@ def test_latest_fail_row_joins_priority_band(tmp_path, monkeypatch):
     assert rounds == 3
     assert failing == {"alpha"}  # beta recovered in r03; gamma never counted
     assert "gamma" not in seen
+
+
+def test_failing_names_precede_the_rotated_tail():
+    """Independent of how queries() builds its bands: every registered
+    query whose latest REAL recorded row is a FAIL must appear before
+    every seen query that is neither failing nor changed-this-round —
+    i.e. the failing band actually jumps the rotation queue."""
+    import strategy_analyzer_exporter_spark.registry as R
+
+    seen, _rounds, failing = E._recorded_names()
+    names = list(E.queries())
+    pos = {n: i for i, n in enumerate(names)}
+    priority = (set(E.CHANGED_THIS_ROUND) | failing) & set(R.QUERIES)
+    plain_seen = [n for n in names if n in seen and n not in priority]
+    for f in failing & set(R.QUERIES):
+        assert all(pos[f] < pos[p] for p in plain_seen), f

@@ -229,9 +229,17 @@ BROADCAST_HINT_ALLOWLIST = {
     "subquery_correlated_min": 1,
     "winsorize_prices": 1,
     # PQ codebooks (m × 256 centroids) and per-query distance tables /
-    # ground-truth top-k over the FIXED 10-query evaluation matrix
+    # ground-truth top-k over the FIXED 10-query evaluation matrix.
+    # similarity_pq_recall composes all four ANN pipelines, and under
+    # SPARK_GRAFT_VECTOR_KERNEL=fold the non-streamed kernel path adds
+    # bounded hints (10-row query matrix, k centroids) that the arrow
+    # path carries in UDF closures instead — the caps below are the
+    # max across both supported kernels, every added side still
+    # scale-independent.
     "similarity_pq_adc": 8,
-    "similarity_pq_recall": 16,
+    "similarity_pq_recall": 24,
+    "similarity_bruteforce_topk": 1,  # fold path: 10-row query matrix
+    "kmeans_embeddings": 1,  # fold path: k-row centroid relation
 }
 
 
