@@ -195,6 +195,17 @@ def test_embedding_quantize_is_map_only(spark):
     assert P.count_exchanges(q) == 0, P.physical_plan(q)
 
 
+def test_media_decodes_are_map_only(spark):
+    """Both real decoders (PPM, BMP) are per-row pure byte parsers:
+    zero exchanges — the featurizer plan shape that scales by adding
+    executors, never by shuffling payloads."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    for name in ("multimodal_decode_ppm", "multimodal_decode_bmp"):
+        q = QUERIES[name](spark, SF)
+        assert P.count_exchanges(q) == 0, (name, P.physical_plan(q))
+
+
 # Queries allowed explicit F.broadcast() hints, with the bound that
 # justifies each: a hint overrides Spark's size threshold, so it is
 # legitimate ONLY on a side whose row count is provably independent of
