@@ -472,6 +472,207 @@ register("multimodal_decode_bmp", _q_bmp_decode, _bmp_oracle())
 
 
 # ---------------------------------------------------------------------------
+# Third REAL decode format — and the AUDIO modality: WAV (RIFF), 16-bit
+# PCM. Where PPM exercises text-header tokenization and BMP the binary
+# raster pitfalls, WAV exercises the CONTAINER pitfalls: RIFF chunk
+# walking (unknown chunks must be skipped; odd-sized chunks carry a pad
+# byte — word alignment), little-endian SIGNED 16-bit samples (an
+# unsigned misread flips every negative sample), and channel interleave
+# (the corpus mixes mono and stereo fixtures — per-channel sums catch a
+# stride mistake). Every third fixture embeds an odd-sized LIST chunk
+# before `data`, so a parser that forgets the pad byte desyncs and
+# fails on exactly 1/3 of rows. The oracle recomputes every output —
+# per-channel sums, exact sum-of-squares, peak, RMS — from the sample
+# formula and never sees the bytes. RMS is bit-exact cross-engine: one
+# correctly-rounded division + one correctly-rounded sqrt over exact
+# integers (all sums < 2^53).
+
+
+def _wav_sample(doc_id: int, i: int, c: int) -> int:
+    """Sample at frame i, channel c: signed, spans [-2048, 2047]."""
+    return (doc_id * 31 + i * 17 + c * 7) % 4096 - 2048
+
+
+def make_wav(doc_id: int) -> bytes:
+    """Deterministic RIFF/WAVE fixture: 1 + id%2 channels,
+    16 + id%17 frames, 16-bit PCM; every third fixture carries an
+    odd-sized LIST chunk (forces chunk-skip + word-alignment pad)."""
+    import struct
+
+    doc_id = int(doc_id)
+    nch = 1 + doc_id % 2
+    rate = 8000 + (doc_id % 4) * 4000
+    nfr = 16 + doc_id % 17
+    data = b"".join(
+        struct.pack("<h", _wav_sample(doc_id, i, c))
+        for i in range(nfr)
+        for c in range(nch)
+    )
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if doc_id % 3 == 0:
+        junk = bytes((doc_id + j) % 256 for j in range(7))  # odd size
+        body += b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def parse_wav(b: bytes):
+    """Strict RIFF/WAVE PCM parser: walks chunks (skipping unknown ones
+    with word alignment), validates the PCM fmt chunk (16-bit, coherent
+    block_align/byte_rate), and returns (n_channels, sample_rate,
+    interleaved int16 sample tuple) or None for anything malformed."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    if struct.unpack_from("<I", b, 4)[0] != len(b) - 8:
+        return None
+    pos, n = 12, len(b)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body_end = pos + 8 + size
+        if body_end > n:
+            return None
+        if cid == b"fmt ":
+            fmt = b[pos + 8 : body_end]
+        elif cid == b"data":
+            data = b[pos + 8 : body_end]
+        pos = body_end + (size & 1)  # odd chunks carry a pad byte
+    if pos != n or fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, nch, rate, byte_rate, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if (
+        audio_fmt != 1
+        or bits != 16
+        or nch == 0
+        or block_align != nch * 2
+        or byte_rate != rate * block_align
+        or len(data) % block_align
+    ):
+        return None
+    samples = struct.unpack("<%dh" % (len(data) // 2), data)
+    return nch, rate, samples
+
+
+def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One genuine WAV payload per document (binary column)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [make_wav(i) for i in pdf["doc_id"]],
+                }
+            )
+
+    return d.mapInPandas(gen, "media_id long, payload binary")
+
+
+_WAV_SCHEMA = (
+    "media_id long, decoded_ok boolean, n_channels int, sample_rate int, "
+    "n_frames long, sum_ch0 long, sum_ch1 long, sum_sq long, "
+    "peak_abs long, rms double"
+)
+
+
+def _wav_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    for pdf in batches:
+        rows = []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            parsed = parse_wav(bytes(payload))
+            if parsed is None:
+                rows.append((int(mid), False, 0, 0, 0, 0, 0, 0, 0, 0.0))
+                continue
+            nch, rate, samples = parsed
+            nfr = len(samples) // nch
+            s0 = sum(samples[0::nch])
+            s1 = sum(samples[1::nch]) if nch == 2 else 0
+            ssq = sum(s * s for s in samples)
+            peak = max(abs(s) for s in samples) if samples else 0
+            # exact ints; one division + one sqrt -> bit-exact
+            rms = math.sqrt(ssq / (nfr * nch)) if samples else 0.0
+            rows.append(
+                (int(mid), True, nch, rate, nfr, s0, s1, ssq, peak, rms)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "decoded_ok", "n_channels", "sample_rate",
+                "n_frames", "sum_ch0", "sum_ch1", "sum_sq", "peak_abs",
+                "rms",
+            ],
+        )
+
+
+def _q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WAV decode: walk each payload's RIFF chunks, decode
+    interleaved signed PCM, emit per-channel integer sums, exact
+    sum-of-squares, peak, RMS. Map-only — the zero-exchange featurizer
+    plan shape shared by all three real decoders."""
+    return wav_media_table(spark, sf_dir).mapInPandas(
+        _wav_decode_batches, _WAV_SCHEMA
+    )
+
+
+def _wav_oracle() -> str:
+    def samp(c: int) -> str:
+        return f"(media_id * 31 + i * 17 + {c} * 7) % 4096 - 2048"
+
+    def s(c: int) -> str:
+        return (
+            f"list_sum(list_transform(range(0, n_frames), "
+            f"i -> {samp(c)}))"
+        )
+
+    def ssq(c: int) -> str:
+        return (
+            f"list_sum(list_transform(range(0, n_frames), "
+            f"i -> ({samp(c)}) * ({samp(c)})))"
+        )
+
+    def peak(c: int) -> str:
+        return (
+            f"list_max(list_transform(range(0, n_frames), "
+            f"i -> abs({samp(c)})))"
+        )
+
+    return f"""WITH base AS (
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+           CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+           CAST(16 + doc_id % 17 AS BIGINT) AS n_frames
+    FROM documents
+),
+sums AS (
+    SELECT media_id, TRUE AS decoded_ok, n_channels, sample_rate, n_frames,
+           CAST({s(0)} AS BIGINT) AS sum_ch0,
+           CAST(CASE WHEN n_channels = 2 THEN {s(1)} ELSE 0 END AS BIGINT)
+               AS sum_ch1,
+           CAST({ssq(0)} + CASE WHEN n_channels = 2 THEN {ssq(1)} ELSE 0 END
+               AS BIGINT) AS sum_sq,
+           CAST(CASE WHEN n_channels = 2 THEN greatest({peak(0)}, {peak(1)})
+                ELSE {peak(0)} END AS BIGINT) AS peak_abs
+    FROM base
+)
+SELECT media_id, decoded_ok, n_channels, sample_rate, n_frames,
+       sum_ch0, sum_ch1, sum_sq, peak_abs,
+       sqrt(CAST(sum_sq AS DOUBLE) / (n_frames * n_channels)) AS rms
+FROM sums"""
+
+
+register("multimodal_decode_wav", _q_wav_decode, _wav_oracle())
+
+
+# ---------------------------------------------------------------------------
 # Deterministic feature extraction (hash features). The decode-based
 # extractor above is necessarily rows-only (and stubbed — no media libs
 # in this container); this one is the oracle-checkable stand-in: a

@@ -196,12 +196,16 @@ def test_embedding_quantize_is_map_only(spark):
 
 
 def test_media_decodes_are_map_only(spark):
-    """Both real decoders (PPM, BMP) are per-row pure byte parsers:
-    zero exchanges — the featurizer plan shape that scales by adding
-    executors, never by shuffling payloads."""
+    """All three real decoders (PPM, BMP, WAV) are per-row pure byte
+    parsers: zero exchanges — the featurizer plan shape that scales by
+    adding executors, never by shuffling payloads."""
     from strategy_analyzer_exporter_spark.registry import QUERIES
 
-    for name in ("multimodal_decode_ppm", "multimodal_decode_bmp"):
+    for name in (
+        "multimodal_decode_ppm",
+        "multimodal_decode_bmp",
+        "multimodal_decode_wav",
+    ):
         q = QUERIES[name](spark, SF)
         assert P.count_exchanges(q) == 0, (name, P.physical_plan(q))
 

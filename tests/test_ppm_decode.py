@@ -10,10 +10,13 @@ from strategy_analyzer_exporter_spark.operators.multimodal import (
     BMP_HEADER_SIZE,
     PPM_MAXV,
     _bmp_px,
+    _wav_sample,
     make_bmp,
     make_ppm,
+    make_wav,
     parse_bmp,
     parse_ppm,
+    parse_wav,
 )
 
 
@@ -82,3 +85,67 @@ def test_bmp_rejections():
     bad_off = bytearray(good)
     struct.pack_into("<I", bad_off, 10, 7)
     assert parse_bmp(bytes(bad_off)) is None
+
+
+# --- WAV -------------------------------------------------------------------
+
+
+def test_wav_roundtrip_matches_formula():
+    """Parsed samples must be signed, interleaved, and in fixture order
+    — covers both the plain layout and the odd-LIST-chunk layout
+    (doc_id % 3 == 0 embeds a 7-byte chunk + pad before `data`)."""
+    for doc_id in (0, 1, 7, 123, 4096):  # 0/123/4096 carry the LIST chunk
+        nch, rate, samples = parse_wav(make_wav(doc_id))
+        assert nch == 1 + doc_id % 2
+        assert rate == 8000 + (doc_id % 4) * 4000
+        nfr = 16 + doc_id % 17
+        assert len(samples) == nfr * nch
+        for i in (0, nfr - 1):
+            for c in range(nch):
+                assert samples[i * nch + c] == _wav_sample(doc_id, i, c)
+    assert any(s < 0 for s in parse_wav(make_wav(1))[2])  # really signed
+
+
+def test_wav_unknown_chunk_requires_pad_byte():
+    """Dropping the LIST chunk's word-alignment pad byte must desync the
+    chunk walk — the parser may not silently resync."""
+    good = make_wav(3)  # no LIST chunk
+    assert parse_wav(good) is not None
+    padded = make_wav(0)  # odd-sized LIST chunk + pad byte
+    assert parse_wav(padded) is not None
+    i = padded.index(b"LIST")
+    import struct
+
+    size = struct.unpack_from("<I", padded, i + 4)[0]
+    assert size % 2 == 1
+    pad_at = i + 8 + size
+    unpadded = padded[:pad_at] + padded[pad_at + 1 :]
+    # fix the RIFF size so only the missing pad is wrong
+    unpadded = (
+        unpadded[:4]
+        + struct.pack("<I", len(unpadded) - 8)
+        + unpadded[8:]
+    )
+    assert parse_wav(unpadded) is None
+
+
+def test_wav_rejections():
+    import struct
+
+    good = make_wav(5)
+    assert parse_wav(b"XXXX" + good[4:]) is None  # wrong magic
+    assert parse_wav(good[:-1]) is None  # truncated data chunk
+    assert parse_wav(good[:11]) is None  # shorter than RIFF header
+    bad_riff_size = bytearray(good)
+    struct.pack_into("<I", bad_riff_size, 4, len(good))  # off by 8
+    assert parse_wav(bytes(bad_riff_size)) is None
+    fmt_at = good.index(b"fmt ") + 8
+    non_pcm = bytearray(good)
+    struct.pack_into("<H", non_pcm, fmt_at, 3)  # IEEE float format tag
+    assert parse_wav(bytes(non_pcm)) is None
+    bad_bits = bytearray(good)
+    struct.pack_into("<H", bad_bits, fmt_at + 14, 8)  # 8-bit samples
+    assert parse_wav(bytes(bad_bits)) is None
+    bad_align = bytearray(good)
+    struct.pack_into("<H", bad_align, fmt_at + 12, 6)  # align != nch*2
+    assert parse_wav(bytes(bad_align)) is None
