@@ -398,7 +398,14 @@ def main() -> None:
             "measured and REJECTED (semi-join on candidate docs 5.5s - "
             "recomputes the band join; colliding-bucket window filter "
             "2.9s t10 but 1.46s t1 - the window costs more than the "
-            "shuffles it saves)."
+            "shuffles it saves). A third variant REJECTED later in r06: "
+            "sortWithinPartitions(doc_id, gram) before persist, hoping "
+            "the SortAggregate/SMJ consumers reuse the cached ordering "
+            "- under AQE the cached plan is an AdaptiveSparkPlanExec "
+            "which does NOT advertise outputOrdering, so every consumer "
+            "re-sorts anyway and the build pays an extra sort: t10 "
+            "2.96 -> 3.74s. The t10 tail is irreducible verify CPU at "
+            "this corpus shape."
         ),
     }
 
