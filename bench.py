@@ -404,8 +404,12 @@ def main() -> None:
             "- under AQE the cached plan is an AdaptiveSparkPlanExec "
             "which does NOT advertise outputOrdering, so every consumer "
             "re-sorts anyway and the build pays an extra sort: t10 "
-            "2.96 -> 3.74s. The t10 tail is irreducible verify CPU at "
-            "this corpus shape."
+            "2.96 -> 3.74s. A fourth: shuffle_hash hints on both small "
+            "verify-join sides (skip the SMJ sorts) - t10 flat (AQE "
+            "already broadcasts those sides at runtime) and t1 0.28 -> "
+            "0.97s. Measured split at 10x: candidate generation 1.25s, "
+            "verify ~1.6s, bare gram-cache scan 0.13s - the tail is "
+            "join/agg CPU, not sorts or shuffles."
         ),
     }
 
