@@ -673,6 +673,215 @@ register("multimodal_decode_wav", _q_wav_decode, _wav_oracle())
 
 
 # ---------------------------------------------------------------------------
+# Fourth REAL decode format — the VIDEO modality: Y4M (YUV4MPEG2),
+# 4:2:0 planar. Completes the real-parser modality triple (image:
+# PPM/BMP, audio: WAV, video: Y4M) and exercises what neither raster
+# nor RIFF did: a MULTI-FRAME stream (text header, then repeated
+# `FRAME[ params]\n` markers each followed by a raw w*h*3/2 plane
+# payload), tag-style header tokens (W/H/F/I/A/C/X), and plane
+# geometry (full-res Y plane + two quarter-res chroma planes). The
+# query is the brief's frame-SAMPLE op over real bytes: every
+# ceil(n/4)-th frame is decoded to per-plane integer sums — one input
+# row fans out to one row PER SAMPLED FRAME inside mapInPandas. Every
+# third fixture carries X-extension header tokens and FRAME-line
+# params, so a parser that assumes bare markers desyncs into the plane
+# data on exactly 1/3 of rows. A Y-plane TOP-ROW checksum is
+# position-sensitive: an offset bug that lands the Y pointer in chroma
+# territory survives the total sums but breaks it.
+
+
+def _y4m_geom(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) — dims even, per 4:2:0 subsampling."""
+    return 4 + 2 * (doc_id % 3), 2 + 2 * (doc_id % 4), 3 + doc_id % 6
+
+
+def _y4m_byte(doc_id: int, f: int, j: int, plane: int) -> int:
+    """Byte j of plane 0=Y/1=U/2=V in frame f (planes indexed from 0)."""
+    return (doc_id * 13 + f * 31 + j * 7 + plane * 85) % 256
+
+
+def make_y4m(doc_id: int) -> bytes:
+    """Deterministic YUV4MPEG2 fixture; every third doc carries an
+    X-extension header token and per-FRAME parameters."""
+    doc_id = int(doc_id)
+    w, h, nf = _y4m_geom(doc_id)
+    extra = doc_id % 3 == 0
+    hdr = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420"
+    if extra:
+        hdr += " XCOLORRANGE=FULL"
+    out = bytearray(hdr.encode("ascii") + b"\n")
+    q = (w // 2) * (h // 2)
+    for f in range(nf):
+        out += b"FRAME Xq=5\n" if extra else b"FRAME\n"
+        for plane, size in ((0, w * h), (1, q), (2, q)):
+            out += bytes(_y4m_byte(doc_id, f, j, plane) for j in range(size))
+    return bytes(out)
+
+
+def parse_y4m(b: bytes):
+    """Strict YUV4MPEG2 4:2:0 parser: tag-style header tokens (W/H
+    required; F/I/A/X skipped; C must be 4:2:0), then `FRAME[ params]`
+    markers each followed by exactly w*h + 2*(w/2)*(h/2) plane bytes.
+    Returns (w, h, [frame_bytes...]) or None for anything malformed."""
+    nl = b.find(0x0A)
+    if nl < 0:
+        return None
+    try:
+        parts = b[:nl].decode("ascii").split(" ")
+    except UnicodeDecodeError:
+        return None
+    if parts[0] != "YUV4MPEG2":
+        return None
+    w = h = None
+    chroma = "420"
+    for p in parts[1:]:
+        if not p:
+            return None
+        tag, val = p[0], p[1:]
+        if tag == "W" or tag == "H":
+            try:
+                dim = int(val)
+            except ValueError:
+                return None
+            if tag == "W":
+                w = dim
+            else:
+                h = dim
+        elif tag == "C":
+            chroma = val
+        elif tag in "FIAX":
+            continue
+        else:
+            return None
+    if (
+        w is None
+        or h is None
+        or w <= 0
+        or h <= 0
+        or w % 2
+        or h % 2
+        or not chroma.startswith("420")
+    ):
+        return None
+    frame_size = w * h + 2 * ((w // 2) * (h // 2))
+    pos, n = nl + 1, len(b)
+    frames = []
+    while pos < n:
+        if b[pos : pos + 5] != b"FRAME":
+            return None
+        end = b.find(0x0A, pos)
+        if end < 0:
+            return None
+        if end > pos + 5 and b[pos + 5 : pos + 6] != b" ":
+            return None
+        pos = end + 1
+        if pos + frame_size > n:
+            return None
+        frames.append(b[pos : pos + frame_size])
+        pos += frame_size
+    return w, h, frames
+
+
+def y4m_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One genuine Y4M payload per document (binary column)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [make_y4m(i) for i in pdf["doc_id"]],
+                }
+            )
+
+    return d.mapInPandas(gen, "media_id long, payload binary")
+
+
+_Y4M_SCHEMA = (
+    "media_id long, decoded_ok boolean, width int, height int, "
+    "n_frames long, frame_idx long, y_sum long, uv_sum long, "
+    "y_top_row_sum long"
+)
+
+
+def _y4m_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            parsed = parse_y4m(bytes(payload))
+            if parsed is None:
+                rows.append((int(mid), False, 0, 0, 0, 0, 0, 0, 0))
+                continue
+            w, h, frames = parsed
+            nf = len(frames)
+            stride = (nf + 3) // 4  # sample ~4 frames per payload
+            for f in range(0, nf, stride):
+                fr = frames[f]
+                y = fr[: w * h]
+                rows.append(
+                    (
+                        int(mid), True, w, h, nf, f,
+                        sum(y),
+                        sum(fr[w * h :]),
+                        sum(y[:w]),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "decoded_ok", "width", "height", "n_frames",
+                "frame_idx", "y_sum", "uv_sum", "y_top_row_sum",
+            ],
+        )
+
+
+def _q_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Y4M frame sampling: parse each payload's header and
+    frame markers, decode every ceil(n/4)-th frame's planes to integer
+    sums (one output row per sampled frame). Map-only — payload fan-out
+    happens inside the Arrow batch, never through a shuffle."""
+    return y4m_media_table(spark, sf_dir).mapInPandas(
+        _y4m_decode_batches, _Y4M_SCHEMA
+    )
+
+
+def _y4m_oracle() -> str:
+    def px(plane: int) -> str:
+        return f"(media_id * 13 + frame_idx * 31 + j * 7 + {plane} * 85) % 256"
+
+    y_sum = (
+        f"list_sum(list_transform(range(0, width*height), j -> {px(0)}))"
+    )
+    uv_sum = (
+        f"list_sum(list_transform(range(0, (width//2)*(height//2)), "
+        f"j -> ({px(1)}) + ({px(2)})))"
+    )
+    y_top = f"list_sum(list_transform(range(0, width), j -> {px(0)}))"
+    return f"""WITH base AS (
+    SELECT doc_id AS media_id,
+           CAST(4 + 2 * (doc_id % 3) AS INTEGER) AS width,
+           CAST(2 + 2 * (doc_id % 4) AS INTEGER) AS height,
+           CAST(3 + doc_id % 6 AS BIGINT) AS n_frames
+    FROM documents
+),
+fr AS (
+    SELECT media_id, width, height, n_frames,
+           CAST(unnest(range(0, n_frames, (n_frames + 3) // 4)) AS BIGINT)
+               AS frame_idx
+    FROM base
+)
+SELECT media_id, TRUE AS decoded_ok, width, height, n_frames, frame_idx,
+       CAST({y_sum} AS BIGINT) AS y_sum,
+       CAST({uv_sum} AS BIGINT) AS uv_sum,
+       CAST({y_top} AS BIGINT) AS y_top_row_sum
+FROM fr"""
+
+
+register("multimodal_decode_y4m", _q_y4m_decode, _y4m_oracle())
+
+
+# ---------------------------------------------------------------------------
 # Deterministic feature extraction (hash features). The decode-based
 # extractor above is necessarily rows-only (and stubbed — no media libs
 # in this container); this one is the oracle-checkable stand-in: a

@@ -196,15 +196,17 @@ def test_embedding_quantize_is_map_only(spark):
 
 
 def test_media_decodes_are_map_only(spark):
-    """All three real decoders (PPM, BMP, WAV) are per-row pure byte
-    parsers: zero exchanges — the featurizer plan shape that scales by
-    adding executors, never by shuffling payloads."""
+    """All four real decoders (PPM, BMP, WAV, Y4M) are per-row pure
+    byte parsers: zero exchanges — the featurizer plan shape that
+    scales by adding executors, never by shuffling payloads (Y4M's
+    frame fan-out happens inside the Arrow batch)."""
     from strategy_analyzer_exporter_spark.registry import QUERIES
 
     for name in (
         "multimodal_decode_ppm",
         "multimodal_decode_bmp",
         "multimodal_decode_wav",
+        "multimodal_decode_y4m",
     ):
         q = QUERIES[name](spark, SF)
         assert P.count_exchanges(q) == 0, (name, P.physical_plan(q))

@@ -11,12 +11,16 @@ from strategy_analyzer_exporter_spark.operators.multimodal import (
     PPM_MAXV,
     _bmp_px,
     _wav_sample,
+    _y4m_byte,
+    _y4m_geom,
     make_bmp,
     make_ppm,
     make_wav,
+    make_y4m,
     parse_bmp,
     parse_ppm,
     parse_wav,
+    parse_y4m,
 )
 
 
@@ -149,3 +153,42 @@ def test_wav_rejections():
     bad_align = bytearray(good)
     struct.pack_into("<H", bad_align, fmt_at + 12, 6)  # align != nch*2
     assert parse_wav(bytes(bad_align)) is None
+
+
+# --- Y4M -------------------------------------------------------------------
+
+
+def test_y4m_roundtrip_matches_formula():
+    """Parsed frames must be the raw plane payloads in stream order —
+    covers both bare FRAME markers and the X-param layout
+    (doc_id % 3 == 0 adds header X tokens and FRAME parameters)."""
+    for doc_id in (0, 1, 7, 123, 4096):  # 0/123/4096 carry X params
+        w, h, frames = parse_y4m(make_y4m(doc_id))
+        ew, eh, enf = _y4m_geom(doc_id)
+        assert (w, h, len(frames)) == (ew, eh, enf)
+        q = (w // 2) * (h // 2)
+        for f in (0, enf - 1):
+            fr = frames[f]
+            assert len(fr) == w * h + 2 * q
+            assert fr[0] == _y4m_byte(doc_id, f, 0, 0)  # Y start
+            assert fr[w * h] == _y4m_byte(doc_id, f, 0, 1)  # U start
+            assert fr[w * h + q] == _y4m_byte(doc_id, f, 0, 2)  # V start
+
+
+def test_y4m_rejections():
+    good = make_y4m(5)
+    assert parse_y4m(b"JUNK" + good[4:]) is None  # wrong magic
+    assert parse_y4m(good[:-1]) is None  # truncated last frame
+    assert parse_y4m(good + b"FRAME\n") is None  # marker, no payload
+    assert parse_y4m(good.replace(b"C420", b"C444", 1)) is None
+    assert parse_y4m(good.replace(b"FRAME", b"FRAMX", 1)) is None
+    # odd width rejected (4:2:0 needs even dims)
+    assert parse_y4m(b"YUV4MPEG2 W3 H2 C420\n") is None
+    # unknown single-letter tag rejected
+    assert parse_y4m(good.replace(b" Ip ", b" Zp ", 1)) is None
+    # FRAME params must be space-separated from the marker
+    assert parse_y4m(make_y4m(0).replace(b"FRAME Xq=5", b"FRAMEXq=25", 1)) is None
+
+
+def test_y4m_header_only_is_zero_frames():
+    assert parse_y4m(b"YUV4MPEG2 W4 H2 C420\n") == (4, 2, [])
