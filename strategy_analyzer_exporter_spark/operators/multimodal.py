@@ -216,8 +216,11 @@ def parse_ppm(b: bytes):
     return w, h, raster
 
 
-def ppm_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One genuine PPM payload per document (binary column)."""
+def _media_fixture_table(
+    spark: SparkSession, sf_dir: str, make_fn
+) -> DataFrame:
+    """One genuine payload per document (binary column) — shared
+    plumbing for all four real-format fixture tables."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -225,11 +228,16 @@ def ppm_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
-                    "payload": [make_ppm(i) for i in pdf["doc_id"]],
+                    "payload": [make_fn(i) for i in pdf["doc_id"]],
                 }
             )
 
     return d.mapInPandas(gen, "media_id long, payload binary")
+
+
+def ppm_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One genuine PPM payload per document (binary column)."""
+    return _media_fixture_table(spark, sf_dir, make_ppm)
 
 
 _PPM_SCHEMA = (
@@ -383,18 +391,7 @@ def parse_bmp(b: bytes):
 
 def bmp_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One genuine BMP payload per document (binary column)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "payload": [make_bmp(i) for i in pdf["doc_id"]],
-                }
-            )
-
-    return d.mapInPandas(gen, "media_id long, payload binary")
+    return _media_fixture_table(spark, sf_dir, make_bmp)
 
 
 _BMP_SCHEMA = (
@@ -561,18 +558,7 @@ def parse_wav(b: bytes):
 
 def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One genuine WAV payload per document (binary column)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "payload": [make_wav(i) for i in pdf["doc_id"]],
-                }
-            )
-
-    return d.mapInPandas(gen, "media_id long, payload binary")
+    return _media_fixture_table(spark, sf_dir, make_wav)
 
 
 _WAV_SCHEMA = (
@@ -595,7 +581,7 @@ def _wav_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             nch, rate, samples = parsed
             nfr = len(samples) // nch
             s0 = sum(samples[0::nch])
-            s1 = sum(samples[1::nch]) if nch == 2 else 0
+            s1 = sum(samples[1::nch]) if nch >= 2 else 0
             ssq = sum(s * s for s in samples)
             peak = max(abs(s) for s in samples) if samples else 0
             # exact ints; one division + one sqrt -> bit-exact
@@ -784,18 +770,7 @@ def parse_y4m(b: bytes):
 
 def y4m_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One genuine Y4M payload per document (binary column)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "payload": [make_y4m(i) for i in pdf["doc_id"]],
-                }
-            )
-
-    return d.mapInPandas(gen, "media_id long, payload binary")
+    return _media_fixture_table(spark, sf_dir, make_y4m)
 
 
 _Y4M_SCHEMA = (
@@ -815,7 +790,9 @@ def _y4m_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 continue
             w, h, frames = parsed
             nf = len(frames)
-            stride = (nf + 3) // 4  # sample ~4 frames per payload
+            # ~4 sampled frames per payload; max() guards the legal
+            # zero-frame stream (header only) -> zero output rows
+            stride = max(1, (nf + 3) // 4)
             for f in range(0, nf, stride):
                 fr = frames[f]
                 y = fr[: w * h]

@@ -98,7 +98,7 @@ def test_wav_roundtrip_matches_formula():
     """Parsed samples must be signed, interleaved, and in fixture order
     — covers both the plain layout and the odd-LIST-chunk layout
     (doc_id % 3 == 0 embeds a 7-byte chunk + pad before `data`)."""
-    for doc_id in (0, 1, 7, 123, 4096):  # 0/123/4096 carry the LIST chunk
+    for doc_id in (0, 1, 7, 123, 4098):  # 0/123/4098 carry the LIST chunk
         nch, rate, samples = parse_wav(make_wav(doc_id))
         assert nch == 1 + doc_id % 2
         assert rate == 8000 + (doc_id % 4) * 4000
@@ -162,7 +162,7 @@ def test_y4m_roundtrip_matches_formula():
     """Parsed frames must be the raw plane payloads in stream order —
     covers both bare FRAME markers and the X-param layout
     (doc_id % 3 == 0 adds header X tokens and FRAME parameters)."""
-    for doc_id in (0, 1, 7, 123, 4096):  # 0/123/4096 carry X params
+    for doc_id in (0, 1, 7, 123, 4098):  # 0/123/4098 carry X params
         w, h, frames = parse_y4m(make_y4m(doc_id))
         ew, eh, enf = _y4m_geom(doc_id)
         assert (w, h, len(frames)) == (ew, eh, enf)
@@ -192,3 +192,42 @@ def test_y4m_rejections():
 
 def test_y4m_header_only_is_zero_frames():
     assert parse_y4m(b"YUV4MPEG2 W4 H2 C420\n") == (4, 2, [])
+
+
+def test_y4m_zero_frame_stream_decodes_to_no_rows():
+    """A legal header-only stream (zero frames) must produce zero
+    sampled-frame rows — not a stride-0 range() crash in the batch."""
+    import pandas as pd
+
+    from strategy_analyzer_exporter_spark.operators.multimodal import (
+        _y4m_decode_batches,
+    )
+
+    pdf = pd.DataFrame({"media_id": [1], "payload": [b"YUV4MPEG2 W4 H2 C420\n"]})
+    out = list(_y4m_decode_batches(iter([pdf])))
+    assert sum(len(o) for o in out) == 0
+
+
+def test_wav_three_channel_sum_ch1_is_real():
+    """parse_wav accepts any channel count with a coherent fmt chunk;
+    the featurizer must then report channel 1's true sum, not 0."""
+    import struct
+
+    import pandas as pd
+
+    from strategy_analyzer_exporter_spark.operators.multimodal import (
+        _wav_decode_batches,
+    )
+
+    nch, nfr = 3, 4
+    samples = [(10 * i + c) - 15 for i in range(nfr) for c in range(nch)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, nch, 8000, 8000 * nch * 2, nch * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    pdf = pd.DataFrame({"media_id": [7], "payload": [wav]})
+    (out,) = list(_wav_decode_batches(iter([pdf])))
+    row = out.iloc[0]
+    assert bool(row["decoded_ok"]) and row["n_channels"] == 3
+    assert row["sum_ch1"] == sum(samples[1::nch]) != 0
