@@ -411,6 +411,19 @@ def main() -> None:
             "verify ~1.6s, bare gram-cache scan 0.13s - the tail is "
             "join/agg CPU, not sorts or shuffles."
         ),
+        "skew_audit": (
+            "r06, measured on a synthetic 30%-hot-key remap of the 10x "
+            "sf0.1 events corpus (1M rows, one user holding ~300k): "
+            "fact-dim join with broadcast disabled 0.80s with AQE "
+            "skewJoin off -> 0.62s on (the optimizer splits the hot "
+            "partition; join_skew_salted stays the structural answer "
+            "when AQE cannot, e.g. pre-shuffle bucketed layouts). "
+            "Salted two-phase agg 0.65s vs 0.51s DIRECT on the same "
+            "corpus: map-side partial aggregation already collapses "
+            "hot keys for algebraic aggs, so salting pays an extra "
+            "shuffle for nothing - documented on agg_salted_two_phase "
+            "as a non-combinable-state-only pattern."
+        ),
     }
 
     total = round(sum(results.values()), 3)

@@ -67,6 +67,14 @@ GROUP BY 1, 2""",
 # are order-independent), so the direct SQL is the oracle. At 100 TB this
 # is the fallback when one event_type dominates and AQE's skew handling
 # isn't enough (it only splits join partitions, not agg groups).
+#
+# Measured caveat (r06 skew audit, 30%-hot-key corpus, 1M rows): for
+# ALGEBRAIC aggregates (sum/count/min/max) the direct groupBy already
+# neutralizes hot keys — map-side partial aggregation reduces each key
+# to one row per map task before the shuffle, so salting only added a
+# second shuffle (0.65 s vs 0.51 s direct). Reach for this shape when
+# per-key reducer STATE is what explodes (collect_list/percentile/
+# count_distinct intermediates), not for combinable aggregates.
 
 N_SALTS = 8
 
