@@ -82,6 +82,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: consumers (VERDICT r05 #8).
 CHANGED_THIS_ROUND = (
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_cluster_cc",
     "dedup_cluster_cc_star",

@@ -88,6 +88,9 @@ TRIALS = 3  # report median-of-3 — guards against one-off JIT/GC noise
 
 PROBE_QUERIES = (
     "dedup_minhash_lsh",
+    # r06: the banded-integer-votes family gets an exponent too (second
+    # heaviest headline dedup; previously only minhash was probed)
+    "dedup_simhash",
     "text_quality_score",
     "corpus_clean_pipeline",
     "similarity_bruteforce_topk",

