@@ -485,15 +485,26 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.aggregate(
-        F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
-        F.lit(0),
-        lambda acc, p: acc
-        + F.when(
-            F.substring(F.col("sim_a"), p, 1) != F.substring(F.col("sim_b"), p, 1),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
+    # Hamming via per-band integer XOR + popcount (codegen'd builtins),
+    # not a position-by-position HOF: F.aggregate never enters
+    # whole-stage codegen (same pitfall the shingle path documents), so
+    # the old 64-step fold paid 128 interpreted substring calls per
+    # candidate pair — measured 1.77 s -> 0.59 s at sf0.1 (t10 5.2 ->
+    # 2.1 s), identical pairs at both gates.
+    parts = [
+        F.bit_count(
+            F.conv(F.substring("sim_a", 1 + b * band_w, band_w), 2, 10)
+            .cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring("sim_b", 1 + b * band_w, band_w), 2, 10)
+                .cast("long")
+            )
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    hamming = parts[0]
+    for part in parts[1:]:
+        hamming = hamming + part
     return (
         cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
