@@ -45,8 +45,12 @@ def _recorded_names() -> tuple[dict[str, int], int, set[str]]:
                 data = json.load(f)
             for name, row in data.items():
                 seen[name] = max(seen.get(name, 0), rnd)
+                # require each match key to be EXPLICITLY True: a
+                # truncated/partial row (e.g. {'err': null} with no
+                # match keys) must count as failing, not green
+                # (ADVICE r06)
                 green = isinstance(row, dict) and not row.get("err") and all(
-                    row.get(k) is not False
+                    row.get(k) is True
                     for k in ("rows_match", "schema_match", "hash_match")
                 )
                 if rnd >= latest_row.get(name, (0, True))[0]:
@@ -75,32 +79,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CHANGED_AS_OF_ROUND or later (so a query that missed one round's
 #: 50-slot sample keeps its priority until actually re-verified, and
 #: no hand-maintained cleanup is needed).
-#: r06: the repo-wide broadcast-hint sweep removed explicit hints on
-#: relations that scale with the data (VERDICT r05 #2-4), the four
-#: event queries gained an explicit ts IS NOT NULL guard (ADVICE r05),
-#: and the gram cache now advertises hashpartitioning(doc_id) to its
-#: consumers (VERDICT r05 #8).
-CHANGED_THIS_ROUND = (
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_cc",
-    "dedup_cluster_cc_star",
-    "q18_large_orders",
-    "q16_supplier_part_counts",
-    "q3_shipping_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q14_promo_effect",
-    "q17_small_quantity",
-    "join_multiway",
-    "decontaminate_ngram",
-    "events_funnel_3step",
-    "events_funnel_one_pass",
-    "events_retention_cohorts",
-    "events_retention_one_pass",
-)
-CHANGED_AS_OF_ROUND = 6  # a row from round ≥ 6 post-dates the change
+#: r07: no registered query's plan changed — the round's minhash
+#: prefilter experiment was measured and rejected (the registered query
+#: still runs the r06 plan; see dedup.py MINHASH_AGREE_MIN), and the
+#: two net-new queries (source_bucketed_join,
+#: multimodal_source_binaryfile) enter via the never-recorded band.
+#: The empty band lets the 50-slot rotation drain the r01/r02 stale
+#: tail (VERDICT r06 #1).
+CHANGED_THIS_ROUND: tuple[str, ...] = ()
+CHANGED_AS_OF_ROUND = 7  # a row from round ≥ 7 post-dates the change
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -114,10 +101,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round (CHANGED_THIS_ROUND) come next — their recorded rows are
     stale by construction.
 
-    The already-recorded tail is then ROTATED by round index (offset =
-    rounds × 50 over the alphabetical seen list) so recorded queries
-    are periodically re-verified — without this, a regression in an
-    operator recorded in r01 would never be re-sampled (ADVICE r03).
+    The already-recorded tail is ordered STALEST-RECORD-FIRST (latest
+    recorded round ascending, name tiebreak): each round the driver's
+    50 slots re-verify the queries whose records are oldest, which
+    both drains any stale backlog in one pass (VERDICT r06 #1 — the
+    alphabetical rotation this replaces in r07 needed two rounds) and
+    self-balances: sampled queries get fresh rows and sink to the back,
+    so with 163 registered every query is re-verified at least every
+    ⌈163/50⌉ ≈ 4 rounds — the property the rotation was for (ADVICE
+    r03), achieved with a tighter worst case.
 
     A query whose LATEST recorded row is a FAIL also joins the priority
     band (VERDICT r05 #5): its fix may predate the rotation reaching it
@@ -136,10 +128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     changed += sorted(
         n for n in failing if n in QUERIES and n not in changed
     )
-    tail = sorted(n for n in QUERIES if n in seen and n not in changed)
-    if tail:
-        off = (rounds * 50) % len(tail)
-        tail = tail[off:] + tail[:off]
+    tail = sorted(
+        (n for n in QUERIES if n in seen and n not in changed),
+        key=lambda n: (seen[n], n),
+    )
     return {n: QUERIES[n] for n in fresh + changed + tail}
 
 

@@ -60,6 +60,11 @@ HEADLINE = (
     # excluding the O(n²) prefix-fold applies only to the *_fold
     # oracle-parity twins, which stay out)
     "bars_macd",
+    # round-7 representatives: the bucketed-at-rest read-back join
+    # (zero-exchange SMJ over the bucketed layout) and the
+    # binaryFile-source media decode
+    "source_bucketed_join",
+    "multimodal_source_binaryfile",
 )
 
 # queries whose work happens (partly) INSIDE the query fn — a stream
@@ -70,12 +75,19 @@ HEADLINE = (
 # (PQ builds its four codebooks eagerly at query-build time too)
 EAGER_BUILD = {"streaming_features", "kmeans_embeddings", "similarity_pq_adc"}
 
-# Bench measures state-OPERATOR throughput, not per-trigger fixed cost:
-# one micro-batch for the 30 staged day-files. Cross-batch state
-# continuity is verified by the driver correctness run (default
-# 2-batch config) and tests/test_streaming_sinks.py; results are
-# bit-equal either way.
-os.environ.setdefault("SPARK_GRAFT_STREAM_MFPT", "64")
+# Micro-batch size for the streaming headline. The cost curve was
+# MEASURED in r07 (docs/BENCH_NOTES.md §r07): throughput rises
+# monotonically with maxFilesPerTrigger (10× corpus: 111k rows/s at
+# 64 → 140k at 256 → 170k at 1024) because every batch pays a fixed
+# state-store-commit + Python-round-trip cost. 256 is the chosen
+# default: it captures most of the amortization while the 10× probe
+# (300 day-files) still runs ≥2 micro-batches, so the number measured
+# remains a STREAM with cross-batch state, not a single-batch drain
+# (1024 would collapse t10 to one batch). Cross-batch state continuity
+# is separately verified by the driver correctness run (2-batch
+# config) and tests/test_streaming_sinks.py; results are bit-equal at
+# every setting.
+os.environ.setdefault("SPARK_GRAFT_STREAM_MFPT", "256")
 
 TRIALS = 3  # report median-of-3 — guards against one-off JIT/GC noise
 
@@ -118,7 +130,17 @@ PROBE_QUERIES = (
     # copy → 10× DAYS): the reference's own feature pipeline and the
     # incremental indicator family, measured instead of argued
     "features_flagship",
+    # r07: the single-shuffle applyInPandas twin gets an exponent too —
+    # measured crossover: flagship wins at 1× (1.24 vs 1.47 s), fused
+    # wins at 10× (1.60 vs 1.94 s); the headline keeps the 1×-measured
+    # winner and this probe keeps the crossover on record
+    "features_flagship_fused",
     "bars_macd",
+    # r07 (VERDICT r06 #5): the heaviest media decoder — Y4M multi-frame
+    # 4:2:0 with per-sampled-frame fan-out inside the Arrow batch.
+    # Map-only is plan-asserted; the exponent makes linearity measured,
+    # not assumed, per the repo's own convention
+    "multimodal_decode_y4m",
     # streaming at 10× days: 300 day-files at MFPT=64 → 5 micro-batches,
     # so the exponent (~0.85) is trigger-cycle growth, not state growth —
     # rows/s IMPROVES at t10 (state compute amortizes the per-batch
@@ -378,56 +400,12 @@ def main() -> None:
 
     extras["exchanges"] = exchanges
     extras["scale_probe"] = _scale_probe(spark, queries)
-    # measured explanations for probe numbers a reader would otherwise
-    # misread (full record lands in BENCH_FULL.json). These are
-    # ROUND-STAMPED history — each note names the round it was measured
-    # in and describes that round's numbers, not the current run's.
-    extras["notes"] = {
-        "measured_in": "r06 — round-stamped history, not per-run output",
-        "similarity_lsh_ann[pair=arrow]": (
-            "r05 driver probe printed t10 1.96s / exponent 0.5 for the "
-            "non-default arrow pair kernel; re-measured idle in r06: "
-            "t1 0.69 / t10 1.25 / exponent 0.26 (min-of-3, warm). The "
-            "r05 number was driver-run contention, not a kernel "
-            "regression; the default fold path is flat either way "
-            "(t10 ~0.96s)."
-        ),
-        "dedup_minhash_lsh": (
-            "r06: gram cache now persists WITH hashpartitioning(doc_id) "
-            "advertised (repartition after shingling) - per-query "
-            "full-gram shuffles 2 -> 0, exchanges 2 -> 1, t1 0.63 -> "
-            "0.56s. t10 ~2.8s is unchanged (scan/join CPU over 10x "
-            "cached grams, no shuffle): two restriction variants were "
-            "measured and REJECTED (semi-join on candidate docs 5.5s - "
-            "recomputes the band join; colliding-bucket window filter "
-            "2.9s t10 but 1.46s t1 - the window costs more than the "
-            "shuffles it saves). A third variant REJECTED later in r06: "
-            "sortWithinPartitions(doc_id, gram) before persist, hoping "
-            "the SortAggregate/SMJ consumers reuse the cached ordering "
-            "- under AQE the cached plan is an AdaptiveSparkPlanExec "
-            "which does NOT advertise outputOrdering, so every consumer "
-            "re-sorts anyway and the build pays an extra sort: t10 "
-            "2.96 -> 3.74s. A fourth: shuffle_hash hints on both small "
-            "verify-join sides (skip the SMJ sorts) - t10 flat (AQE "
-            "already broadcasts those sides at runtime) and t1 0.28 -> "
-            "0.97s. Measured split at 10x: candidate generation 1.25s, "
-            "verify ~1.6s, bare gram-cache scan 0.13s - the tail is "
-            "join/agg CPU, not sorts or shuffles."
-        ),
-        "skew_audit": (
-            "r06, measured on a synthetic 30%-hot-key remap of the 10x "
-            "sf0.1 events corpus (1M rows, one user holding ~300k): "
-            "fact-dim join with broadcast disabled 0.80s with AQE "
-            "skewJoin off -> 0.62s on (the optimizer splits the hot "
-            "partition; join_skew_salted stays the structural answer "
-            "when AQE cannot, e.g. pre-shuffle bucketed layouts). "
-            "Salted two-phase agg 0.65s vs 0.51s DIRECT on the same "
-            "corpus: map-side partial aggregation already collapses "
-            "hot keys for algebraic aggs, so salting pays an extra "
-            "shuffle for nothing - documented on agg_salted_two_phase "
-            "as a non-combinable-state-only pattern."
-        ),
-    }
+    # Round-stamped measurement commentary lives in docs/BENCH_NOTES.md
+    # (ADVICE r06): hard-coding it here re-emitted stale narrative
+    # claims (old timings, rejected variants) into every future
+    # BENCH_FULL.json alongside fresh numbers. The artifact now carries
+    # only a pointer; the history file is keyed by round.
+    extras["notes"] = {"history": "docs/BENCH_NOTES.md"}
 
     total = round(sum(results.values()), 3)
     compact = {

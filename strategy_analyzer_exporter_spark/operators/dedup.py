@@ -30,6 +30,26 @@ ROWS_PER_BAND = 3
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
 
+# Signature-agreement prefilter: MEASURED AND REJECTED in r07 (VERDICT
+# r06 #3). The idea: gate banded candidates on ≥ m of 12 matching
+# MinHash components (candidacy already implies 3 from the matched
+# band) before the exact gram-join verify. Measured on the sf0.1 corpus
+# and its 10× probe image, both implementations: (a) joining the cached
+# signature relation to each pair side — t10 2.34 → 3.04 s; (b) the
+# zero-extra-shuffle variant carrying all 12 components through the
+# exploded band rows — t10 2.34 → 2.67 s (and that carry would 5× the
+# band exchange width at scale). Root cause, counted not argued: this
+# corpus's banded candidates are almost all TRUE near-dups (258
+# candidates → 256 verified pairs at 1×; at 10×, m = 4 rejects 56 of
+# 2621 = 2.1%, m = 5 rejects 59), so there is no false-candidate mass
+# for a prefilter to shed — the verify tail is linear join/agg CPU over
+# pairs that must be verified anyway. Both variants produced
+# bit-identical output at m ∈ {4, 5} (no true pair lost), so the
+# rejection is purely economic. Kept as a test hook (``agree_min``
+# parameter below) so the measurement is reproducible; the registered
+# query runs unfiltered. Full numbers: docs/BENCH_NOTES.md §r07.
+MINHASH_AGREE_MIN = 0  # prefilter disabled — rejected, see above
+
 # SimHash parameters: 64-bit fingerprint, 4 bands × 16 bits, Hamming ≤ 6.
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
@@ -234,11 +254,20 @@ def _verify_jaccard(
     )
 
 
-def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_dedup_minhash(
+    spark: SparkSession, sf_dir: str, agree_min: int = MINHASH_AGREE_MIN
+) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle rows → 12 seeded md5
     min-aggregates (ONE shuffle on doc_id, map-side combine) → 4 band
     keys → equi-join on band key → exact Jaccard ≥ 0.5 verify via gram
-    co-counts. No all-pairs product, no document arrays in shuffles."""
+    co-counts. No all-pairs product, no document arrays in shuffles.
+
+    ``agree_min`` > ROWS_PER_BAND enables the signature-agreement
+    prefilter that was measured and REJECTED in r07 (see the
+    MINHASH_AGREE_MIN comment above for the numbers); it remains as a
+    parameter so the measurement is reproducible and so
+    tests/test_fuzzy_dedup_bands.py can assert the no-lost-pair
+    property. Registered queries run the module constant (disabled)."""
     grams = _gram_rows(spark, sf_dir)
     sigs = _sig_rows(spark, sf_dir)
     band_structs = F.array(
@@ -272,6 +301,28 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    if agree_min > ROWS_PER_BAND:
+        # candidacy already implies one fully-matching band
+        # (ROWS_PER_BAND agreements), so smaller thresholds are free —
+        # the predicate only pays its two cached-sig joins beyond that
+        sa = sigs.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_HASHES)],
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_HASHES)],
+        )
+        agree = sum(
+            F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+            for j in range(NUM_HASHES)
+        )
+        cand = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(agree >= F.lit(agree_min))
+            .select("doc_a", "doc_b")
+        )
     sizes = sigs.select("doc_id", "n")
     return _verify_jaccard(cand, grams, JACCARD_THRESHOLD, sizes=sizes)
 

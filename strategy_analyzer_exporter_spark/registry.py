@@ -66,6 +66,7 @@ def _load_all() -> None:
     """Import every operator module for its registration side effects."""
     from strategy_analyzer_exporter_spark.operators import (  # noqa: F401
         ann_recall,
+        bucketed,
         cdc,
         dedup,
         etl,

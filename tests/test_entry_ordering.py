@@ -45,13 +45,16 @@ def test_changed_this_round_names_are_registered():
     assert set(E.CHANGED_THIS_ROUND) <= set(R.QUERIES)
 
 
-def test_seen_tail_rotates_by_round():
+def test_seen_tail_orders_stalest_record_first():
     """Recorded queries must be periodically re-sampled: the seen tail
-    rotates with the number of recorded rounds, so a regression in an
-    already-recorded operator is eventually re-verified (ADVICE r03).
-    Queries re-implemented this round jump the queue — their recorded
+    is ordered by latest-recorded-round ascending (name tiebreak), so
+    the driver's 50 slots always re-verify the stalest records and
+    every registered query is re-verified at least every
+    ⌈registry/50⌉ rounds (r07 — replaces the alphabetical rotation,
+    which needed two rounds to drain a 26-query stale tail). Queries
+    re-implemented this round still jump the queue — their recorded
     rows are stale by construction."""
-    seen, rounds, failing = E._recorded_names()
+    seen, _rounds, failing = E._recorded_names()
     names = list(E.queries())
     changed = [
         n
@@ -64,10 +67,14 @@ def test_seen_tail_rotates_by_round():
     tail = [n for n in names if n in seen]
     assert tail[: len(changed)] == changed
     rotated = tail[len(changed) :]
-    expected = sorted(n for n in seen if n in names and n not in changed)
-    if expected:
-        off = (rounds * 50) % len(expected)
-        assert rotated == expected[off:] + expected[:off]
+    expected = sorted(
+        (n for n in seen if n in names and n not in changed),
+        key=lambda n: (seen[n], n),
+    )
+    assert rotated == expected
+    # the ordering is actually by record age, not alphabetical
+    rounds_in_order = [seen[n] for n in rotated]
+    assert rounds_in_order == sorted(rounds_in_order)
 
 
 def test_latest_fail_row_joins_priority_band(tmp_path, monkeypatch):

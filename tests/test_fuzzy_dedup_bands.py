@@ -56,3 +56,65 @@ def test_straddling_pair_found(spark, fuzzy_dir):
     assert len(keys) == len(set(keys)), "pair dedupe failed"
     # the outlier matches nothing
     assert not any(5 in k for k in keys)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature-agreement prefilter hook (r07, measured-and-rejected
+# — dedup.py MINHASH_AGREE_MIN). The registered query runs unfiltered;
+# this test pins the property the rejection analysis relied on: on a
+# corpus of planted near-dups, enabling the prefilter at m = 4 or 5
+# loses NO pair the exact-Jaccard verify accepts.
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    did = 0
+    for base in range(30):
+        words = [rng.choice(vocab) for _ in range(40)]
+        rows.append({"doc_id": did, "text": " ".join(words)})
+        did += 1
+        if base % 3 == 0:  # plant a near-dup: ~12% of words replaced
+            mut = list(words)
+            for _ in range(5):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append({"doc_id": did, "text": " ".join(mut)})
+            did += 1
+    for r in rows:
+        r["lang"] = "en"
+        r["source"] = "t"
+        r["n_chars"] = len(r["text"])
+    d = tmp_path_factory.mktemp("planted")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_agreement_prefilter_loses_no_verified_pair(spark, planted_dir):
+    from strategy_analyzer_exporter_spark.operators.dedup import (
+        _q_dedup_minhash,
+        clear_gram_cache,
+    )
+
+    try:
+        unfiltered = {
+            (r.doc_a, r.doc_b)
+            for r in _q_dedup_minhash(spark, planted_dir, agree_min=0).collect()
+        }
+        assert unfiltered, "corpus must yield planted near-dup pairs"
+        for m in (4, 5):
+            got = {
+                (r.doc_a, r.doc_b)
+                for r in _q_dedup_minhash(
+                    spark, planted_dir, agree_min=m
+                ).collect()
+            }
+            assert got == unfiltered, (
+                f"agree_min={m} changed the verified pair set: "
+                f"lost={unfiltered - got} gained={got - unfiltered}"
+            )
+    finally:
+        clear_gram_cache()  # keyed by sf_dir; drop the tmp corpus entries

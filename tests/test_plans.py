@@ -207,9 +207,30 @@ def test_media_decodes_are_map_only(spark):
         "multimodal_decode_bmp",
         "multimodal_decode_wav",
         "multimodal_decode_y4m",
+        # r07: the binaryFile-source variant must keep the same shape —
+        # file scan → project(media_id, content) → Arrow decode, no
+        # exchange between source and parser
+        "multimodal_source_binaryfile",
     ):
         q = QUERIES[name](spark, SF)
         assert P.count_exchanges(q) == 0, (name, P.physical_plan(q))
+
+
+def test_bucketed_readback_join_is_exchange_free(spark):
+    """The bucketed-at-rest surface (VERDICT r06 #2): the read-back
+    join's plan must contain ZERO shuffle exchanges — the groupBy rides
+    the bucketed scan's hashpartitioning(doc_id) and the sort-merge
+    join consumes both bucketed layouts directly. Also pins that both
+    scans actually take the bucketed-scan path and the join really is
+    SMJ (a broadcast join would pass the exchange assertion without
+    proving anything about bucketing)."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["source_bucketed_join"](spark, SF)
+    plan = P.physical_plan(q)
+    assert P.count_exchanges(q) == 0, plan
+    assert P.count_sort_merge_joins(q) == 1, plan
+    assert plan.count("Bucketed: true") == 2, plan
 
 
 # Queries allowed explicit F.broadcast() hints, with the bound that
@@ -220,52 +241,56 @@ def test_media_decodes_are_map_only(spark):
 # join: AQE still broadcasts at runtime while a side is genuinely
 # small, and stops when it isn't — exactly the adaptivity a hint
 # destroys.
-BROADCAST_HINT_ALLOWLIST = {
+#
+# Each value is the EXACT set of allowed hint counts — one entry per
+# vector-kernel path where the count differs (the fold path hints
+# bounded relations — the 10-row query matrix, k centroids — that the
+# arrow path carries in UDF closures instead). Exact membership, not an
+# upper bound: a removed hint must force the allowlist entry to shrink,
+# or a stale cap would silently grant headroom for a future unvetted
+# hint (ADVICE r06).
+BROADCAST_HINT_ALLOWLIST: dict[str, set[int]] = {
     # fixed dimension tables: nation = 25 rows, region = 5 at every SF
-    "agg_rollup": 2,
-    "join_inner_broadcast": 1,
-    "join_multiway": 2,
-    "q5_local_supplier_volume": 2,
-    "q7_volume_shipping": 2,  # two nation aliases
-    "q8_market_share": 3,  # region + two nation aliases
-    "q9_product_profit": 1,  # nation (part hint removed r06)
-    "q10_returned_items": 1,
+    "agg_rollup": {2},
+    "join_inner_broadcast": {1},
+    "join_multiway": {2},
+    "q5_local_supplier_volume": {2},
+    "q7_volume_shipping": {2},  # two nation aliases
+    "q8_market_share": {3},  # region + two nation aliases
+    "q9_product_profit": {1},  # nation (part hint removed r06)
+    "q10_returned_items": {1},
     # 1-row scalar relations (global max / avg / total / count / shift)
-    "agg_revenue_concentration": 1,
-    "cdc_merge_upsert": 1,
-    "domain_mixture_plan": 1,
-    "feature_warmup_global": 1,  # 1-row (day,time) warm-up threshold
-    "q11_important_parts": 1,
-    "q15_top_revenue_supplier": 1,
-    "q22_idle_rich_customers": 1,
-    "text_tfidf_topk": 1,  # 1-row corpus doc count
+    "agg_revenue_concentration": {1},
+    "cdc_merge_upsert": {1},
+    "domain_mixture_plan": {1},
+    "feature_warmup_global": {1},  # 1-row (day,time) warm-up threshold
+    "q11_important_parts": {1},
+    "q15_top_revenue_supplier": {1},
+    "q22_idle_rich_customers": {1},
+    "text_tfidf_topk": {1},  # 1-row corpus doc count
     # bounded-enum group keys: l_returnflag ≤ 3, event_type is a small
     # fixed vocabulary, p_brand = 25 "Brand#MN" values at every SF
-    "agg_approx_percentile_bound": 1,
-    "events_zscore_outliers": 1,
-    "subquery_correlated_min": 1,
-    "winsorize_prices": 1,
+    "agg_approx_percentile_bound": {1},
+    "events_zscore_outliers": {1},
+    "subquery_correlated_min": {1},
+    "winsorize_prices": {1},
     # PQ codebooks (m × 256 centroids) and per-query distance tables /
-    # ground-truth top-k over the FIXED 10-query evaluation matrix.
-    # similarity_pq_recall composes all four ANN pipelines, and under
-    # SPARK_GRAFT_VECTOR_KERNEL=fold the non-streamed kernel path adds
-    # bounded hints (10-row query matrix, k centroids) that the arrow
-    # path carries in UDF closures instead — the caps below are the
-    # max across both supported kernels, every added side still
-    # scale-independent.
-    "similarity_pq_adc": 8,
-    "similarity_pq_recall": 24,
-    "similarity_bruteforce_topk": 1,  # fold path: 10-row query matrix
-    "kmeans_embeddings": 1,  # fold path: k-row centroid relation
+    # ground-truth top-k over the FIXED 10-row query evaluation matrix.
+    # similarity_pq_recall composes all four ANN pipelines; counts
+    # measured per kernel in r07: {arrow, fold} — every hinted side
+    # scale-independent under both.
+    "similarity_pq_adc": {8},
+    "similarity_pq_recall": {16, 24},
+    "similarity_bruteforce_topk": {0, 1},  # fold: 10-row query matrix
+    "kmeans_embeddings": {0, 1},  # fold: k-row centroid relation
 }
 
 
 def test_no_forced_broadcast_of_scaling_relations(spark):
     """Repo-wide broadcast-hint sweep: every registered query's analyzed
-    plan must contain zero broadcast hint nodes unless the query is in
-    BROADCAST_HINT_ALLOWLIST with a documented scale-independent bound
-    (and then no MORE hints than the allowlisted count, so a new
-    unvetted hint in an allowlisted query still fails). Streaming
+    plan must contain a hint count EXACTLY in its allowlist entry
+    (default {0}) — a new unvetted hint fails, and so does a stale
+    allowlist entry after a hint is removed (ADVICE r06). Streaming
     queries are skipped (building one runs a whole stream; their plans
     carry no joins on the batch side)."""
     from strategy_analyzer_exporter_spark.registry import QUERIES
@@ -275,7 +300,7 @@ def test_no_forced_broadcast_of_scaling_relations(spark):
         if name.startswith("streaming_"):
             continue
         n = P.count_broadcast_hints(fn(spark, SF))
-        if n > BROADCAST_HINT_ALLOWLIST.get(name, 0):
+        if n not in BROADCAST_HINT_ALLOWLIST.get(name, {0}):
             offenders[name] = n
     assert not offenders, offenders
 
