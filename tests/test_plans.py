@@ -178,9 +178,15 @@ def test_bruteforce_streams_corpus_not_pairs(spark):
     NO join that materializes vector pairs before scoring."""
     import os
 
+    import pytest
+
     from strategy_analyzer_exporter_spark.registry import QUERIES
 
-    assert os.environ.get("SPARK_GRAFT_VECTOR_KERNEL", "arrow") == "arrow"
+    if os.environ.get("SPARK_GRAFT_VECTOR_KERNEL", "arrow") != "arrow":
+        # the streamed MapInPandas shape IS the arrow kernel; under the
+        # fold kernel this test has no subject — skip, don't fail, so
+        # the whole-file sweep stays runnable under both kernels (r07)
+        pytest.skip("arrow-kernel-specific plan shape")
     plan = P.physical_plan(QUERIES["similarity_bruteforce_topk"](spark, SF))
     assert "MapInPandas" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
