@@ -141,10 +141,11 @@ PROBE_QUERIES = (
     # Map-only is plan-asserted; the exponent makes linearity measured,
     # not assumed, per the repo's own convention
     "multimodal_decode_y4m",
-    # streaming at 10× days: 300 day-files at MFPT=64 → 5 micro-batches,
-    # so the exponent (~0.85) is trigger-cycle growth, not state growth —
-    # rows/s IMPROVES at t10 (state compute amortizes the per-batch
-    # machinery). Measured: 89k rows/1.24 s at t1 vs 890k rows/9.0 s.
+    # streaming at 10× days: 300 day-files at the MFPT=256 default
+    # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
+    # growth, not state growth — rows/s IMPROVES at t10 (state compute
+    # amortizes the per-batch machinery; 140k rows/s at t10 vs ~77k at
+    # t1). Full MFPT cost curve: docs/BENCH_NOTES.md §r07.
     "streaming_features",
 )
 PAIR_KERNEL_PROBE = ("similarity_lsh_ann",)

@@ -27,7 +27,6 @@ registers the table once in a shared metastore instead).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,14 +34,20 @@ from pyspark.sql import functions as F
 
 from strategy_analyzer_exporter_spark.functions import TOKENS_SQL, tokens
 from strategy_analyzer_exporter_spark.registry import register
-from strategy_analyzer_exporter_spark.sources.staging import staging_root
+from strategy_analyzer_exporter_spark.sources.staging import (
+    staging_root,
+    staging_suffix,
+)
 from strategy_analyzer_exporter_spark.sources.tables import load_table
 
 N_BUCKETS = 8
 
 
 def _suffix(sf_dir: str) -> str:
-    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    # per-SESSION staleness only: catalog absence in a fresh session
+    # triggers a full overwrite of the path, so unlike the media-file
+    # staging no corpus fingerprint is needed in the key
+    return staging_suffix(os.path.abspath(sf_dir))
 
 
 def _write_bucketed(df: DataFrame, table: str, key: str) -> None:

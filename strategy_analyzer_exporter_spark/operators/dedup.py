@@ -103,12 +103,14 @@ _SIG_CACHE: dict[tuple[str, int], DataFrame] = {}
 _GRAM_CACHE_MAX = 4  # ≥ #(sf_dir, k) combos live at once (2 per sf_dir)
 
 
-def clear_gram_cache() -> None:
-    """Unpersist every cached gram/signature relation (test/bench
-    hygiene)."""
+def clear_gram_cache(sf_dir: str | None = None) -> None:
+    """Unpersist cached gram/signature relations (test/bench hygiene).
+    With ``sf_dir``, drop only that corpus's entries — tests staging
+    throwaway tmp corpora use this so the shared sf-fixture caches the
+    rest of the session relies on stay resident."""
     for cache in (_GRAM_CACHE, _SIG_CACHE):
-        while cache:
-            cache.popitem()[1].unpersist()
+        for key in [k for k in cache if sf_dir is None or k[0] == sf_dir]:
+            cache.pop(key).unpersist()
 
 
 def _gram_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:

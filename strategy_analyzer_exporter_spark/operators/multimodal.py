@@ -927,31 +927,48 @@ register("multimodal_feature_hash", _q_feature_hash, _feature_hash_oracle())
 # zero exchanges (tests/test_plans.py).
 
 
+# bump when make_wav()'s byte layout changes: the version is part of
+# the staging-dir key, so old staged files can never be replayed
+# against a newer oracle (the same reason bench's _stage_10x versions
+# its corpus dir)
+_WAV_STAGE_VERSION = "v1"
+
+
 def wav_file_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage one ``doc_<id>.wav`` file per document under
-    ``staging_root()``, idempotent via a ``_STAGED_OK`` flag. Driver-side
-    loop by design: this is one-time test-fixture staging over the
-    doc-id list (ids only — never data-sized rows); a real deployment's
-    media files already exist in object storage."""
+    ``staging_root()``, idempotent via a ``_STAGED_OK`` flag. The dir
+    key carries the fixture-generator VERSION and a fingerprint of the
+    corpus's doc_id set, so regenerating the test data or changing
+    ``make_wav`` invalidates the staging instead of silently replaying
+    stale bytes against the current oracle. Driver-side loop by design:
+    this is one-time test-fixture staging over the doc-id list (ids
+    only — never data-sized rows); a real deployment's media files
+    already exist in object storage."""
     import hashlib
     import os
 
-    from strategy_analyzer_exporter_spark.sources.staging import staging_root
+    from strategy_analyzer_exporter_spark.sources.staging import (
+        staging_root,
+        staging_suffix,
+    )
 
-    suf = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    d = os.path.join(staging_root(), f"media_wav_{suf}")
+    ids = sorted(
+        int(r[0])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    )
+    fp = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()[:8]
+    suf = staging_suffix(os.path.abspath(sf_dir))
+    d = os.path.join(
+        staging_root(), f"media_wav_{_WAV_STAGE_VERSION}_{suf}_{fp}"
+    )
     flag = os.path.join(d, "_STAGED_OK")
     if not os.path.exists(flag):
         os.makedirs(d, exist_ok=True)
-        ids = [
-            r[0]
-            for r in load_table(spark, sf_dir, "documents")
-            .select("doc_id")
-            .collect()
-        ]
         for i in ids:
-            with open(os.path.join(d, f"doc_{int(i)}.wav"), "wb") as f:
-                f.write(make_wav(int(i)))
+            with open(os.path.join(d, f"doc_{i}.wav"), "wb") as f:
+                f.write(make_wav(i))
         open(flag, "w").close()
     return d
 

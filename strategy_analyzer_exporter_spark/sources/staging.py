@@ -59,3 +59,12 @@ def stage_days_ordered(df: DataFrame, stage: str, day_col: str = "day") -> None:
         for f in sorted(os.listdir(d)):
             os.utime(os.path.join(d, f), (t0 + i, t0 + i))
     open(flag, "w").close()
+
+
+def staging_suffix(*parts: object) -> str:
+    """Short stable suffix for a staging dir/table name derived from the
+    given key parts (shared by the bucketed tables and media-file
+    staging so the keying scheme lives in one place)."""
+    import hashlib
+
+    return hashlib.md5(":".join(str(p) for p in parts).encode()).hexdigest()[:8]

@@ -117,4 +117,6 @@ def test_agreement_prefilter_loses_no_verified_pair(spark, planted_dir):
                 f"lost={unfiltered - got} gained={got - unfiltered}"
             )
     finally:
-        clear_gram_cache()  # keyed by sf_dir; drop the tmp corpus entries
+        # drop ONLY the tmp corpus's cache entries; the shared
+        # sf-fixture caches other dedup tests rely on stay resident
+        clear_gram_cache(planted_dir)

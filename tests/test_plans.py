@@ -248,66 +248,75 @@ def test_bucketed_readback_join_is_exchange_free(spark):
 # small, and stops when it isn't — exactly the adaptivity a hint
 # destroys.
 #
-# Each value is the EXACT set of allowed hint counts — one entry per
-# vector-kernel path where the count differs (the fold path hints
-# bounded relations — the 10-row query matrix, k centroids — that the
-# arrow path carries in UDF closures instead). Exact membership, not an
-# upper bound: a removed hint must force the allowlist entry to shrink,
-# or a stale cap would silently grant headroom for a future unvetted
-# hint (ADVICE r06).
-BROADCAST_HINT_ALLOWLIST: dict[str, set[int]] = {
+# Each value is the EXACT allowed hint count — an int when the count is
+# kernel-independent, a {kernel: count} dict when the vector-kernel
+# paths differ (the fold path hints bounded relations — the 10-row
+# query matrix, k centroids — that the arrow path carries in UDF
+# closures instead; the test resolves the ACTIVE kernel, so the other
+# kernel's count never grants headroom). Exact equality, not an upper
+# bound: a removed hint must force the allowlist entry to shrink, or a
+# stale cap would silently admit a future unvetted hint (ADVICE r06).
+BROADCAST_HINT_ALLOWLIST: dict[str, object] = {
     # fixed dimension tables: nation = 25 rows, region = 5 at every SF
-    "agg_rollup": {2},
-    "join_inner_broadcast": {1},
-    "join_multiway": {2},
-    "q5_local_supplier_volume": {2},
-    "q7_volume_shipping": {2},  # two nation aliases
-    "q8_market_share": {3},  # region + two nation aliases
-    "q9_product_profit": {1},  # nation (part hint removed r06)
-    "q10_returned_items": {1},
+    "agg_rollup": 2,
+    "join_inner_broadcast": 1,
+    "join_multiway": 2,
+    "q5_local_supplier_volume": 2,
+    "q7_volume_shipping": 2,  # two nation aliases
+    "q8_market_share": 3,  # region + two nation aliases
+    "q9_product_profit": 1,  # nation (part hint removed r06)
+    "q10_returned_items": 1,
     # 1-row scalar relations (global max / avg / total / count / shift)
-    "agg_revenue_concentration": {1},
-    "cdc_merge_upsert": {1},
-    "domain_mixture_plan": {1},
-    "feature_warmup_global": {1},  # 1-row (day,time) warm-up threshold
-    "q11_important_parts": {1},
-    "q15_top_revenue_supplier": {1},
-    "q22_idle_rich_customers": {1},
-    "text_tfidf_topk": {1},  # 1-row corpus doc count
+    "agg_revenue_concentration": 1,
+    "cdc_merge_upsert": 1,
+    "domain_mixture_plan": 1,
+    "feature_warmup_global": 1,  # 1-row (day,time) warm-up threshold
+    "q11_important_parts": 1,
+    "q15_top_revenue_supplier": 1,
+    "q22_idle_rich_customers": 1,
+    "text_tfidf_topk": 1,  # 1-row corpus doc count
     # bounded-enum group keys: l_returnflag ≤ 3, event_type is a small
     # fixed vocabulary, p_brand = 25 "Brand#MN" values at every SF
-    "agg_approx_percentile_bound": {1},
-    "events_zscore_outliers": {1},
-    "subquery_correlated_min": {1},
-    "winsorize_prices": {1},
+    "agg_approx_percentile_bound": 1,
+    "events_zscore_outliers": 1,
+    "subquery_correlated_min": 1,
+    "winsorize_prices": 1,
     # PQ codebooks (m × 256 centroids) and per-query distance tables /
     # ground-truth top-k over the FIXED 10-row query evaluation matrix.
     # similarity_pq_recall composes all four ANN pipelines; counts
     # measured per kernel in r07: {arrow, fold} — every hinted side
     # scale-independent under both.
-    "similarity_pq_adc": {8},
-    "similarity_pq_recall": {16, 24},
-    "similarity_bruteforce_topk": {0, 1},  # fold: 10-row query matrix
-    "kmeans_embeddings": {0, 1},  # fold: k-row centroid relation
+    "similarity_pq_adc": 8,
+    "similarity_pq_recall": {"arrow": 16, "fold": 24},
+    "similarity_bruteforce_topk": {"arrow": 0, "fold": 1},  # fold: 10-row query matrix
+    "kmeans_embeddings": {"arrow": 0, "fold": 1},  # fold: k-row centroid relation
 }
 
 
 def test_no_forced_broadcast_of_scaling_relations(spark):
     """Repo-wide broadcast-hint sweep: every registered query's analyzed
-    plan must contain a hint count EXACTLY in its allowlist entry
-    (default {0}) — a new unvetted hint fails, and so does a stale
-    allowlist entry after a hint is removed (ADVICE r06). Streaming
-    queries are skipped (building one runs a whole stream; their plans
-    carry no joins on the batch side)."""
+    plan must contain EXACTLY the allowlisted hint count (default 0),
+    resolved for the ACTIVE vector kernel — a new unvetted hint fails
+    under the kernel it is added on, and so does a stale allowlist
+    entry after a hint is removed (ADVICE r06; the kernel-keyed form
+    closes the r07 review's gap where a flat value set accepted the
+    OTHER kernel's count). Streaming queries are skipped (building one
+    runs a whole stream; their plans carry no joins on the batch
+    side)."""
+    from strategy_analyzer_exporter_spark.functions import vector
     from strategy_analyzer_exporter_spark.registry import QUERIES
 
+    kern = vector.kernel()
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
         if name.startswith("streaming_"):
             continue
+        allowed = BROADCAST_HINT_ALLOWLIST.get(name, 0)
+        if isinstance(allowed, dict):
+            allowed = allowed[kern]
         n = P.count_broadcast_hints(fn(spark, SF))
-        if n not in BROADCAST_HINT_ALLOWLIST.get(name, {0}):
-            offenders[name] = n
+        if n != allowed:
+            offenders[name] = (n, allowed)
     assert not offenders, offenders
 
 
