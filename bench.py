@@ -141,6 +141,10 @@ PROBE_QUERIES = (
     # Map-only is plan-asserted; the exponent makes linearity measured,
     # not assumed, per the repo's own convention
     "multimodal_decode_y4m",
+    # r07: the bucketed-at-rest read-back — the first probe call on the
+    # 10× dir pays the one-time bucketed ingest (warm-up), then the
+    # timed trials measure the exchange-free read-back join itself
+    "source_bucketed_join",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute

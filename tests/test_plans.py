@@ -426,3 +426,31 @@ def test_kmeans_assign_stream_is_map_only(spark):
     plan = P.physical_plan(kmeans_assign_stream(e, rows))
     assert "MapInPandas" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_bucketed_tables_have_one_file_per_bucket(spark):
+    """The bucketed write discipline (repartition(N, key) before
+    bucketBy(N, key)) must yield exactly ONE data file per bucket:
+    multi-file buckets silently disable the sorted-bucket read path and
+    multiply small files at scale. Guards the murmur3 alignment
+    assumption between repartition and the bucketed writer."""
+    import os
+    import re
+
+    from strategy_analyzer_exporter_spark.operators.bucketed import (
+        N_BUCKETS,
+        bucketed_doc_tables,
+    )
+    from strategy_analyzer_exporter_spark.sources.staging import staging_root
+
+    for tbl in bucketed_doc_tables(spark, SF):
+        d = os.path.join(staging_root(), "bucketed", tbl)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        # bucket id is encoded in the file name: part-..._<bucket>.c...
+        buckets = sorted(
+            int(m.group(1))
+            for f in files
+            if (m := re.search(r"_(\d{5})(?:\.|$)", f))
+        )
+        assert len(files) == N_BUCKETS, (tbl, files)
+        assert buckets == list(range(N_BUCKETS)), (tbl, buckets)
