@@ -105,6 +105,121 @@ register("decontaminate_ngram", _q_decontaminate, _DECON_ORACLE)
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination (r07): the SAME contract as
+# decontaminate_ngram, computed the way a 100 TB pipeline actually runs
+# it — the heldout gram set is compacted into an m-bit Bloom bitmap
+# (classic Kirsch–Mitzenmacher double hashing: pos_i = xxhash64(gram) +
+# i·murmur3(gram) mod m, all JVM-side), the bitmap ships to executors
+# as an O(m)-byte closure constant, and the corpus-side EXACT join
+# probes only the bloom-flagged residue instead of every gram. Bloom
+# filters have NO false negatives by construction (build and probe use
+# identical deterministic hash expressions), so the exact output is
+# unchanged — the filter is purely a probe-side reducer, which is
+# exactly its production role (a broadcast join of a multi-million-gram
+# benchmark set costs GBs; its 1%-fpp Bloom costs ~1.2 bytes/gram).
+#
+# Determinism/oracle contract: every output value is produced by the
+# exact join, never by the filter, so the DuckDB oracle is the
+# decontaminate_ngram oracle plus a literal TRUE for `bloom_caught` —
+# Spark computing TRUE for every row IS the no-false-negative check
+# (a single dropped true gram would drop a row/count and fail the
+# hash compare). Hash-collision-dependent quantities (how many CLEAN
+# grams got flagged) never appear in the output.
+#
+# Bounded driver material, per the repo convention: `heldout.count()`
+# (one scalar) sizes the filter; the collected distinct bit positions
+# are capped by m itself (the filter's own size, benchmark-bounded and
+# corpus-independent) — never data-sized.
+
+BLOOM_FPP = 0.01
+
+
+def _bloom_params(n: int) -> tuple[int, int]:
+    """Standard sizing: m = ceil(-n ln p / ln^2 2), k = round(m/n ln 2),
+    floored to stay sane for tiny heldout sets."""
+    import math
+
+    n = max(1, n)
+    m = max(64, int(math.ceil(-n * math.log(BLOOM_FPP) / math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from strategy_analyzer_exporter_spark.operators.dedup import _gram_rows
+
+    grams = _gram_rows(spark, sf_dir, k=DECON_K)
+    heldout = (
+        grams.filter(F.col("doc_id") % HELDOUT_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    n_grams = heldout.count()
+    m, k = _bloom_params(n_grams)
+
+    def positions(col: F.Column) -> list[F.Column]:
+        h1 = F.xxhash64(col)
+        h2 = F.hash(col).cast("long")
+        # Java long overflow wraps deterministically, and build/probe
+        # share these exact expressions -> no false negatives possible
+        return [
+            F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("int") for i in range(k)
+        ]
+
+    # distributed build: heldout grams -> distinct bit positions (<= m
+    # rows collected -- the filter'"'"'s own size, not the corpus'"'"'s)
+    bits = np.zeros(m, dtype=bool)
+    for row in (
+        heldout.select(
+            F.explode(F.array(*positions(F.col("gram")))).alias("p")
+        )
+        .distinct()
+        .collect()
+    ):
+        bits[row[0]] = True
+
+    @F.pandas_udf("boolean")
+    def might_contain(*pos: pd.Series) -> pd.Series:
+        acc = bits[pos[0].to_numpy()]
+        for s in pos[1:]:
+            acc &= bits[s.to_numpy()]
+        return pd.Series(acc)
+
+    corpus = grams.filter(F.col("doc_id") % HELDOUT_MOD != 0)
+    pos_cols = [c.alias(f"p{i}") for i, c in enumerate(positions(F.col("gram")))]
+    flagged = (
+        corpus.select("doc_id", "gram", *pos_cols)
+        .filter(might_contain(*[F.col(f"p{i}") for i in range(k)]))
+        .select("doc_id", "gram")
+    )
+    return (
+        flagged.join(heldout, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .withColumn("bloom_caught", F.lit(True))
+    )
+
+
+_DECON_BLOOM_ORACLE = f"""WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest({_gram_sql("tk", DECON_K)}) AS gram
+    FROM toks WHERE len(tk) >= {DECON_K}
+),
+heldout AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {HELDOUT_MOD} = 0),
+corpus AS (SELECT * FROM grams WHERE doc_id % {HELDOUT_MOD} <> 0)
+SELECT c.doc_id, count(*) AS n_hit_grams, TRUE AS bloom_caught
+FROM corpus c JOIN heldout h USING (gram)
+GROUP BY c.doc_id"""
+
+register("decontaminate_bloom", _q_decontaminate_bloom, _DECON_BLOOM_ORACLE)
+
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top-k terms per document. Linear idf (N/df, one IEEE division)
 # instead of log idf: Java's Math.log is 1-ulp-accurate but NOT
 # correctly rounded, so ln() may differ from libm in the last bit —

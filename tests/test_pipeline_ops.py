@@ -326,3 +326,18 @@ def test_corpus_clean_exchange_budget(spark):
     whole cleaning pass must not re-shuffle the corpus further."""
     q = QUERIES["corpus_clean_pipeline"](spark, SF)
     assert P.count_exchanges(q) <= 2, P.physical_plan(q)
+
+
+def test_bloom_decontamination_equals_exact(spark):
+    """The Bloom filter is a probe-side reducer, never a decider: its
+    output must equal decontaminate_ngram's exactly (same docs, same
+    hit counts) with bloom_caught TRUE everywhere — a build/probe hash
+    mismatch would drop a true gram and fail this before it ever
+    reached the driver gate."""
+    exact = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in QUERIES["decontaminate_ngram"](spark, SF).collect()
+    }
+    rows = QUERIES["decontaminate_bloom"](spark, SF).collect()
+    assert {r["doc_id"]: r["n_hit_grams"] for r in rows} == exact
+    assert all(r["bloom_caught"] for r in rows)
