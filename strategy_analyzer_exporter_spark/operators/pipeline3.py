@@ -106,8 +106,9 @@ register("decontaminate_ngram", _q_decontaminate, _DECON_ORACLE)
 
 # ---------------------------------------------------------------------------
 # Bloom-filter decontamination (r07): the SAME contract as
-# decontaminate_ngram, computed the way a 100 TB pipeline actually runs
-# it — the heldout gram set is compacted into an m-bit Bloom bitmap
+# decontaminate_ngram, restructured for the regime where the heldout
+# set CANNOT broadcast — the heldout gram set is compacted into an
+# m-bit Bloom bitmap
 # (classic Kirsch–Mitzenmacher double hashing: pos_i = xxhash64(gram) +
 # i·murmur3(gram) mod m, all JVM-side), the bitmap ships to executors
 # as an O(m)-byte closure constant, and the corpus-side EXACT join
@@ -130,6 +131,21 @@ register("decontaminate_ngram", _q_decontaminate, _DECON_ORACLE)
 # (one scalar) sizes the filter; the collected distinct bit positions
 # are capped by m itself (the filter's own size, benchmark-bounded and
 # corpus-independent) — never data-sized.
+#
+# MEASURED trade (r07, min-of-3 warm, local[32]): at test scale the
+# bloom path LOSES to the plain broadcast join — decontaminate_ngram
+# t1 0.91 / t10 1.53 s vs bloom t1 2.70 / t10 5.73 s — because the
+# probe is an Arrow-batched Python UDF over every corpus gram while
+# the exact join is whole-stage-codegen JVM work against a small
+# cached heldout relation (and the %-mod stand-in heldout GROWS with
+# the corpus, so the bitmap build grows too). The bloom shape pays off
+# only when the real heldout set is too large to broadcast as a hash
+# relation but its ~1.2-bytes/gram bitmap still fits (tens of GB of
+# grams -> tens of MB of bitmap) — i.e. it replaces a SHUFFLE join,
+# not a broadcast join. Both shapes stay registered for exactly that
+# reason, with the cheap one (`decontaminate_ngram`) as the default
+# recommendation below the broadcast threshold. Same honest-negative
+# convention as agg_salted_two_phase (docs/BENCH_NOTES.md §r07).
 
 BLOOM_FPP = 0.01
 
