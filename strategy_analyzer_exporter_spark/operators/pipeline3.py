@@ -67,7 +67,11 @@ def _gram_sql(tokens: str, k: int) -> str:
     )
 
 
-def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decon_relations(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(grams, heldout, corpus) shared by both decontamination shapes —
+    one definition so the exact and bloom queries can never drift."""
     # call-time import avoids the circular-at-partial-init trap above
     from strategy_analyzer_exporter_spark.operators.dedup import _gram_rows
 
@@ -78,6 +82,11 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corpus = grams.filter(F.col("doc_id") % HELDOUT_MOD != 0)
+    return grams, heldout, corpus
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, heldout, corpus = _decon_relations(spark, sf_dir)
     return (
         # heldout is the distinct-gram set of 1/HELDOUT_MOD of the
         # corpus — it grows linearly with documents, so no broadcast
@@ -111,7 +120,7 @@ register("decontaminate_ngram", _q_decontaminate, _DECON_ORACLE)
 # m-bit Bloom bitmap
 # (classic Kirsch–Mitzenmacher double hashing: pos_i = xxhash64(gram) +
 # i·murmur3(gram) mod m, all JVM-side), the bitmap ships to executors
-# as an O(m)-byte closure constant, and the corpus-side EXACT join
+# as an m/8-byte packed closure constant, and the corpus-side EXACT join
 # probes only the bloom-flagged residue instead of every gram. Bloom
 # filters have NO false negatives by construction (build and probe use
 # identical deterministic hash expressions), so the exact output is
@@ -128,17 +137,21 @@ register("decontaminate_ngram", _q_decontaminate, _DECON_ORACLE)
 # grams got flagged) never appear in the output.
 #
 # Bounded driver material, per the repo convention: `heldout.count()`
-# (one scalar) sizes the filter; the collected distinct bit positions
-# are capped by m itself (the filter's own size, benchmark-bounded and
-# corpus-independent) — never data-sized.
+# (one scalar) sizes the filter; the bitmap is assembled from one
+# packed m/8-byte partial per partition (executor-side bit-setting),
+# so the driver handles the filter's own size times a small constant —
+# never the heldout row count.
 #
-# MEASURED trade (r07, min-of-3 warm, local[32]): at test scale the
-# bloom path LOSES to the plain broadcast join — decontaminate_ngram
-# t1 0.91 / t10 1.53 s vs bloom t1 2.70 / t10 5.73 s — because the
-# probe is an Arrow-batched Python UDF over every corpus gram while
-# the exact join is whole-stage-codegen JVM work against a small
-# cached heldout relation (and the %-mod stand-in heldout GROWS with
-# the corpus, so the bitmap build grows too). The bloom shape pays off
+# MEASURED trade (r07, min-of-3 warm, local[32], after the packed
+# partial-bitmap build): at test scale the bloom path LOSES to the
+# plain broadcast join — decontaminate_ngram t1 0.80 / t10 1.56 s vs
+# bloom t1 2.34 / t10 2.47 s — because the probe is an Arrow-batched
+# Python UDF over every corpus gram while the exact join is
+# whole-stage-codegen JVM work against a small cached heldout
+# relation. (The first, rejected build — a driver collect of distinct
+# positions — measured t10 5.73 s; the executor-side packed build cut
+# that to 2.47 and made the t1→t10 growth near-flat.) The bloom shape
+# pays off
 # only when the real heldout set is too large to broadcast as a hash
 # relation but its ~1.2-bytes/gram bitmap still fits (tens of GB of
 # grams -> tens of MB of bitmap) — i.e. it replaces a SHUFFLE join,
@@ -164,46 +177,64 @@ def _bloom_params(n: int) -> tuple[int, int]:
 def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from strategy_analyzer_exporter_spark.operators.dedup import _gram_rows
-
-    grams = _gram_rows(spark, sf_dir, k=DECON_K)
-    heldout = (
-        grams.filter(F.col("doc_id") % HELDOUT_MOD == 0)
-        .select("gram")
-        .distinct()
-    )
+    grams, heldout, corpus = _decon_relations(spark, sf_dir)
     n_grams = heldout.count()
     m, k = _bloom_params(n_grams)
+    nbytes = (m + 7) // 8
 
     def positions(col: F.Column) -> list[F.Column]:
-        h1 = F.xxhash64(col)
-        h2 = F.hash(col).cast("long")
-        # Java long overflow wraps deterministically, and build/probe
+        h1 = F.pmod(F.xxhash64(col), F.lit(m))
+        h2 = F.pmod(F.hash(col).cast("long"), F.lit(m))
+        # each term is reduced mod m BEFORE the add: h1 + i*h2 over raw
+        # 64-bit hashes can overflow a long, and Spark 4 runs ANSI mode
+        # by default where that RAISES instead of wrapping (r07 review;
+        # ~1e-9 per (gram, i), i.e. a certainty at billions of grams).
+        # Bounded terms (< m + 16m) can never overflow. Build and probe
         # share these exact expressions -> no false negatives possible
         return [
             F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("int") for i in range(k)
         ]
 
-    # distributed build: heldout grams -> distinct bit positions (<= m
-    # rows collected -- the filter'"'"'s own size, not the corpus'"'"'s)
-    bits = np.zeros(m, dtype=bool)
+    # distributed build: heldout grams -> bit positions -> one PACKED
+    # m/8-byte partial bitmap per partition (set bits accumulated
+    # executor-side), OR-merged on the driver. Driver material is
+    # n_partitions x m/8 bytes -- the filter's own size times a small
+    # constant, never the heldout row count (r07 review: a
+    # collect() of distinct positions is O(heldout) and would OOM the
+    # driver in exactly the too-big-to-broadcast regime this shape
+    # exists for).
+    def pack_partition(batches):
+        part = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in batches:
+            pos = pdf["p"].to_numpy()
+            if len(pos):
+                # MSB-first within each byte; ufunc.at handles
+                # duplicate byte indices within one call
+                np.bitwise_or.at(
+                    part, pos >> 3, (0x80 >> (pos & 7)).astype(np.uint8)
+                )
+        yield pd.DataFrame({"bm": [part.tobytes()]})
+
+    packed = np.zeros(nbytes, dtype=np.uint8)
     for row in (
         heldout.select(
             F.explode(F.array(*positions(F.col("gram")))).alias("p")
         )
-        .distinct()
+        .mapInPandas(pack_partition, "bm binary")
         .collect()
     ):
-        bits[row[0]] = True
+        packed |= np.frombuffer(row[0], dtype=np.uint8)
 
     @F.pandas_udf("boolean")
     def might_contain(*pos: pd.Series) -> pd.Series:
-        acc = bits[pos[0].to_numpy()]
-        for s in pos[1:]:
-            acc &= bits[s.to_numpy()]
-        return pd.Series(acc)
+        def bit(p: "np.ndarray") -> "np.ndarray":
+            return (packed[p >> 3] >> (7 - (p & 7))) & 1
 
-    corpus = grams.filter(F.col("doc_id") % HELDOUT_MOD != 0)
+        acc = bit(pos[0].to_numpy())
+        for srs in pos[1:]:
+            acc &= bit(srs.to_numpy())
+        return pd.Series(acc.astype(bool))
+
     pos_cols = [c.alias(f"p{i}") for i, c in enumerate(positions(F.col("gram")))]
     flagged = (
         corpus.select("doc_id", "gram", *pos_cols)
@@ -218,18 +249,12 @@ def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DECON_BLOOM_ORACLE = f"""WITH toks AS (
-    SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
-),
-grams AS (
-    SELECT doc_id, unnest({_gram_sql("tk", DECON_K)}) AS gram
-    FROM toks WHERE len(tk) >= {DECON_K}
-),
-heldout AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {HELDOUT_MOD} = 0),
-corpus AS (SELECT * FROM grams WHERE doc_id % {HELDOUT_MOD} <> 0)
-SELECT c.doc_id, count(*) AS n_hit_grams, TRUE AS bloom_caught
-FROM corpus c JOIN heldout h USING (gram)
-GROUP BY c.doc_id"""
+# derived from the exact oracle, never duplicated: the bloom output IS
+# the exact output plus a constant column (r07 review — two hand-kept
+# copies could drift and silently break the equivalence contract)
+_DECON_BLOOM_ORACLE = _DECON_ORACLE.replace(
+    "count(*) AS n_hit_grams", "count(*) AS n_hit_grams, TRUE AS bloom_caught"
+)
 
 register("decontaminate_bloom", _q_decontaminate_bloom, _DECON_BLOOM_ORACLE)
 
