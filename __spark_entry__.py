@@ -79,14 +79,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CHANGED_AS_OF_ROUND or later (so a query that missed one round's
 #: 50-slot sample keeps its priority until actually re-verified, and
 #: no hand-maintained cleanup is needed).
-#: r07: no registered query's plan changed — the round's minhash
-#: prefilter experiment was measured and rejected (the registered query
-#: still runs the r06 plan; see dedup.py MINHASH_AGREE_MIN), and the
-#: two net-new queries (source_bucketed_join,
-#: multimodal_source_binaryfile) enter via the never-recorded band.
-#: The empty band lets the 50-slot rotation drain the r01/r02 stale
-#: tail (VERDICT r06 #1).
-CHANGED_THIS_ROUND: tuple[str, ...] = ()
+#: r07: the minhash prefilter experiment was measured and rejected
+#: (registered query still runs the r06 plan; dedup.py
+#: MINHASH_AGREE_MIN), and the three net-new queries
+#: (source_bucketed_join, multimodal_source_binaryfile,
+#: decontaminate_bloom) enter via the never-recorded band.
+#: decontaminate_ngram was refactored onto the shared _decon_relations
+#: builder — plan and output unchanged (sweep-verified), but the source
+#: changed, so it gets a fresh driver row. The near-empty band lets the
+#: stalest-first ordering drain the r01/r02 tail (VERDICT r06 #1).
+CHANGED_THIS_ROUND: tuple[str, ...] = ("decontaminate_ngram",)
 CHANGED_AS_OF_ROUND = 7  # a row from round ≥ 7 post-dates the change
 
 
