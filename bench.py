@@ -141,6 +141,21 @@ PROBE_QUERIES = (
     # Map-only is plan-asserted; the exponent makes linearity measured,
     # not assumed, per the repo's own convention
     "multimodal_decode_y4m",
+    # r07: the remaining three decoders — same convention as Y4M (all
+    # map-only plan-asserted, so linearity is structural, but every
+    # decoder should carry a MEASURED exponent, not an argued one)
+    "multimodal_decode_ppm",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    # r07: the binaryFile-source twin of the WAV decode — at 10× the
+    # staging fans out to ~50k individual files, so this exponent also
+    # measures the small-files listing/scan cost a real media lake
+    # pays (the one-time file staging lands in the warm-up call)
+    "multimodal_source_binaryfile",
+    # r07: Bloom-filter decontamination — the net-new query's exponent
+    # on record next to decontaminate_ngram's broadcast-join shape
+    # (bloom-vs-join trade measured in docs/BENCH_NOTES.md §r07)
+    "decontaminate_bloom",
     # r07: the bucketed-at-rest read-back — the first probe call on the
     # 10× dir pays the one-time bucketed ingest (warm-up), then the
     # timed trials measure the exchange-free read-back join itself
@@ -153,7 +168,13 @@ PROBE_QUERIES = (
     "streaming_features",
 )
 PAIR_KERNEL_PROBE = ("similarity_lsh_ann",)
-PROBE_TRIALS = 2
+# min-of-3 (was 2): this host shows intermittent noisy-neighbor bursts
+# that inflate ISOLATED probe entries 2-4× even on an idle box (r07:
+# three consecutive full runs each had a different single outlier —
+# minhash t10 7.5 s, then features_flagship t10 7.2 s — while targeted
+# re-probes reproduced the historical values); a third trial makes the
+# min survive a burst that spans one trial window
+PROBE_TRIALS = 3
 
 
 def _probe_staging_root() -> str:
