@@ -79,17 +79,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CHANGED_AS_OF_ROUND or later (so a query that missed one round's
 #: 50-slot sample keeps its priority until actually re-verified, and
 #: no hand-maintained cleanup is needed).
-#: r07: the minhash prefilter experiment was measured and rejected
-#: (registered query still runs the r06 plan; dedup.py
-#: MINHASH_AGREE_MIN), and the three net-new queries
-#: (source_bucketed_join, multimodal_source_binaryfile,
-#: decontaminate_bloom) enter via the never-recorded band.
-#: decontaminate_ngram was refactored onto the shared _decon_relations
-#: builder — plan and output unchanged (sweep-verified), but the source
-#: changed, so it gets a fresh driver row. The near-empty band lets the
-#: stalest-first ordering drain the r01/r02 tail (VERDICT r06 #1).
-CHANGED_THIS_ROUND: tuple[str, ...] = ("decontaminate_ngram",)
-CHANGED_AS_OF_ROUND = 7  # a row from round ≥ 7 post-dates the change
+#: r08: decontaminate_bloom's bit positions widened int→long (ADVICE
+#: r07 — ANSI overflow at ≥224M heldout grams; same plan shape, new
+#: casts) and source_bucketed_join's staging gained the
+#: fingerprint/_STAGED_OK re-attach path (ADVICE r07 — the read-back
+#: may now come from a CREATE TABLE ... CLUSTERED BY re-registration
+#: instead of a fresh write). Both get fresh driver rows. The three
+#: net-new queries (multimodal_source_packed_shards,
+#: text_tfidf_topk_bucketed, decontaminate_paragraphs) enter via the
+#: never-recorded band. The small band (2) leaves 45 slots for the
+#: stalest-first ordering to retire the 28-query r03/r04 record tail
+#: (VERDICT r07 #1).
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "decontaminate_bloom",
+    "source_bucketed_join",
+)
+CHANGED_AS_OF_ROUND = 8  # a row from round ≥ 8 post-dates the change
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

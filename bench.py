@@ -65,6 +65,14 @@ HEADLINE = (
     # binaryFile-source media decode
     "source_bucketed_join",
     "multimodal_source_binaryfile",
+    # round-8: the packed-shard twin of the binaryFile source (same
+    # decode, container-object layout — VERDICT r07 #2) and the TF-IDF
+    # twins, re-explode vs bucketed-at-rest, so the layout's headline
+    # exchange-count/wall-time delta is recorded side by side
+    # (VERDICT r07 #3)
+    "multimodal_source_packed_shards",
+    "text_tfidf_topk",
+    "text_tfidf_topk_bucketed",
 )
 
 # queries whose work happens (partly) INSIDE the query fn — a stream
@@ -160,6 +168,20 @@ PROBE_QUERIES = (
     # 10× dir pays the one-time bucketed ingest (warm-up), then the
     # timed trials measure the exchange-free read-back join itself
     "source_bucketed_join",
+    # r08: the packed-shard media source — the scale-safe twin of the
+    # file-per-record binaryFile layout (whose ~1.0 exponent was r07's
+    # one weak mark). Expectation: decode-bound ~0.2-class, because the
+    # object count no longer grows with records
+    "multimodal_source_packed_shards",
+    # r08: the TF-IDF twins — the at-rest layout's t1/t10 delta vs the
+    # re-explode form IS the measured repeated-pass story (the bucketed
+    # ingest itself lands in the warm-up call, like source_bucketed_join)
+    "text_tfidf_topk",
+    "text_tfidf_topk_bucketed",
+    # r08: paragraph-block decontamination — block explode is 16× fewer
+    # rows than the token explode; exponent on record like its 13-gram
+    # siblings
+    "decontaminate_paragraphs",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute
@@ -319,6 +341,45 @@ def _stage_10x(spark, sf_dir: str) -> str:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Host-noise calibration (VERDICT r07 #4): r07's headline carried a
+# uniform +8% smear vs r06 across 21 unchanged plans — host contention,
+# but argued from prose. This makes cross-round deltas
+# noise-ATTRIBUTABLE: a fixed, data-independent reference job timed
+# with the same min-of-N discipline at run start and end, plus
+# os.getloadavg() at both points. A headline delta that moves WITH the
+# calibration is host load; one that moves without it is the code.
+# The job is pure JVM codegen over range() — no disk, no Python, no
+# shuffle — so it isolates the CPU/scheduling component the smear
+# showed (uniform inflation incl. map-only plans).
+
+CALIBRATION_ROWS = 200_000_000  # ~0.3 s on an idle local[32]
+
+
+def _calibration(spark) -> dict:
+    cal: dict[str, float] = {}
+    df = (
+        spark.range(0, CALIBRATION_ROWS, 1, int(CPUS))
+        .selectExpr("sum(id * 3 + 7) AS s")
+    )
+    df.write.format("noop").mode("overwrite").save()  # warm
+    times = []
+    for _ in range(PROBE_TRIALS):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    cal["sec_min"] = round(min(times), 3)
+    cal["sec_med"] = round(sorted(times)[len(times) // 2], 3)
+    try:
+        l1, l5, l15 = os.getloadavg()
+        cal.update(
+            {"load1": round(l1, 2), "load5": round(l5, 2), "load15": round(l15, 2)}
+        )
+    except OSError:
+        pass
+    return cal
+
+
 def _probe_one(spark, fn, dirs) -> dict:
     import math
 
@@ -386,6 +447,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    calibration = {"start": _calibration(spark)}
     results: dict[str, float] = {}
     extras: dict[str, object] = {}
     exchanges: dict[str, int] = {}
@@ -426,6 +488,8 @@ def main() -> None:
 
     extras["exchanges"] = exchanges
     extras["scale_probe"] = _scale_probe(spark, queries)
+    calibration["end"] = _calibration(spark)
+    extras["calibration"] = calibration
     # Round-stamped measurement commentary lives in docs/BENCH_NOTES.md
     # (ADVICE r06): hard-coding it here re-emitted stale narrative
     # claims (old timings, rejected variants) into every future
@@ -444,6 +508,15 @@ def main() -> None:
     for k in ("features_rows", "features_rows_per_s"):
         if k in extras:
             compact[k] = extras[k]
+    # calibration summary in the compact line (full record in extras):
+    # min-of-3 reference-job seconds at start/end + the 15-min load avg
+    # at start — the best contamination predictor on this host
+    compact["calib_sec"] = [
+        calibration["start"]["sec_min"],
+        calibration["end"]["sec_min"],
+    ]
+    if "load15" in calibration["start"]:
+        compact["load15_start"] = calibration["start"]["load15"]
     # the parseable driver artifact is the compact LAST stdout line —
     # print it BEFORE the file write so a full disk / read-only dir
     # can't eat the whole bench record again (the r05 failure mode)

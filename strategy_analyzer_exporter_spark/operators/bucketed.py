@@ -19,10 +19,15 @@ sorts on the pre-sorted side).
 
 Tables are written under ``staging_root()`` (SPARK_GRAFT_TMP_DIR
 discipline) as EXTERNAL tables — the warehouse path never depends on
-the process cwd — and memoized per (session, sf_dir): catalog presence
-is the idempotence check, so a fresh session rebuilds its catalog entry
-by overwriting the path (cheap at test SF; a production deployment
-registers the table once in a shared metastore instead).
+the process cwd. Idempotence is TWO-LEVEL (ADVICE r07): a
+``_STAGED_OK`` flag carrying a source-corpus fingerprint marks the
+on-disk layout valid, and a fresh session that finds a valid layout
+re-registers the catalog entry with ``CREATE TABLE ... CLUSTERED BY
+... LOCATION`` instead of rewriting the files — so two processes
+sharing SPARK_GRAFT_TMP_DIR can no longer race one session's bucketed
+scan against another's overwrite (the wav staging's flag discipline,
+extended with the catalog-re-attach step bucketed tables need because
+the bucket spec lives in the metastore, not the parquet files).
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from strategy_analyzer_exporter_spark.functions import TOKENS_SQL, tokens
-from strategy_analyzer_exporter_spark.registry import register
+from strategy_analyzer_exporter_spark.registry import register, register_deferred
 from strategy_analyzer_exporter_spark.sources.staging import (
     staging_root,
     staging_suffix,
@@ -43,19 +48,46 @@ from strategy_analyzer_exporter_spark.sources.tables import load_table
 N_BUCKETS = 8
 
 
+# bump when the written layout changes (bucket count, sort spec,
+# column set) — part of the fingerprint, so old on-disk tables are
+# rewritten instead of re-attached
+_BUCKETED_STAGE_VERSION = "v1"
+
+
 def _suffix(sf_dir: str) -> str:
-    # per-SESSION staleness only: catalog absence in a fresh session
-    # triggers a full overwrite of the path, so unlike the media-file
-    # staging no corpus fingerprint is needed in the key
     return staging_suffix(os.path.abspath(sf_dir))
 
 
-def _write_bucketed(df: DataFrame, table: str, key: str) -> None:
-    path = os.path.join(staging_root(), "bucketed", table)
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap source-staleness fingerprint: the documents parquet's
+    path + size + mtime (recursed when it's a directory), plus the
+    layout version. No Spark job — staging validity must be checkable
+    before a session has read anything."""
+    import hashlib
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    parts = [_BUCKETED_STAGE_VERSION, f"buckets={N_BUCKETS}", src]
+    paths = [src]
+    if os.path.isdir(src):
+        paths = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(src)
+            for f in fs
+        )
+    for p in paths:
+        try:
+            st = os.stat(p)
+            parts.append(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{p}|missing")
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:12]
+
+
+def _write_bucketed(df: DataFrame, table: str, path: str) -> None:
     (
-        df.repartition(N_BUCKETS, key)
-        .write.bucketBy(N_BUCKETS, key)
-        .sortBy(key)
+        df.repartition(N_BUCKETS, "doc_id")
+        .write.bucketBy(N_BUCKETS, "doc_id")
+        .sortBy("doc_id")
         .option("path", path)
         .mode("overwrite")
         .format("parquet")
@@ -63,29 +95,71 @@ def _write_bucketed(df: DataFrame, table: str, key: str) -> None:
     )
 
 
+def _ensure_bucketed(
+    spark: SparkSession,
+    table: str,
+    ddl_cols: str,
+    fingerprint: str,
+    build,
+) -> None:
+    """Three-way idempotence: (catalog has table, on-disk flag valid) →
+    no-op; (no catalog entry, flag valid) → re-ATTACH via CREATE TABLE
+    ... CLUSTERED BY ... LOCATION, zero rewrite — the concurrent-process
+    fix; anything else → (re)write files + catalog entry, then write
+    the flag LAST so a reader never sees a valid flag over half-written
+    buckets."""
+    path = os.path.join(staging_root(), "bucketed", table)
+    flag = os.path.join(path, "_STAGED_OK")
+    disk_ok = False
+    try:
+        with open(flag) as f:
+            disk_ok = f.read().strip() == fingerprint
+    except OSError:
+        pass
+    if spark.catalog.tableExists(table):
+        if disk_ok:
+            return
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if disk_ok:
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl_cols}) USING parquet "
+            f"CLUSTERED BY (doc_id) SORTED BY (doc_id) "
+            f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+        return
+    if os.path.exists(flag):
+        os.remove(flag)  # invalidate before touching the data files
+    _write_bucketed(build(), table, path)
+    with open(flag, "w") as f:
+        f.write(fingerprint)
+
+
 def bucketed_doc_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Ensure the two bucketed tables for ``sf_dir`` exist and return
     their names: docs (doc_id, doc_len) and token rows (doc_id, token),
     both bucketed+sorted by doc_id with one file per bucket."""
     suf = _suffix(sf_dir)
+    fp = _corpus_fingerprint(sf_dir)
     docs_tbl = f"bkt_docs_{suf}"
     toks_tbl = f"bkt_tokens_{suf}"
-    if not spark.catalog.tableExists(docs_tbl):
-        d = load_table(spark, sf_dir, "documents")
-        _write_bucketed(
-            d.select("doc_id", F.length("text").cast("long").alias("doc_len")),
-            docs_tbl,
-            "doc_id",
-        )
-    if not spark.catalog.tableExists(toks_tbl):
-        d = load_table(spark, sf_dir, "documents")
-        _write_bucketed(
-            d.select(
-                "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-            ),
-            toks_tbl,
-            "doc_id",
-        )
+    _ensure_bucketed(
+        spark,
+        docs_tbl,
+        "doc_id BIGINT, doc_len BIGINT",
+        fp,
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").cast("long").alias("doc_len")
+        ),
+    )
+    _ensure_bucketed(
+        spark,
+        toks_tbl,
+        "doc_id BIGINT, token STRING",
+        fp,
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+        ),
+    )
     return docs_tbl, toks_tbl
 
 
@@ -123,3 +197,79 @@ WHERE len(t) >= 1"""
 
 
 register("source_bucketed_join", _q_bucketed_join, _BUCKETED_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# A real second consumer of the bucketed layout (VERDICT r07 #3): the
+# TF-IDF top-k query re-expressed over the at-rest token table instead
+# of re-exploding `documents`. Same output, same oracle
+# (text_tfidf_topk's — reused via register_deferred, never duplicated).
+#
+# What the layout buys this plan, vs pipeline3._q_tfidf:
+#   1. no tokenize+explode recompute — the token rows are parquet at
+#      rest (the repeated-pass story: every pass over a 100 TB corpus
+#      re-paying tokenization is the single biggest avoidable cost);
+#   2. the tf = groupBy(doc_id, token) aggregation of the FULL token
+#      stream is exchange-free — hashpartitioning(doc_id) from the
+#      bucketed scan satisfies ClusteredDistribution(doc_id, token)
+#      (partitioning expressions ⊆ grouping keys), so the one shuffle
+#      that moves every token row in the re-explode form disappears;
+#   3. the remaining exchanges (df_docs on token, the scored join, the
+#      per-doc ranking window) operate on AGGREGATED relations — tf
+#      rows and vocab rows — never the raw token stream.
+# Exchange counts and 1×/10× wall times for both twins are recorded by
+# bench.py (headline `exchanges` + scale probe).
+#
+# Arithmetic is kept IDENTICAL to the re-explode form (same cast
+# chain, same tf·(N/df) linear idf) so both twins hash-match the same
+# DuckDB oracle bit-for-bit.
+
+TFIDF_TOPK = 3  # = pipeline3.TFIDF_TOPK (module-level sibling imports
+# are forbidden — tests/test_pipeline_ops.py::
+# test_operator_modules_import_standalone; the deferred registration
+# below would catch a drift by failing the shared-oracle hash compare)
+
+
+def _q_tfidf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs_tbl, toks_tbl = bucketed_doc_tables(spark, sf_dir)
+    tok = spark.table(toks_tbl)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_docs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    # n_docs counts ALL documents (the docs table has one row per doc,
+    # zero-token docs included), matching the oracle's FROM documents
+    n_docs = spark.table(docs_tbl).agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_docs, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                F.col("n_docs").cast("double")
+                / F.col("df_docs").cast("double")
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "token", "tf", "df_docs", "score", "rn")
+    )
+
+
+def _register_tfidf_bucketed() -> None:
+    from strategy_analyzer_exporter_spark.registry import ORACLES
+
+    register(
+        "text_tfidf_topk_bucketed",
+        _q_tfidf_bucketed,
+        ORACLES["text_tfidf_topk"],
+    )
+
+
+register_deferred(_register_tfidf_bucketed, requires=("text_tfidf_topk",))

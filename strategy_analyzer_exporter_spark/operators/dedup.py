@@ -107,9 +107,15 @@ def clear_gram_cache(sf_dir: str | None = None) -> None:
     """Unpersist cached gram/signature relations (test/bench hygiene).
     With ``sf_dir``, drop only that corpus's entries — tests staging
     throwaway tmp corpora use this so the shared sf-fixture caches the
-    rest of the session relies on stay resident."""
+    rest of the session relies on stay resident. ``sf_dir`` is
+    normalized the same way the cache keys are built (ADVICE r07: a
+    relative-vs-absolute spelling of the same path must not silently
+    clear nothing and leak the persisted relations)."""
+    import os
+
+    norm = os.path.abspath(sf_dir) if sf_dir is not None else None
     for cache in (_GRAM_CACHE, _SIG_CACHE):
-        for key in [k for k in cache if sf_dir is None or k[0] == sf_dir]:
+        for key in [k for k in cache if norm is None or k[0] == norm]:
             cache.pop(key).unpersist()
 
 
@@ -129,7 +135,9 @@ def _gram_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFram
     intersection probes, size counts) consume it, and caching one copy
     beats recomputing the scan+shingle fan-out — exactly a materialized
     CTE, which is what the DuckDB oracle does with its `sh` CTE."""
-    key = (sf_dir, k)
+    import os
+
+    key = (os.path.abspath(sf_dir), k)
     cached = _GRAM_CACHE.get(key)
     if cached is not None:
         return cached
@@ -186,7 +194,9 @@ def _sig_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame
     multi-TB gram relation per side (VERDICT r04 #4 exchange diet). At
     100 TB the signature relation is ~1 row/doc — orders of magnitude
     smaller than the grams it summarizes; MEMORY_AND_DISK spills fine."""
-    key = (sf_dir, k)
+    import os
+
+    key = (os.path.abspath(sf_dir), k)
     cached = _SIG_CACHE.get(key)
     if cached is not None:
         return cached

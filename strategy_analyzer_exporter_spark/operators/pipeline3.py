@@ -190,9 +190,14 @@ def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         # by default where that RAISES instead of wrapping (r07 review;
         # ~1e-9 per (gram, i), i.e. a certainty at billions of grams).
         # Bounded terms (< m + 16m) can never overflow. Build and probe
-        # share these exact expressions -> no false negatives possible
+        # share these exact expressions -> no false negatives possible.
+        # Positions stay LONG end-to-end (ADVICE r07): m = ~9.6n passes
+        # INT_MAX once the heldout set reaches ~224M grams — exactly the
+        # too-big-to-broadcast regime this query exists for — and under
+        # ANSI mode an int cast of such a position RAISES. numpy int64
+        # indexing costs nothing extra.
         return [
-            F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("int") for i in range(k)
+            F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("long") for i in range(k)
         ]
 
     # distributed build: heldout grams -> bit positions -> one PACKED
@@ -257,6 +262,109 @@ _DECON_BLOOM_ORACLE = _DECON_ORACLE.replace(
 )
 
 register("decontaminate_bloom", _q_decontaminate_bloom, _DECON_BLOOM_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact decontamination (VERDICT r07 #6): the public
+# substring-decontamination shape, one granularity finer than whole
+# 13-gram hits — split each document into PARAGRAPHS, hash-join
+# paragraph normal forms against the heldout set's paragraphs, and
+# report per-doc contaminated-paragraph SPANS (count, first/last index,
+# full index list) so a downstream filter can excise the contaminated
+# region instead of dropping the document. The synthetic corpus has no
+# newlines, so "paragraph" is the deterministic unit both engines can
+# compute: non-overlapping PARA_TOKENS-token blocks (trailing partial
+# block included). Same heldout split as decontaminate_ngram
+# (doc_id % HELDOUT_MOD == 0).
+#
+# Scale shape: the block explode is linear in tokens (output rows =
+# n_tokens / PARA_TOKENS — 16× FEWER rows than the token explode, and
+# ~13× fewer than the 13-gram explode since blocks don't overlap); the
+# heldout relation is a distinct-string set joined with a plain hash
+# join — AQE broadcasts while it's genuinely small, shuffles on the
+# block string when it isn't (same no-hint policy as
+# decontaminate_ngram). The per-doc span aggregation collects only the
+# HIT indices (contamination is sparse by construction), sorted for
+# determinism, CSV-serialized because the driver harness can't hash
+# array cells.
+
+PARA_TOKENS = 16
+
+
+def _q_decontaminate_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n = F.size(tk)
+    nblocks = F.floor((n + F.lit(PARA_TOKENS - 1)) / F.lit(PARA_TOKENS))
+    # sequence(0, nblocks-1) DESCENDS when nblocks == 0 (empty doc) —
+    # same guard as dedup._shingles; the oracle's range() is empty
+    blocks = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(0), (nblocks - 1).cast("int")),
+            lambda i: F.concat_ws(
+                " ", F.slice(tk, i * PARA_TOKENS + 1, PARA_TOKENS)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = d.select(
+        "doc_id", F.posexplode(blocks).alias("para_idx", "para")
+    ).withColumn("para_idx", F.col("para_idx").cast("long"))
+    heldout = (
+        rows.filter(F.col("doc_id") % HELDOUT_MOD == 0)
+        .select("para")
+        .distinct()
+    )
+    corpus = rows.filter(F.col("doc_id") % HELDOUT_MOD != 0)
+    return (
+        corpus.join(heldout, "para")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bad_paras"),
+            F.min("para_idx").alias("first_bad"),
+            F.max("para_idx").alias("last_bad"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("para_idx")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("bad_idx_csv"),
+        )
+    )
+
+
+_DECON_PARA_ORACLE = f"""WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+),
+paras AS (
+    SELECT doc_id,
+           unnest(range(0, (len(tk) + {PARA_TOKENS - 1}) // {PARA_TOKENS}))
+               AS para_idx,
+           unnest(list_transform(
+               range(0, (len(tk) + {PARA_TOKENS - 1}) // {PARA_TOKENS}),
+               i -> array_to_string(
+                   tk[i * {PARA_TOKENS} + 1 : (i + 1) * {PARA_TOKENS}], ' ')))
+               AS para
+    FROM toks
+),
+heldout AS (
+    SELECT DISTINCT para FROM paras WHERE doc_id % {HELDOUT_MOD} = 0
+),
+corpus AS (SELECT * FROM paras WHERE doc_id % {HELDOUT_MOD} <> 0)
+SELECT c.doc_id,
+       count(*) AS n_bad_paras,
+       min(c.para_idx) AS first_bad,
+       max(c.para_idx) AS last_bad,
+       array_to_string(list_sort(list(c.para_idx)), ',') AS bad_idx_csv
+FROM corpus c JOIN heldout h USING (para)
+GROUP BY c.doc_id"""
+
+register(
+    "decontaminate_paragraphs",
+    _q_decontaminate_paragraphs,
+    _DECON_PARA_ORACLE,
+)
 
 
 

@@ -266,6 +266,89 @@ def stream_features(
     )
 
 
+def tws_runtime_available() -> bool:
+    """transformWithStateInPandas needs ``google.protobuf`` at runtime
+    (the Python↔JVM state-server protocol); pyspark does not bundle it.
+    Checked up front so a missing dependency fails with a clear message
+    instead of a mid-stream worker crash."""
+    import importlib.util
+
+    try:
+        # raises (rather than returning None) when the parent `google`
+        # namespace package itself is absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def _require_tws_runtime() -> None:
+    if not tws_runtime_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "package (pyspark's stateful-processor state server), which "
+            "is not installed in this environment; use engine='apply' "
+            "(applyInPandasWithState) — bit-equal output by construction"
+        )
+
+
+def stream_features_tws(
+    bars_stream: DataFrame, cfg: FeatureConfig = TESTDATA_CONFIG
+) -> DataFrame:
+    """The SAME feature stream through ``transformWithStateInPandas``
+    (SURVEY §2.5 names the newer API as the state mapping; VERDICT r07
+    #5 asks for a measured adopt-or-reject vs ``applyInPandasWithState``).
+
+    The per-bar compute is make_feature_updater's — byte-identical by
+    construction: the StatefulProcessor adapts its ValueState to the
+    GroupState surface the updater consumes (exists/get/update), so the
+    two engines differ ONLY in state machinery (RocksDB value-state
+    encoder + per-operator store vs the HDFS-backed GroupState codec).
+    Bit-equality is asserted by
+    tests/test_streaming_sinks.py::test_tws_engine_bit_equals_apply.
+    Requires the RocksDB state-store provider (run_stream_to_memory
+    sets it on the isolated child session when engine="tws") AND
+    ``google.protobuf``: transformWithState's Python worker talks to
+    the JVM state server over protobuf, a runtime dependency pyspark
+    does not bundle. In environments without protobuf (this container —
+    installs are out of scope) the engine raises a clear error up
+    front; the 1×/10× wall-time comparison is therefore recorded as
+    ENVIRONMENT-BLOCKED in docs/BENCH_NOTES.md §r08 rather than
+    measured — the port and its equality contract are still code."""
+    _require_tws_runtime()
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _FeatureProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._vs = handle.getValueState("feat", STATE_SCHEMA)
+            self._update = make_feature_updater(cfg)
+
+        def handleInputRows(self, key, rows, timerValues):
+            vs = self._vs
+
+            class _AsGroupState:
+                exists = property(lambda _s: vs.exists())
+                get = property(lambda _s: vs.get())
+
+                @staticmethod
+                def update(value) -> None:
+                    vs.update(value)
+
+            yield from self._update(key, rows, _AsGroupState())
+
+        def close(self) -> None:
+            pass
+
+    return bars_stream.groupBy("day").transformWithStateInPandas(
+        statefulProcessor=_FeatureProcessor(),
+        outputStructType=FEATURE_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def windowed_counts(events_stream: DataFrame) -> DataFrame:
     """Tumbling 1-hour event-time windows with a watermark: the standard
     streaming aggregation (late data beyond the watermark is dropped;
@@ -788,10 +871,14 @@ def foreach_batch_duckdb_sink(
 _STATE_SESSIONS: dict[tuple[int, int], SparkSession] = {}
 
 
-def _state_session(spark: SparkSession, parts: int) -> SparkSession:
+def _state_session(
+    spark: SparkSession,
+    parts: int,
+    extra: tuple[tuple[str, str], ...] = (),
+) -> SparkSession:
     from strategy_analyzer_exporter_spark.session import ensure_session_confs
 
-    key = (id(spark), parts)
+    key = (id(spark), parts, extra)
     sess = _STATE_SESSIONS.get(key)
     if sess is not None:
         # id() keys can be REUSED after the original parent is
@@ -811,8 +898,22 @@ def _state_session(spark: SparkSession, parts: int) -> SparkSession:
         sess = spark.newSession()
         ensure_session_confs(sess)  # child session starts from defaults
         sess.conf.set("spark.sql.shuffle.partitions", str(parts))
+        for k, v in extra:
+            sess.conf.set(k, v)
         _STATE_SESSIONS[key] = sess
     return sess
+
+
+#: transformWithState is only supported on the RocksDB state store —
+#: set on the isolated child session so batch plans on the caller's
+#: session never observe it
+_TWS_CONFS: tuple[tuple[str, str], ...] = (
+    (
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    ),
+)
 
 
 def run_stream_to_memory(
@@ -822,6 +923,7 @@ def run_stream_to_memory(
     query_name: str = "stream_features_out",
     max_files_per_trigger: int = 1,
     state_partitions: int | None = None,
+    engine: str = "apply",
 ) -> DataFrame:
     """Drive a file-source stream of bar parquet through the stateful
     pipeline into a memory sink, synchronously (availableNow semantics
@@ -846,17 +948,32 @@ def run_stream_to_memory(
     sf0.1's 30 day-keys: 32 partitions 1.6 s, 16 partitions 1.3 s). At
     production key cardinalities you raise it; results are
     partitioning-independent (bit-equal,
-    tests/test_streaming_sinks.py::test_state_partitions_is_not_a_semantics_knob)."""
-    sess = (
-        _state_session(spark, int(state_partitions)) if state_partitions else spark
-    )
+    tests/test_streaming_sinks.py::test_state_partitions_is_not_a_semantics_knob).
+
+    ``engine`` selects the stateful operator: "apply" (default) =
+    ``applyInPandasWithState``; "tws" = ``transformWithStateInPandas``
+    over RocksDB (stream_features_tws — same updater, bit-equal
+    output). "tws" always runs on a child session because the RocksDB
+    provider conf must not leak to the caller."""
+    if engine not in ("apply", "tws"):
+        raise ValueError(f"unknown streaming engine: {engine!r}")
+    extra = _TWS_CONFS if engine == "tws" else ()
+    if state_partitions or extra:
+        parts = int(
+            state_partitions
+            or spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        sess = _state_session(spark, parts, extra)
+    else:
+        sess = spark
     stream = (
         sess.readStream.schema(BAR_SCHEMA)
         .option("maxFilesPerTrigger", max(1, int(max_files_per_trigger)))
         .parquet(source_dir)
     )
+    pipe = stream_features_tws if engine == "tws" else stream_features
     q = (
-        stream_features(stream, cfg)
+        pipe(stream, cfg)
         .writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")

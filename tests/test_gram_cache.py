@@ -29,3 +29,22 @@ def test_gram_cache_bounded_and_clearable(spark):
 
     dedup.clear_gram_cache()
     assert _n_persistent(spark) <= base
+
+
+def test_clear_gram_cache_normalizes_paths(spark):
+    """ADVICE r07: clearing by a RELATIVE spelling of the cached
+    absolute path must still release the persisted relations (keys and
+    the filter both normalize via os.path.abspath)."""
+    import os
+
+    from strategy_analyzer_exporter_spark.operators import dedup
+
+    dedup.clear_gram_cache()
+    base = _n_persistent(spark)
+    dedup._gram_rows(spark, SF).count()
+    assert _n_persistent(spark) == base + 1
+
+    rel = os.path.relpath(SF, os.getcwd())
+    assert rel != os.path.abspath(SF)
+    dedup.clear_gram_cache(rel)
+    assert _n_persistent(spark) == base

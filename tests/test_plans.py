@@ -239,6 +239,76 @@ def test_bucketed_readback_join_is_exchange_free(spark):
     assert plan.count("Bucketed: true") == 2, plan
 
 
+def test_packed_shard_source_moves_metadata_not_media(spark):
+    """The packed-shard media source (VERDICT r07 #2): exactly ONE
+    exchange, and it repartitions MANIFEST rows — the exchanged schema
+    must carry no binary column (media bytes are range-read inside the
+    task, never shuffled). The decode output matches the inline and
+    binaryFile twins' oracle; this test pins the layout's plan shape."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["multimodal_source_packed_shards"](spark, SF)
+    plan = P.physical_plan(q)
+    assert P.count_exchanges(q) == 1, plan
+    ex = plan[plan.index("Exchange"):]
+    ex_line = ex[: ex.index("\n")]
+    assert "binary" not in ex_line.lower(), ex_line
+    # the scan that feeds the exchange reads only manifest columns
+    assert "payload" not in plan.split("Exchange")[-1], plan
+
+
+def test_tfidf_bucketed_twin_cuts_the_token_shuffle(spark):
+    """The at-rest TF-IDF twin (VERDICT r07 #3) must shuffle strictly
+    less than the re-explode form: the full-token-stream
+    groupBy(doc_id, token) rides the bucketed scan's
+    hashpartitioning(doc_id), so only aggregated relations (tf, vocab)
+    ever cross an exchange."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    base = P.count_exchanges(QUERIES["text_tfidf_topk"](spark, SF))
+    bucketed = P.count_exchanges(QUERIES["text_tfidf_topk_bucketed"](spark, SF))
+    assert bucketed < base, (bucketed, base)
+    plan = P.physical_plan(QUERIES["text_tfidf_topk_bucketed"](spark, SF))
+    assert plan.count("Bucketed: true") >= 1, plan
+
+
+def test_bucketed_staging_reattaches_without_rewrite(spark):
+    """ADVICE r07: a session that finds a valid ``_STAGED_OK`` layout
+    but no catalog entry (= a fresh process sharing SPARK_GRAFT_TMP_DIR)
+    must RE-ATTACH via DDL instead of overwriting the files another
+    process may be reading. Simulated by dropping the catalog entries:
+    the rebuilt tables must be served by the IDENTICAL on-disk files
+    (same names, sizes, mtimes) and still scan bucketed."""
+    import os
+
+    from strategy_analyzer_exporter_spark.operators.bucketed import (
+        bucketed_doc_tables,
+    )
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+    from strategy_analyzer_exporter_spark.sources.staging import staging_root
+
+    docs_tbl, toks_tbl = bucketed_doc_tables(spark, SF)
+
+    def listing(table: str) -> list[tuple[str, int, int]]:
+        d = os.path.join(staging_root(), "bucketed", table)
+        return sorted(
+            (f, os.stat(os.path.join(d, f)).st_size,
+             os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before = {t: listing(t) for t in (docs_tbl, toks_tbl)}
+    for t in (docs_tbl, toks_tbl):
+        spark.sql(f"DROP TABLE {t}")
+    assert bucketed_doc_tables(spark, SF) == (docs_tbl, toks_tbl)
+    assert {t: listing(t) for t in (docs_tbl, toks_tbl)} == before
+    q = QUERIES["source_bucketed_join"](spark, SF)
+    plan = P.physical_plan(q)
+    assert P.count_exchanges(q) == 0, plan
+    assert plan.count("Bucketed: true") == 2, plan
+
+
 # Queries allowed explicit F.broadcast() hints, with the bound that
 # justifies each: a hint overrides Spark's size threshold, so it is
 # legitimate ONLY on a side whose row count is provably independent of
@@ -275,6 +345,7 @@ BROADCAST_HINT_ALLOWLIST: dict[str, object] = {
     "q15_top_revenue_supplier": 1,
     "q22_idle_rich_customers": 1,
     "text_tfidf_topk": 1,  # 1-row corpus doc count
+    "text_tfidf_topk_bucketed": 1,  # same 1-row doc count, at-rest twin
     # bounded-enum group keys: l_returnflag ≤ 3, event_type is a small
     # fixed vocabulary, p_brand = 25 "Brand#MN" values at every SF
     "agg_approx_percentile_bound": 1,
