@@ -20,14 +20,19 @@ sorts on the pre-sorted side).
 Tables are written under ``staging_root()`` (SPARK_GRAFT_TMP_DIR
 discipline) as EXTERNAL tables — the warehouse path never depends on
 the process cwd. Idempotence is TWO-LEVEL (ADVICE r07): a
-``_STAGED_OK`` flag carrying a source-corpus fingerprint marks the
-on-disk layout valid, and a fresh session that finds a valid layout
-re-registers the catalog entry with ``CREATE TABLE ... CLUSTERED BY
-... LOCATION`` instead of rewriting the files — so two processes
-sharing SPARK_GRAFT_TMP_DIR can no longer race one session's bucketed
-scan against another's overwrite (the wav staging's flag discipline,
-extended with the catalog-re-attach step bucketed tables need because
-the bucket spec lives in the metastore, not the parquet files).
+``_STAGED_OK`` flag carrying a source-corpus + derivation fingerprint
+marks the on-disk layout valid, and a fresh session that finds a valid
+layout re-registers the catalog entry with ``CREATE TABLE ... CLUSTERED
+BY ... LOCATION`` instead of rewriting the files — the wav staging's
+flag discipline, extended with the catalog-re-attach step bucketed
+tables need because the bucket spec lives in the metastore, not the
+parquet files. This removes the steady-state cross-process race (every
+process with a valid layout only reads); the REBUILD path (first
+staging, or a fingerprint change) still overwrites, so a process
+scanning while another rebuilds can fail mid-read — acceptable for
+test-fixture staging, where rebuilds mean the corpus itself changed.
+A production deployment registers the table once in a shared metastore
+and writes new snapshots to fresh paths instead.
 """
 
 from __future__ import annotations
@@ -50,8 +55,16 @@ N_BUCKETS = 8
 
 # bump when the written layout changes (bucket count, sort spec,
 # column set) — part of the fingerprint, so old on-disk tables are
-# rewritten instead of re-attached
+# rewritten instead of re-attached. The DERIVATION of the staged
+# columns is fingerprinted separately below (TOKENS_SQL + the column
+# exprs), so a tokenizer change invalidates the staging without anyone
+# remembering to bump this (r08 review).
 _BUCKETED_STAGE_VERSION = "v1"
+
+# the staged tables' derivation contract: token rule (TOKENS_SQL is the
+# oracle-shared definition of tokens(), so it moves whenever the
+# tokenizer does) + the docs projection
+_DERIVATION_FP = f"tokens={TOKENS_SQL};docs=doc_id,length(text)"
 
 
 def _suffix(sf_dir: str) -> str:
@@ -66,7 +79,7 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     import hashlib
 
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    parts = [_BUCKETED_STAGE_VERSION, f"buckets={N_BUCKETS}", src]
+    parts = [_BUCKETED_STAGE_VERSION, _DERIVATION_FP, f"buckets={N_BUCKETS}", src]
     paths = [src]
     if os.path.isdir(src):
         paths = sorted(
@@ -104,10 +117,11 @@ def _ensure_bucketed(
 ) -> None:
     """Three-way idempotence: (catalog has table, on-disk flag valid) →
     no-op; (no catalog entry, flag valid) → re-ATTACH via CREATE TABLE
-    ... CLUSTERED BY ... LOCATION, zero rewrite — the concurrent-process
-    fix; anything else → (re)write files + catalog entry, then write
-    the flag LAST so a reader never sees a valid flag over half-written
-    buckets."""
+    ... CLUSTERED BY ... LOCATION, zero rewrite — the steady-state
+    concurrent-process fix; anything else → (re)write files + catalog
+    entry, then write the flag LAST so a reader never sees a valid flag
+    over half-written buckets. The rebuild path itself is not
+    concurrency-safe (see module docstring)."""
     path = os.path.join(staging_root(), "bucketed", table)
     flag = os.path.join(path, "_STAGED_OK")
     disk_ok = False

@@ -941,13 +941,18 @@ _WAV_STAGE_VERSION = "v1"
 #: recomputes the fingerprint on first use.
 _WAV_DIR_CACHE: dict[str, str] = {}
 
-#: sf_dir → sorted doc-id list (shared by the file-per-record and
-#: packed-shard stagings so two media-source queries in one bench run
-#: cost ONE fingerprint job, not two)
+#: abspath(sf_dir) → sorted doc-id list (shared by the file-per-record
+#: and packed-shard stagings so two media-source queries in one bench
+#: run cost ONE fingerprint job, not two). Keys normalized like the
+#: dedup gram cache (ADVICE r07): a relative spelling must not fork a
+#: second cache entry and re-run the collect.
 _DOC_IDS_CACHE: dict[str, list[int]] = {}
 
 
 def _doc_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+    import os
+
+    sf_dir = os.path.abspath(sf_dir)
     ids = _DOC_IDS_CACHE.get(sf_dir)
     if ids is None:
         ids = sorted(
@@ -978,12 +983,13 @@ def wav_file_dir(spark: SparkSession, sf_dir: str) -> str:
         staging_suffix,
     )
 
+    sf_dir = os.path.abspath(sf_dir)
     cached = _WAV_DIR_CACHE.get(sf_dir)
     if cached is not None:
         return cached
     ids = _doc_ids(spark, sf_dir)
     fp = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()[:8]
-    suf = staging_suffix(os.path.abspath(sf_dir))
+    suf = staging_suffix(sf_dir)
     d = os.path.join(
         staging_root(), f"media_wav_{_WAV_STAGE_VERSION}_{suf}_{fp}"
     )
@@ -1074,12 +1080,13 @@ def wav_shard_dir(spark: SparkSession, sf_dir: str) -> str:
         staging_suffix,
     )
 
+    sf_dir = os.path.abspath(sf_dir)
     cached = _SHARD_DIR_CACHE.get(sf_dir)
     if cached is not None:
         return cached
     ids = _doc_ids(spark, sf_dir)
     fp = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()[:8]
-    suf = staging_suffix(os.path.abspath(sf_dir))
+    suf = staging_suffix(sf_dir)
     d = os.path.join(
         staging_root(), f"media_shards_{_SHARD_STAGE_VERSION}_{suf}_{fp}"
     )

@@ -863,12 +863,14 @@ def foreach_batch_duckdb_sink(
     return write_epoch
 
 
-#: (parent session id, partitions) → cached isolated child session.
-#: newSession() pays a one-time SessionState/catalog init (~0.35 s);
-#: reusing one child per (parent, partitions) keeps the isolation
-#: WITHOUT that cost on every query run. Entries live as long as the
-#: parent SparkSession — a handful per process.
-_STATE_SESSIONS: dict[tuple[int, int], SparkSession] = {}
+#: (parent session id, partitions, extra confs) → cached isolated child
+#: session. newSession() pays a one-time SessionState/catalog init
+#: (~0.35 s); reusing one child per key keeps the isolation WITHOUT
+#: that cost on every query run. Entries live as long as the parent
+#: SparkSession — a handful per process.
+_STATE_SESSIONS: dict[
+    tuple[int, int, tuple[tuple[str, str], ...]], SparkSession
+] = {}
 
 
 def _state_session(
@@ -957,6 +959,10 @@ def run_stream_to_memory(
     provider conf must not leak to the caller."""
     if engine not in ("apply", "tws"):
         raise ValueError(f"unknown streaming engine: {engine!r}")
+    if engine == "tws":
+        # gate BEFORE building (and permanently caching) the child
+        # session — a missing protobuf raises regardless (r08 review)
+        _require_tws_runtime()
     extra = _TWS_CONFS if engine == "tws" else ()
     if state_partitions or extra:
         parts = int(
