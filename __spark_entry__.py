@@ -87,12 +87,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #: instead of a fresh write). Both get fresh driver rows. The three
 #: net-new queries (multimodal_source_packed_shards,
 #: text_tfidf_topk_bucketed, decontaminate_paragraphs) enter via the
-#: never-recorded band. The small band (2) leaves 45 slots for the
-#: stalest-first ordering to retire the 28-query r03/r04 record tail
+#: never-recorded band (so do the wave-2 additions
+#: dedup_incremental_minhash and agg_heavy_hitters_sketch — net-new 5
+#: total). dedup_minhash_lsh and the two CC clusterings ride its
+#: refactor (band-row construction extracted into _band_rows for the
+#: incremental query; plans and outputs sweep-verified unchanged) — the
+#: decontaminate_ngram r07 convention: source changed, fresh row. The
+#: 10 priority slots leave 40 for the stalest-first ordering, which
+#: still covers the entire 28-query r03/r04 record tail this round
 #: (VERDICT r07 #1).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "decontaminate_bloom",
     "source_bucketed_join",
+    "dedup_minhash_lsh",
+    "dedup_cluster_cc",
+    "dedup_cluster_cc_star",
 )
 CHANGED_AS_OF_ROUND = 8  # a row from round ≥ 8 post-dates the change
 

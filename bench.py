@@ -182,6 +182,12 @@ PROBE_QUERIES = (
     # rows than the token explode; exponent on record like its 13-gram
     # siblings
     "decontaminate_paragraphs",
+    # r08 wave 2: incremental-ingest dedup (batch-vs-corpus band join —
+    # candidate volume scales with the batch, the exponent should sit
+    # under the self-join's) and the Misra–Gries heavy-hitter sketch
+    # (map-only summary pass + a ≤(K+1)·P-row merge)
+    "dedup_incremental_minhash",
+    "agg_heavy_hitters_sketch",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute

@@ -266,6 +266,25 @@ def _verify_jaccard(
     )
 
 
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows from the signature relation —
+    one row per (doc, band), key = the band's concatenated min-hashes."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("key"),
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def _q_dedup_minhash(
     spark: SparkSession, sf_dir: str, agree_min: int = MINHASH_AGREE_MIN
 ) -> DataFrame:
@@ -282,20 +301,7 @@ def _q_dedup_minhash(
     property. Registered queries run the module constant (disabled)."""
     grams = _gram_rows(spark, sf_dir)
     sigs = _sig_rows(spark, sf_dir)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                ).alias("key"),
-            )
-            for b in range(NUM_BANDS)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    bands = _band_rows(sigs)
     # self-join on the SAME subtree (alias, not two renamed projections):
     # both sides canonicalize to one Exchange(hashpartitioning(band, key))
     # and Spark's ReuseExchange turns the second into a ReusedExchange —
@@ -339,9 +345,12 @@ def _q_dedup_minhash(
     return _verify_jaccard(cand, grams, JACCARD_THRESHOLD, sizes=sizes)
 
 
-def _minhash_cte() -> str:
+def _minhash_cte(cand_pred: str = "a.doc_id < b.doc_id") -> str:
     """The minhash pipeline as a reusable WITH-body (ends at `scored`);
-    both the pair query and the clustering oracle build on it."""
+    the pair query, the clustering oracles, and the incremental-ingest
+    variant build on it. ``cand_pred`` is the extra candidate-pair
+    predicate beyond the band-key equality: the default self-dedup
+    half-matrix, or a side split (incremental ingest)."""
     mh_cols = ",\n           ".join(
         f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS mh{j}"
         for j in range(NUM_HASHES)
@@ -372,7 +381,7 @@ bands AS (
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      ON a.band = b.band AND a.key = b.key AND {cand_pred}
 ),
 scored AS (
     SELECT c.doc_a, c.doc_b,
@@ -799,6 +808,68 @@ def _q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_minhash_lsh", _q_dedup_minhash, _minhash_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingest dedup (r08): the PRODUCTION dedup shape that the
+# self-join query doesn't cover — a small incoming BATCH checked
+# against the big AT-REST corpus, without re-pairing the corpus with
+# itself. At 100 TB nobody re-runs all-pairs dedup per ingest: corpus
+# MinHash signatures/band keys are computed once and stored at rest
+# (the bucketed.py discipline — here they come from the same cached
+# signature relation the self-join uses, which plays that role within
+# a session), and each ingest batch pays only
+#   batch shingle+sign  +  band equi-join (batch keys vs corpus keys)
+#   +  exact-Jaccard verify on the candidates.
+# Candidate volume scales with BATCH size (× band collision rate),
+# never corpus²; batch-internal duplicates are the standard query's
+# job, deliberately out of scope here (a real pipeline runs both).
+# Split: doc_id % 10 == 0 is the incoming batch (~10%), the rest is
+# the corpus — same deterministic-split convention as the heldout set
+# in decontamination.
+
+BATCH_MOD = 10
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _gram_rows(spark, sf_dir)
+    sigs = _sig_rows(spark, sf_dir)
+    bands = _band_rows(sigs)
+    corpus = bands.filter(F.col("doc_id") % BATCH_MOD != 0)
+    batch = bands.filter(F.col("doc_id") % BATCH_MOD == 0)
+    # band equi-join, corpus side vs batch side — no a<b half-matrix
+    # predicate (the pair (corpus=20, batch=10) must survive)
+    cand = (
+        corpus.alias("ca")
+        .join(
+            batch.alias("cb"),
+            (F.col("ca.band") == F.col("cb.band"))
+            & (F.col("ca.key") == F.col("cb.key")),
+        )
+        .select(
+            F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pairs = _verify_jaccard(
+        cand, grams, JACCARD_THRESHOLD, sizes=sigs.select("doc_id", "n")
+    )
+    return pairs.select(
+        F.col("doc_a").alias("corpus_doc"),
+        F.col("doc_b").alias("batch_doc"),
+        "jaccard",
+    )
+
+
+def _incremental_oracle() -> str:
+    return (
+        f"WITH {_minhash_cte(cand_pred=f'a.doc_id % {BATCH_MOD} <> 0 AND b.doc_id % {BATCH_MOD} = 0')}\n"
+        f"SELECT doc_a AS corpus_doc, doc_b AS batch_doc, jaccard\n"
+        f"FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}"
+    )
+
+
+register("dedup_incremental_minhash", _q_dedup_incremental, _incremental_oracle())
 register("dedup_ngram_jaccard", _q_dedup_ngram, _NGRAM_ORACLE)
 register("dedup_simhash", _q_dedup_simhash, _simhash_oracle())
 register("dedup_cluster_cc", _q_dedup_cluster, _cluster_oracle())

@@ -367,6 +367,124 @@ register(
 )
 
 
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (r08): the one mergeable-sketch family the
+# engine didn't cover (HLL → agg_approx_distinct, quantile sketch →
+# agg_approx_percentile_bound; this adds frequent items). Per input
+# partition a K-counter Misra–Gries summary is built in one pass over
+# the token stream (mapInPandas, ≤ K+1 output rows per partition:
+# surviving counters + that partition's decrement count); summaries
+# merge by per-token SUM — a few-hundred-row aggregation, never the
+# token stream. The classic guarantees survive the merge:
+#   est ≤ exact                       (MG never overcounts), and
+#   exact − est ≤ Σ_p dec_p           (each decrement absorbs ≤ 1
+#                                      occurrence per token), with
+#   Σ_p dec_p ≤ Σ_p ⌊n_p/(K+1)⌋ ≤ ⌊n/(K+1)⌋
+# so every token with exact count > n/(K+1) MUST survive in the merged
+# summary. Output follows the repo's sketch-contract convention
+# (agg_approx_distinct precedent): the emitted SET is defined on the
+# EXACT counts (deterministic, partition-invariant, oracle-matchable —
+# tf·(K+1) > n as a pure integer comparison) and the sketch appears as
+# two guaranteed-TRUE booleans (found in summary; error within bound)
+# whose failure would flag a broken merge. The partition-dependent
+# estimate itself is deliberately NOT an output column (it would break
+# partition invariance and the cross-engine hash).
+#
+# Scale shape: one map-only pass over documents (tokenising in-UDF —
+# the token stream never crosses Arrow row-by-row), a ≤(K+1)·P-row
+# summary aggregation, and the exact-count aggregation the contract
+# audit needs anyway (a production pipeline would drop the audit and
+# keep only the sketch pass). K = 29 → threshold n/30: on this corpus
+# (31-word near-uniform vocab) 16 of 31 tokens qualify — a strict,
+# non-trivial subset.
+
+MG_K = 29
+
+
+def mg_summary(tokens_iter, k: int = MG_K) -> tuple[dict, int]:
+    """One-pass Misra–Gries over a token iterator: returns (surviving
+    counters, decrement count). Module-level so the guarantee is
+    property-testable directly (tests/test_properties.py)."""
+    counters: dict[str, int] = {}
+    dec = 0
+    for t in tokens_iter:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < k:
+            counters[t] = 1
+        else:
+            dec += 1
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters, dec
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # the test corpus is one parquet file → one input partition; spread
+    # the sketch pass so the MERGE path is actually exercised (same
+    # rationale as dedup._gram_rows)
+    docs = d.select("text").repartition(spark.sparkContext.defaultParallelism)
+
+    def mg(batches):
+        def toks():
+            for pdf in batches:
+                for text in pdf["text"]:
+                    # same token rule as functions.tokens / TOKENS_SQL
+                    for t in (text or "").split(" "):
+                        if t:
+                            yield t
+
+        counters, dec = mg_summary(toks())
+        rows = [(t, c, False) for t, c in counters.items()]
+        rows.append((None, dec, True))
+        yield pd.DataFrame(rows, columns=["token", "est", "is_bound"])
+
+    summ = docs.mapInPandas(mg, "token string, est long, is_bound boolean")
+    merged = (
+        summ.filter(~F.col("is_bound"))
+        .groupBy("token")
+        .agg(F.sum("est").alias("est"))
+    )
+    bound = summ.filter(F.col("is_bound")).agg(F.sum("est").alias("bound"))
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf_total"))
+    n_tot = tf.agg(F.sum("tf_total").alias("n"))
+    return (
+        tf.crossJoin(F.broadcast(n_tot))
+        .filter(F.col("tf_total") * (MG_K + 1) > F.col("n"))
+        .join(merged, "token", "left")
+        .crossJoin(F.broadcast(bound))
+        .select(
+            "token",
+            "tf_total",
+            F.col("est").isNotNull().alias("sketch_found"),
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("tf_total"))
+                & (F.col("tf_total") - F.col("est") <= F.col("bound"))
+            ).alias("contract_ok"),
+        )
+    )
+
+
+_HEAVY_HITTERS_ORACLE = f"""WITH tok AS (
+    SELECT unnest({TOKENS_SQL}) AS token FROM documents
+),
+tf AS (SELECT token, count(*) AS tf_total FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n FROM tok)
+SELECT token, tf_total, TRUE AS sketch_found, TRUE AS contract_ok
+FROM tf, n
+WHERE tf_total * {MG_K + 1} > n"""
+
+register("agg_heavy_hitters_sketch", _q_heavy_hitters, _HEAVY_HITTERS_ORACLE)
+
+
 
 # ---------------------------------------------------------------------------
 # TF-IDF top-k terms per document. Linear idf (N/df, one IEEE division)

@@ -120,3 +120,26 @@ def test_agreement_prefilter_loses_no_verified_pair(spark, planted_dir):
         # drop ONLY the tmp corpus's cache entries; the shared
         # sf-fixture caches other dedup tests rely on stay resident
         clear_gram_cache(planted_dir)
+
+
+def test_incremental_dedup_equals_full_pairs_cross_side(spark):
+    """dedup_incremental_minhash (batch-vs-corpus band join) must find
+    EXACTLY the full self-join query's verified pairs that straddle the
+    corpus/batch split — same signatures, same bands, same verify, so
+    the only difference is which pairs are candidates at all."""
+    from strategy_analyzer_exporter_spark.operators.dedup import (
+        BATCH_MOD,
+        _q_dedup_incremental,
+        _q_dedup_minhash,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    full = {
+        (a, b) if a % BATCH_MOD != 0 else (b, a)
+        for a, b, _ in _q_dedup_minhash(spark, sf).collect()
+        if (a % BATCH_MOD == 0) != (b % BATCH_MOD == 0)
+    }
+    incr = {
+        (c, bt) for c, bt, _ in _q_dedup_incremental(spark, sf).collect()
+    }
+    assert incr == full and len(incr) > 0

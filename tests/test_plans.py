@@ -337,6 +337,7 @@ BROADCAST_HINT_ALLOWLIST: dict[str, object] = {
     "q9_product_profit": 1,  # nation (part hint removed r06)
     "q10_returned_items": 1,
     # 1-row scalar relations (global max / avg / total / count / shift)
+    "agg_heavy_hitters_sketch": 2,  # 1-row token total + 1-row MG bound
     "agg_revenue_concentration": 1,
     "cdc_merge_upsert": 1,
     "domain_mixture_plan": 1,

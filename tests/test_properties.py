@@ -78,3 +78,38 @@ def test_ema_converges_to_constant(xs):
     tail = [42.0] * 200
     out = O.ema(xs + tail, 9)
     assert math.isclose(out[-1], 42.0, rel_tol=1e-6, abs_tol=1e-6)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=200),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_merge_guarantees(partitions, k):
+    """The merged per-partition Misra–Gries guarantees behind
+    agg_heavy_hitters_sketch, on adversarial streams and splits:
+    est ≤ exact, exact − est ≤ Σ decrements, and every token with
+    exact·(k+1) > n survives in the merged summary."""
+    from collections import Counter
+
+    from strategy_analyzer_exporter_spark.operators.pipeline3 import mg_summary
+
+    exact = Counter(t for part in partitions for t in part)
+    n = sum(exact.values())
+    merged: dict[str, int] = {}
+    bound = 0
+    for part in partitions:
+        counters, dec = mg_summary(iter(part), k)
+        bound += dec
+        for t, c in counters.items():
+            merged[t] = merged.get(t, 0) + c
+    for t, c in exact.items():
+        est = merged.get(t, 0)
+        assert est <= c
+        assert c - est <= bound, (t, c, est, bound)
+        if c * (k + 1) > n:
+            assert t in merged, (t, c, n, k)
