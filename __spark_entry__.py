@@ -102,6 +102,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_cluster_cc",
     "dedup_cluster_cc_star",
+    # also rides _q_dedup_minhash/_minhash_cte (r08 review: every
+    # consumer of the refactored builder gets a fresh row, not just
+    # the obvious three)
+    "corpus_clean_neardup",
 )
 CHANGED_AS_OF_ROUND = 8  # a row from round ≥ 8 post-dates the change
 
@@ -123,8 +127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     both drains any stale backlog in one pass (VERDICT r06 #1 — the
     alphabetical rotation this replaces in r07 needed two rounds) and
     self-balances: sampled queries get fresh rows and sink to the back,
-    so with 167 registered every query is re-verified at least every
-    ⌈167/50⌉ ≈ 4 rounds — the property the rotation was for (ADVICE
+    so with 169 registered every query is re-verified at least every
+    ⌈169/50⌉ ≈ 4 rounds — the property the rotation was for (ADVICE
     r03), achieved with a tighter worst case.
 
     A query whose LATEST recorded row is a FAIL also joins the priority

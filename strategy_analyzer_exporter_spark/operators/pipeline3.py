@@ -441,17 +441,24 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                             yield t
 
         counters, dec = mg_summary(toks())
-        rows = [(t, c, False) for t, c in counters.items()]
-        rows.append((None, dec, True))
-        yield pd.DataFrame(rows, columns=["token", "est", "is_bound"])
+        # the NULL-token row carries this partition's decrement count
+        rows = [(t, c) for t, c in counters.items()]
+        rows.append((None, dec))
+        yield pd.DataFrame(rows, columns=["token", "est"])
 
-    summ = docs.mapInPandas(mg, "token string, est long, is_bound boolean")
-    merged = (
-        summ.filter(~F.col("is_bound"))
-        .groupBy("token")
-        .agg(F.sum("est").alias("est"))
+    summ = docs.mapInPandas(mg, "token string, est long")
+    # ONE aggregation over the summary rows; the bound rows (token NULL)
+    # group under the NULL key. Both consumers below are filters over
+    # the SAME aggregate subtree, so ReuseExchange runs the expensive
+    # sketch pass + its shuffle ONCE (r08 review: per-side filters
+    # below the exchange made the subtrees differ, executing the
+    # Python sketch twice — and decoupling est from the bound it is
+    # checked against).
+    g = summ.groupBy("token").agg(F.sum("est").alias("est"))
+    merged = g.filter(F.col("token").isNotNull())
+    bound = g.filter(F.col("token").isNull()).select(
+        F.col("est").alias("bound")
     )
-    bound = summ.filter(F.col("is_bound")).agg(F.sum("est").alias("bound"))
     tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf_total"))
     n_tot = tf.agg(F.sum("tf_total").alias("n"))
