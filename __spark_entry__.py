@@ -87,15 +87,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: instead of a fresh write). Both get fresh driver rows. The three
 #: net-new queries (multimodal_source_packed_shards,
 #: text_tfidf_topk_bucketed, decontaminate_paragraphs) enter via the
-#: never-recorded band (so do the wave-2 additions
-#: dedup_incremental_minhash and agg_heavy_hitters_sketch — net-new 5
-#: total). dedup_minhash_lsh and the two CC clusterings ride its
+#: never-recorded band (so do the later-wave additions
+#: dedup_incremental_minhash, agg_heavy_hitters_sketch, and
+#: similarity_ivfpq_topk — net-new 6 total). dedup_minhash_lsh and the two CC clusterings ride its
 #: refactor (band-row construction extracted into _band_rows for the
 #: incremental query; plans and outputs sweep-verified unchanged) — the
 #: decontaminate_ngram r07 convention: source changed, fresh row. The
-#: 10 priority slots leave 40 for the stalest-first ordering, which
-#: still covers the entire 28-query r03/r04 record tail this round
-#: (VERDICT r07 #1).
+#: 13 priority slots (6 net-new + 7 changed) leave 37 for the
+#: stalest-first ordering, which still covers the entire 28-query
+#: r03/r04 record tail this round (VERDICT r07 #1; simulated against
+#: the real CORRECTNESS history).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "decontaminate_bloom",
     "source_bucketed_join",
@@ -106,6 +107,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # consumer of the refactored builder gets a fresh row, not just
     # the obvious three)
     "corpus_clean_neardup",
+    # rides the _adc_scored/_pq_sql_parts refactor shared with the new
+    # similarity_ivfpq_topk (plan and output unchanged, sweep-verified)
+    "similarity_pq_adc",
 )
 CHANGED_AS_OF_ROUND = 8  # a row from round ≥ 8 post-dates the change
 
@@ -127,8 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     both drains any stale backlog in one pass (VERDICT r06 #1 — the
     alphabetical rotation this replaces in r07 needed two rounds) and
     self-balances: sampled queries get fresh rows and sink to the back,
-    so with 169 registered every query is re-verified at least every
-    ⌈169/50⌉ ≈ 4 rounds — the property the rotation was for (ADVICE
+    so with 170 registered every query is re-verified at least every
+    ⌈170/50⌉ ≈ 4 rounds — the property the rotation was for (ADVICE
     r03), achieved with a tighter worst case.
 
     A query whose LATEST recorded row is a FAIL also joins the priority

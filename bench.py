@@ -188,6 +188,10 @@ PROBE_QUERIES = (
     # (map-only summary pass + a ≤(K+1)·P-row merge)
     "dedup_incremental_minhash",
     "agg_heavy_hitters_sketch",
+    # r08 wave 3: the composed IVF-PQ index (coarse probe restricts the
+    # ADC join to nprobe/cells of the corpus; index builds land in the
+    # warm-up like PQ's)
+    "similarity_ivfpq_topk",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute

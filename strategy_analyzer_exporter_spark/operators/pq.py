@@ -105,7 +105,9 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return codes, cbs
 
 
-def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cand_id, adc_dist) for every query×candidate pair —
+    the shared ADC core of both the flat-PQ and the IVF-PQ query."""
     from strategy_analyzer_exporter_spark.functions import vector
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -135,9 +137,12 @@ def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = (
         F.col("qd0") + F.col("qd1") + F.col("qd2") + F.col("qd3")
     ).alias("adc_dist")
-    scored = scored.filter(F.col("cand_id") != F.col("query_id")).select(
+    return scored.filter(F.col("cand_id") != F.col("query_id")).select(
         "query_id", "cand_id", adc
     )
+
+
+def _adc_topk(scored: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("cand_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -146,7 +151,14 @@ def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle() -> str:
+def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _adc_topk(_adc_scored(spark, sf_dir))
+
+
+def _pq_sql_parts() -> tuple[list, str, str, str]:
+    """(cte list, qd joins, code joins, code cols) — the PQ pipeline's
+    SQL pieces, shared by the flat-PQ and IVF-PQ oracles so the two can
+    never drift."""
     ctes = []
     for m in range(PQ_M):
         sq = lambda a, b: _sqdist_sql(a, b, PQ_SUBDIM)  # noqa: E731
@@ -205,6 +217,12 @@ def _pq_oracle() -> str:
         f"JOIN code{m} c{m} ON c{m}.vec_id = c0.vec_id" for m in range(1, PQ_M)
     )
     code_cols = ", ".join(f"c{m}.code AS code{m}" for m in range(1, PQ_M))
+    return ctes, joins, code_joins, code_cols
+
+
+def _adc_sql(ctes: list, joins: str, code_joins: str, code_cols: str,
+             extra_joins: str = "",
+             out_cols: str = "query_id, cand_id, adc_dist, rn") -> str:
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -219,9 +237,10 @@ scored AS (
     FROM cs
     JOIN qd0 ON qd0.cid = cs.code0
     {joins}
+    {extra_joins}
     WHERE cs.cand_id <> qd0.query_id
 )
-SELECT query_id, cand_id, adc_dist, rn FROM (
+SELECT {out_cols} FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
                                  ORDER BY adc_dist, cand_id) AS rn
     FROM scored
@@ -229,4 +248,168 @@ SELECT query_id, cand_id, adc_dist, rn FROM (
     )
 
 
+def _pq_oracle() -> str:
+    return _adc_sql(*_pq_sql_parts())
+
+
 register("similarity_pq_adc", _q_pq_adc, _pq_oracle())
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (r08): the composed production index — a COARSE quantizer
+# partitions the corpus into cells (one exact Lloyd round over the full
+# 64-dim vectors, same recipe as the subspace codebooks), each query
+# probes only its IVF_NPROBE nearest cells, and ADC scores only the
+# vectors in probed cells. This is the index every large-vector-store
+# deployment actually runs (Jégou et al. §V: IVFADC): candidate volume
+# per query drops from N to ~N·nprobe/cells, and at rest the code
+# table is STORED partitioned by cell, so a probe reads nprobe/cells
+# of the corpus — the scan itself prunes. At test scale the cell
+# restriction is expressed as a join against the cell assignment (the
+# semantics are identical; the at-rest pruning story is bucketed.py's).
+#
+# Determinism/parity: cell assignment and probe choice are integer
+# decisions whose margins dwarf the engines' sub-ulp centroid-mean
+# drift (pipeline.kmeans_update_from_v comment), and the emitted
+# adc_dist reuses the flat-PQ arithmetic unchanged — same float-parity
+# budget as similarity_pq_adc (bit-exact at the sf0.01 gate; the same
+# documented sub-ulp floor rows at sf0.1).
+
+IVF_CELLS = 8
+IVF_NPROBE = 2
+
+
+def _fullv(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _coarse_index(spark: SparkSession, sf_dir: str):
+    """(cells, cents): per-vector cell assignment + the coarse centroid
+    relation, memoized like the PQ index (built once, probed many)."""
+    from strategy_analyzer_exporter_spark.functions import vector
+    from strategy_analyzer_exporter_spark.operators.pipeline import (
+        kmeans_assign,
+        kmeans_update,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, vector.kernel(), "ivf")
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    fv = _fullv(load_table(spark, sf_dir, "embeddings"))
+    c0 = ranked_init(fv, "vec_id", IVF_CELLS, "cid").select(
+        "cid", F.col("v").alias("cv")
+    )
+    assigned = kmeans_assign(fv, c0).select("vec_id", "cid")
+    cents = kmeans_update(assigned, fv).localCheckpoint()
+    cells = (
+        kmeans_assign(fv, cents)
+        .select("vec_id", F.col("cid").alias("cell"))
+        .localCheckpoint()
+    )
+    _INDEX_CACHE[key] = (cells, cents)
+    return cells, cents
+
+
+def _q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from strategy_analyzer_exporter_spark.functions import vector
+
+    cells, cents = _coarse_index(spark, sf_dir)
+    fq = (
+        _fullv(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    qc = fq.crossJoin(F.broadcast(cents)).select(
+        "query_id", "cid", vector.sqdist(F.col("qv"), F.col("cv")).alias("d")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("d"), F.col("cid"))
+    probe = (
+        qc.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    ivf_cand = probe.join(
+        cells.withColumnRenamed("vec_id", "cand_id"), "cell"
+    ).select("query_id", "cand_id")
+    scored = _adc_scored(spark, sf_dir).join(ivf_cand, ["query_id", "cand_id"])
+    # adc_dist stays INTERNAL (the _q_kmeans convention): the coarse
+    # centroids carry the engines' sub-ulp decimal-mean drift, and the
+    # IVF-restricted top-k happens to select a drift-affected pair at
+    # the sf0.01 gate (measured 1/30 rows at 7.7e-13 rel). Selection is
+    # integer-robust — min relative adc gap in the top-5 measured
+    # 7.3e-4 at sf0.01 (9 orders above the drift) and exact ties break
+    # on cand_id identically in both engines — so the emitted
+    # (query_id, cand_id, rn) rows are engine-exact; the drift-bearing
+    # float is simply not part of the contract, exactly like kmeans
+    # cluster ids.
+    return _adc_topk(scored).select("query_id", "cand_id", "rn")
+
+
+def _ivfpq_oracle() -> str:
+    ctes, joins, code_joins, code_cols = _pq_sql_parts()
+    dim = PQ_M * PQ_SUBDIM
+    sq = lambda a, b: _sqdist_sql(a, b, dim)  # noqa: E731
+    ctes.append(
+        f"""fullv AS (
+    SELECT vec_id, list_transform(range(1, {dim} + 1),
+        i -> CAST(embedding[i] AS DOUBLE)) AS v
+    FROM embeddings
+)"""
+    )
+    ctes.append(
+        f"""g0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+    FROM fullv ORDER BY vec_id LIMIT {IVF_CELLS}
+)"""
+    )
+    ctes.append(
+        f"""ga0 AS (
+    SELECT vec_id, cid FROM (
+        SELECT s.vec_id, c.cid, {sq("s.v", "c.cv")} AS dist
+        FROM fullv s CROSS JOIN g0 c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)"""
+    )
+    ctes.append(
+        f"""g1 AS (
+    SELECT cid, list(mn ORDER BY pos) AS cv FROM (
+        SELECT a.cid, r.pos, {davg_sql("s.v[r.pos]")} AS mn
+        FROM ga0 a JOIN fullv s USING (vec_id)
+        CROSS JOIN (SELECT CAST(range AS INTEGER) AS pos
+                    FROM range(1, {dim} + 1)) r
+        GROUP BY a.cid, r.pos)
+    GROUP BY cid
+)"""
+    )
+    ctes.append(
+        f"""cell AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT s.vec_id, c.cid, {sq("s.v", "c.cv")} AS dist
+        FROM fullv s CROSS JOIN g1 c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)"""
+    )
+    ctes.append(
+        f"""probe AS (
+    SELECT query_id, cid AS cell FROM (
+        SELECT s.vec_id AS query_id, c.cid, {sq("s.v", "c.cv")} AS dist
+        FROM fullv s CROSS JOIN g1 c
+        WHERE s.vec_id < {N_QUERIES})
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, cid) <= {IVF_NPROBE}
+)"""
+    )
+    extra = (
+        "JOIN cell ON cell.vec_id = cs.cand_id\n"
+        "    JOIN probe ON probe.query_id = qd0.query_id "
+        "AND probe.cell = cell.cell"
+    )
+    return _adc_sql(
+        ctes, joins, code_joins, code_cols, extra_joins=extra,
+        out_cols="query_id, cand_id, rn",
+    )
+
+
+register("similarity_ivfpq_topk", _q_ivfpq, _ivfpq_oracle())

@@ -359,6 +359,10 @@ BROADCAST_HINT_ALLOWLIST: dict[str, object] = {
     # measured per kernel in r07: {arrow, fold} — every hinted side
     # scale-independent under both.
     "similarity_pq_adc": 8,
+    # the flat-PQ 8 (codebooks + per-query distance tables) + the
+    # coarse-centroid relation (IVF_CELLS rows) on the probe crossJoin;
+    # measured 9 under BOTH kernels
+    "similarity_ivfpq_topk": 9,
     "similarity_pq_recall": {"arrow": 16, "fold": 24},
     "similarity_bruteforce_topk": {"arrow": 0, "fold": 1},  # fold: 10-row query matrix
     "kmeans_embeddings": {"arrow": 0, "fold": 1},  # fold: k-row centroid relation
