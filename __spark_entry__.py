@@ -79,39 +79,38 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CHANGED_AS_OF_ROUND or later (so a query that missed one round's
 #: 50-slot sample keeps its priority until actually re-verified, and
 #: no hand-maintained cleanup is needed).
-#: r08: decontaminate_bloom's bit positions widened int→long (ADVICE
-#: r07 — ANSI overflow at ≥224M heldout grams; same plan shape, new
-#: casts) and source_bucketed_join's staging gained the
-#: fingerprint/_STAGED_OK re-attach path (ADVICE r07 — the read-back
-#: may now come from a CREATE TABLE ... CLUSTERED BY re-registration
-#: instead of a fresh write). Both get fresh driver rows. The three
-#: net-new queries (multimodal_source_packed_shards,
-#: text_tfidf_topk_bucketed, decontaminate_paragraphs) enter via the
-#: never-recorded band (so do the later-wave additions
-#: dedup_incremental_minhash, agg_heavy_hitters_sketch, and
-#: similarity_ivfpq_topk — net-new 6 total). dedup_minhash_lsh and the two CC clusterings ride its
-#: refactor (band-row construction extracted into _band_rows for the
-#: incremental query; plans and outputs sweep-verified unchanged) — the
-#: decontaminate_ngram r07 convention: source changed, fresh row. The
-#: 13 priority slots (6 net-new + 7 changed) leave 37 for the
-#: stalest-first ordering, which still covers the entire 28-query
-#: r03/r04 record tail this round (VERDICT r07 #1; simulated against
-#: the real CORRECTNESS history).
+#: r09: four net-new registrations (dedup_incremental_at_rest,
+#: similarity_ivfpq_at_rest, multimodal_source_mixed_shards,
+#: agg_heavy_hitters_cms) enter via the never-recorded band. Changed
+#: band: multimodal_source_packed_shards (manifest now stores RELATIVE
+#: shard names + stage-version bump — ADVICE r08; layout restaged,
+#: reader changed); the dedup family rides the _shingle_gen /
+#: _sig_agg_exprs / _verify_jaccard(grams_b) refactors extracted for
+#: the at-rest index (outputs sweep-verified unchanged — the r08
+#: every-consumer convention): dedup_minhash_lsh, dedup_ngram_jaccard,
+#: dedup_incremental_minhash, dedup_cluster_cc, dedup_cluster_cc_star,
+#: corpus_clean_neardup; similarity_pq_adc + similarity_ivfpq_topk
+#: ride the pq.py index-cache abspath normalization (ADVICE r08);
+#: source_bucketed_join + text_tfidf_topk_bucketed ride the
+#: ensure_bucketed/corpus_fingerprint generalization (fingerprint
+#: string byte-identical — no restaging — but the staging code path
+#: changed). 4 + 11 priority slots leave 35 for the stalest-first
+#: tail, which covers the entire 28-query r05 record tail this round
+#: (VERDICT r08 #1; 4 + 11 + 28 = 43 ≤ 50).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "decontaminate_bloom",
-    "source_bucketed_join",
+    "multimodal_source_packed_shards",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_minhash",
     "dedup_cluster_cc",
     "dedup_cluster_cc_star",
-    # also rides _q_dedup_minhash/_minhash_cte (r08 review: every
-    # consumer of the refactored builder gets a fresh row, not just
-    # the obvious three)
     "corpus_clean_neardup",
-    # rides the _adc_scored/_pq_sql_parts refactor shared with the new
-    # similarity_ivfpq_topk (plan and output unchanged, sweep-verified)
     "similarity_pq_adc",
+    "similarity_ivfpq_topk",
+    "source_bucketed_join",
+    "text_tfidf_topk_bucketed",
 )
-CHANGED_AS_OF_ROUND = 8  # a row from round ≥ 8 post-dates the change
+CHANGED_AS_OF_ROUND = 9  # a row from round ≥ 9 post-dates the change
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

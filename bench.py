@@ -73,6 +73,12 @@ HEADLINE = (
     "multimodal_source_packed_shards",
     "text_tfidf_topk",
     "text_tfidf_topk_bucketed",
+    # round-9: the mixed-modality shard set (same container layout,
+    # format-dispatched decode) next to its WAV-only sibling, and the
+    # at-rest incremental dedup (corpus side served from the stored
+    # index — the ingest-loop headline shape)
+    "multimodal_source_mixed_shards",
+    "dedup_incremental_at_rest",
 )
 
 # queries whose work happens (partly) INSIDE the query fn — a stream
@@ -192,6 +198,19 @@ PROBE_QUERIES = (
     # ADC join to nprobe/cells of the corpus; index builds land in the
     # warm-up like PQ's)
     "similarity_ivfpq_topk",
+    # r09: the at-rest twins + the round's sketch — every net-new query
+    # probed at 1×/10× in its own round (the r07 convention).
+    # dedup_incremental_at_rest: index staging (10× shingle) lands in
+    # the warm-up; expect ≤ the in-memory incremental's 0.61 since the
+    # timed pass reads the index instead of re-shingling the corpus.
+    # similarity_ivfpq_at_rest: stored-index probe, expect the topk
+    # twin's ~0.27 class. mixed shards: the packed layout with format
+    # dispatch, expect ≈0.0 like the WAV shard set. CMS: map-only
+    # constant-size matrix + exact-tf audit, expect MG's ~0.2 class.
+    "dedup_incremental_at_rest",
+    "similarity_ivfpq_at_rest",
+    "multimodal_source_mixed_shards",
+    "agg_heavy_hitters_cms",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute

@@ -71,15 +71,25 @@ def _suffix(sf_dir: str) -> str:
     return staging_suffix(os.path.abspath(sf_dir))
 
 
-def _corpus_fingerprint(sf_dir: str) -> str:
-    """Cheap source-staleness fingerprint: the documents parquet's
+def corpus_fingerprint(
+    sf_dir: str,
+    source: str = "documents.parquet",
+    derivation: str | None = None,
+    version: str = _BUCKETED_STAGE_VERSION,
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """Cheap source-staleness fingerprint: the source parquet's
     path + size + mtime (recursed when it's a directory), plus the
-    layout version. No Spark job — staging validity must be checkable
-    before a session has read anything."""
+    layout version and the staged columns' DERIVATION string. No Spark
+    job — staging validity must be checkable before a session has read
+    anything. Shared by every at-rest layout (token tables, the dedup
+    index, the IVF-PQ code table)."""
     import hashlib
 
-    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    parts = [_BUCKETED_STAGE_VERSION, _DERIVATION_FP, f"buckets={N_BUCKETS}", src]
+    if derivation is None:
+        derivation = _DERIVATION_FP
+    src = os.path.join(os.path.abspath(sf_dir), source)
+    parts = [version, derivation, f"buckets={n_buckets}", src]
     paths = [src]
     if os.path.isdir(src):
         paths = sorted(
@@ -96,11 +106,17 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     return hashlib.md5("\n".join(parts).encode()).hexdigest()[:12]
 
 
-def _write_bucketed(df: DataFrame, table: str, path: str) -> None:
+def _write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: tuple[str, ...] = ("doc_id",),
+    n_buckets: int = N_BUCKETS,
+) -> None:
     (
-        df.repartition(N_BUCKETS, "doc_id")
-        .write.bucketBy(N_BUCKETS, "doc_id")
-        .sortBy("doc_id")
+        df.repartition(n_buckets, *bucket_cols)
+        .write.bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
         .option("path", path)
         .mode("overwrite")
         .format("parquet")
@@ -108,12 +124,14 @@ def _write_bucketed(df: DataFrame, table: str, path: str) -> None:
     )
 
 
-def _ensure_bucketed(
+def ensure_bucketed(
     spark: SparkSession,
     table: str,
     ddl_cols: str,
     fingerprint: str,
     build,
+    bucket_cols: tuple[str, ...] = ("doc_id",),
+    n_buckets: int = N_BUCKETS,
 ) -> None:
     """Three-way idempotence: (catalog has table, on-disk flag valid) →
     no-op; (no catalog entry, flag valid) → re-ATTACH via CREATE TABLE
@@ -121,9 +139,13 @@ def _ensure_bucketed(
     concurrent-process fix; anything else → (re)write files + catalog
     entry, then write the flag LAST so a reader never sees a valid flag
     over half-written buckets. The rebuild path itself is not
-    concurrency-safe (see module docstring)."""
+    concurrency-safe (see module docstring). Shared by every at-rest
+    bucketed layout in the engine (token tables here, the dedup
+    signature/band index in dedup.py) — the staging discipline lives in
+    exactly one place."""
     path = os.path.join(staging_root(), "bucketed", table)
     flag = os.path.join(path, "_STAGED_OK")
+    cols = ", ".join(bucket_cols)
     disk_ok = False
     try:
         with open(flag) as f:
@@ -137,15 +159,19 @@ def _ensure_bucketed(
     if disk_ok:
         spark.sql(
             f"CREATE TABLE {table} ({ddl_cols}) USING parquet "
-            f"CLUSTERED BY (doc_id) SORTED BY (doc_id) "
-            f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
+            f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
         )
         return
     if os.path.exists(flag):
         os.remove(flag)  # invalidate before touching the data files
-    _write_bucketed(build(), table, path)
+    _write_bucketed(build(), table, path, bucket_cols, n_buckets)
     with open(flag, "w") as f:
         f.write(fingerprint)
+
+
+# backward-compat alias for the original private name (tests import it)
+_ensure_bucketed = ensure_bucketed
 
 
 def bucketed_doc_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -153,7 +179,7 @@ def bucketed_doc_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     their names: docs (doc_id, doc_len) and token rows (doc_id, token),
     both bucketed+sorted by doc_id with one file per bucket."""
     suf = _suffix(sf_dir)
-    fp = _corpus_fingerprint(sf_dir)
+    fp = corpus_fingerprint(sf_dir)
     docs_tbl = f"bkt_docs_{suf}"
     toks_tbl = f"bkt_tokens_{suf}"
     _ensure_bucketed(

@@ -117,6 +117,43 @@ def clear_gram_cache(sf_dir: str | None = None) -> None:
     for cache in (_GRAM_CACHE, _SIG_CACHE):
         for key in [k for k in cache if norm is None or k[0] == norm]:
             cache.pop(key).unpersist()
+    # batch-gram cache keys are (applicationId, abspath) — path at [1]
+    for key in [k for k in _BATCH_GRAM_CACHE if norm is None or k[1] == norm]:
+        _BATCH_GRAM_CACHE.pop(key).unpersist()
+
+
+def _shingle_gen(k: int):
+    """mapInPandas generator for word-k-gram shingling — the one
+    shingle implementation, shared by the whole-corpus cache
+    (_gram_rows) and the batch-only ingest path (_batch_grams), so the
+    two can never drift."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            grams: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in (text or "").split(" ") if t]
+                seen = set()
+                for i in range(len(toks) - k + 1):
+                    g = " ".join(toks[i : i + k])
+                    if g not in seen:
+                        seen.add(g)
+                        ids.append(doc_id)
+                        grams.append(g)
+            yield pd.DataFrame({"doc_id": ids, "gram": grams})
+
+    return gen
+
+
+def _sig_agg_exprs() -> list:
+    """The MinHash signature aggregate list (12 seeded md5 mins + the
+    gram count) — one definition for the whole-corpus signature cache
+    and the batch-only ingest aggregation."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("gram")))).alias(f"mh{j}")
+        for j in range(NUM_HASHES)
+    ] + [F.count(F.lit(1)).alias("n")]
 
 
 def _gram_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
@@ -148,22 +185,7 @@ def _gram_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFram
     # (At real scale the scan already yields many partitions; results
     # are partitioning-independent.)
     d = d.repartition(spark.sparkContext.defaultParallelism)
-
-    def gen(batches):
-        for pdf in batches:
-            ids: list[int] = []
-            grams: list[str] = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [t for t in (text or "").split(" ") if t]
-                seen = set()
-                for i in range(len(toks) - k + 1):
-                    g = " ".join(toks[i : i + k])
-                    if g not in seen:
-                        seen.add(g)
-                        ids.append(doc_id)
-                        grams.append(g)
-            yield pd.DataFrame({"doc_id": ids, "gram": grams})
-
+    gen = _shingle_gen(k)
     # hash-partition the gram rows by doc_id AFTER shingling, so the
     # PERSISTED relation advertises hashpartitioning(doc_id) to
     # Catalyst (mapInPandas output partitioning is opaque — without
@@ -201,13 +223,7 @@ def _sig_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame
     if cached is not None:
         return cached
     grams = _gram_rows(spark, sf_dir, k)
-    sigs = grams.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("gram")))).alias(f"mh{j}")
-            for j in range(NUM_HASHES)
-        ],
-        F.count(F.lit(1)).alias("n"),
-    )
+    sigs = grams.groupBy("doc_id").agg(*_sig_agg_exprs())
     out = sigs.persist()
     if len(_SIG_CACHE) >= _GRAM_CACHE_MAX:
         _SIG_CACHE.popitem()[1].unpersist()
@@ -220,6 +236,8 @@ def _verify_jaccard(
     grams: DataFrame,
     threshold: float,
     sizes: DataFrame | None = None,
+    grams_b: DataFrame | None = None,
+    sizes_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via co-grouped gram counts:
     |A∩B| = count of shared grams, |A∪B| = |A|+|B|−|A∩B|. Joins stay on
@@ -243,8 +261,17 @@ def _verify_jaccard(
     t10 equal)."""
     if sizes is None:
         sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # ``grams_b``/``sizes_b`` split the pair sides over two different
+    # relations (doc_a rows from one, doc_b rows from the other) — the
+    # at-rest incremental index serves its corpus side from a bucketed
+    # table while the batch side is freshly shingled. Defaults keep the
+    # classic single-relation behavior bit-identical.
+    if grams_b is None:
+        grams_b = grams
+    if sizes_b is None:
+        sizes_b = sizes
     ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
-    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    gb = grams_b.select(F.col("doc_id").alias("doc_b"), "gram")
     # deliberately NO broadcast hints here: broadcast(cand) forces a
     # separate driver-collected recompute of the whole LSH upstream —
     # measured 82s vs 2.3s warm at sf0.1 (and cand scales with data)
@@ -259,7 +286,7 @@ def _verify_jaccard(
     ).cast("double")
     return (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .join(sizes_b.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -870,6 +897,207 @@ def _incremental_oracle() -> str:
 
 
 register("dedup_incremental_minhash", _q_dedup_incremental, _incremental_oracle())
+
+
+# ---------------------------------------------------------------------------
+# At-rest dedup index (VERDICT r08 #3): dedup_incremental_minhash
+# proves the batch-vs-corpus banding SHAPE, but its corpus-side
+# signatures are recomputed from `documents` per session. The
+# production ingest loop stores the dedup index AS A TABLE: the
+# corpus's gram rows and LSH band keys live at rest (written once at
+# ingest, appended as batches land), and each incoming batch pays only
+#   batch shingle+sign + band join against the STORED band table
+#   + exact verify against the STORED gram table.
+# Layouts (the bucketed.py staging discipline — fingerprint,
+# _STAGED_OK, catalog re-attach):
+#   dedup_band_idx: (doc_id, band, key) bucketed by KEY — the band
+#       equi-join's corpus side rides the bucketed scan's
+#       hashpartitioning(key) (partitioning exprs ⊆ join keys {band,
+#       key}), so only the SMALL batch band relation shuffles;
+#   dedup_gram_idx: (doc_id, gram) bucketed by DOC_ID — the verify's
+#       doc_a-side join and the per-doc size aggregation both ride
+#       hashpartitioning(doc_id) exchange-free.
+# At 100 TB the gram table is the big artifact (~grams ≈ tokens), but
+# it is exactly what exact-Jaccard verification needs and it is paid
+# ONCE at ingest — the alternative (re-shingling the corpus per batch)
+# pays it on every ingest. Output and oracle are IDENTICAL to
+# dedup_incremental_minhash — same pairs, same jaccard — so the two
+# registrations pin the layout refactor to the in-memory twin.
+
+_IDX_STAGE_VERSION = "v1"
+
+#: derivation fingerprint for the staged index: shingle rule + MinHash
+#: geometry + the corpus-side split. Any change here (or to the source
+#: parquet) invalidates the staging without a manual version bump.
+_IDX_DERIVATION = (
+    f"minhash_idx;k={SHINGLE_K};h={NUM_HASHES};"
+    f"bands={NUM_BANDS}x{ROWS_PER_BAND};corpus=doc_id%{BATCH_MOD}!=0;"
+    "shingle=word-kgram-distinct"
+)
+
+#: (applicationId, abspath(sf_dir)) → persisted batch gram relation;
+#: the batch side feeds three subtrees (band keys, verify's doc_b join,
+#: sizes) — same keyed-eviction convention as _GRAM_CACHE.
+_BATCH_GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _batch_grams(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
+    """Gram rows for the INCOMING batch only (doc_id % BATCH_MOD == 0):
+    the ingest path shingles just the new documents — the at-rest index
+    supplies everything corpus-side."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _BATCH_GRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % BATCH_MOD == 0
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    out = (
+        d.mapInPandas(_shingle_gen(k), "doc_id bigint, gram string")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .persist()
+    )
+    if len(_BATCH_GRAM_CACHE) >= _GRAM_CACHE_MAX:
+        _BATCH_GRAM_CACHE.popitem()[1].unpersist()
+    _BATCH_GRAM_CACHE[key] = out
+    return out
+
+
+def dedup_index_tables(
+    spark: SparkSession, sf_dir: str, name_extra: str = ""
+) -> tuple[str, str]:
+    """Ensure the at-rest dedup index for ``sf_dir``'s corpus side
+    exists; returns (gram table, band table) names. ``name_extra``
+    forks an independent copy (the append test mutates its own copy —
+    an appended table's contents deliberately outrun the staging
+    fingerprint, which records the INITIAL build only)."""
+    import os
+
+    from strategy_analyzer_exporter_spark.operators.bucketed import (
+        corpus_fingerprint,
+        ensure_bucketed,
+    )
+    from strategy_analyzer_exporter_spark.sources.staging import staging_suffix
+
+    suf = staging_suffix(os.path.abspath(sf_dir), name_extra)
+    fp = corpus_fingerprint(
+        sf_dir, derivation=_IDX_DERIVATION, version=_IDX_STAGE_VERSION
+    )
+    gram_tbl = f"dedup_gram_idx_{suf}"
+    band_tbl = f"dedup_band_idx_{suf}"
+    corpus_pred = F.col("doc_id") % BATCH_MOD != 0
+    ensure_bucketed(
+        spark,
+        gram_tbl,
+        "doc_id BIGINT, gram STRING",
+        fp,
+        lambda: _gram_rows(spark, sf_dir).filter(corpus_pred),
+    )
+    ensure_bucketed(
+        spark,
+        band_tbl,
+        "doc_id BIGINT, band INT, key STRING",
+        fp,
+        lambda: _band_rows(_sig_rows(spark, sf_dir)).filter(corpus_pred),
+        bucket_cols=("key",),
+    )
+    return gram_tbl, band_tbl
+
+
+def dedup_index_append(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, str],
+    pred,
+    k: int = SHINGLE_K,
+) -> None:
+    """The ingest APPEND step: shingle+sign the docs matching ``pred``
+    and append their gram and band rows to the at-rest index tables —
+    after this, the next batch's band join sees them as corpus. Spark
+    enforces the tables' bucket spec on append (rows shuffle into the
+    right buckets; a second file per bucket appears, which keeps the
+    scan's hashpartitioning and drops only the per-bucket sort
+    assumption). Tested by tests/test_dedup_index.py against a fresh
+    ``name_extra`` copy; the REGISTERED query's index must stay
+    corpus-only, so never append to the default tables."""
+    from strategy_analyzer_exporter_spark.operators.bucketed import N_BUCKETS
+
+    gram_tbl, band_tbl = tables
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .filter(pred)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_shingle_gen(k), "doc_id bigint, gram string")
+        .persist()
+    )
+    try:
+        sig = g.groupBy("doc_id").agg(*_sig_agg_exprs())
+        # the writer must RESTATE the tables' bucket spec — Spark
+        # rejects an unbucketed append into a bucketed table
+        (
+            g.repartition(N_BUCKETS, "doc_id")
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(N_BUCKETS, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(gram_tbl)
+        )
+        (
+            _band_rows(sig)
+            .repartition(N_BUCKETS, "key")
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(N_BUCKETS, "key")
+            .sortBy("key")
+            .saveAsTable(band_tbl)
+        )
+    finally:
+        g.unpersist()
+
+
+def _q_dedup_incremental_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gram_tbl, band_tbl = dedup_index_tables(spark, sf_dir)
+    corpus_grams = spark.table(gram_tbl)
+    corpus_bands = spark.table(band_tbl)
+    corpus_sizes = corpus_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )  # rides the bucketed scan's hashpartitioning(doc_id) — no exchange
+    bg = _batch_grams(spark, sf_dir)
+    bsig = bg.groupBy("doc_id").agg(*_sig_agg_exprs())
+    bbands = _band_rows(bsig)
+    cand = (
+        corpus_bands.alias("ca")
+        .join(
+            bbands.alias("cb"),
+            (F.col("ca.band") == F.col("cb.band"))
+            & (F.col("ca.key") == F.col("cb.key")),
+        )
+        .select(
+            F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pairs = _verify_jaccard(
+        cand,
+        corpus_grams,
+        JACCARD_THRESHOLD,
+        sizes=corpus_sizes,
+        grams_b=bg,
+        sizes_b=bsig.select("doc_id", "n"),
+    )
+    return pairs.select(
+        F.col("doc_a").alias("corpus_doc"),
+        F.col("doc_b").alias("batch_doc"),
+        "jaccard",
+    )
+
+
+register(
+    "dedup_incremental_at_rest", _q_dedup_incremental_at_rest, _incremental_oracle()
+)
 register("dedup_ngram_jaccard", _q_dedup_ngram, _NGRAM_ORACLE)
 register("dedup_simhash", _q_dedup_simhash, _simhash_oracle())
 register("dedup_cluster_cc", _q_dedup_cluster, _cluster_oracle())

@@ -1057,7 +1057,7 @@ register("multimodal_source_binaryfile", _q_wav_binaryfile, _wav_oracle())
 # the decoders' measured ~0.2-class exponent instead of binaryFile's
 # ~1.0 (both twins probed side by side in bench.py).
 
-_SHARD_STAGE_VERSION = "v1"
+_SHARD_STAGE_VERSION = "v2"  # v2: manifest stores RELATIVE shard names
 N_MEDIA_SHARDS = 16
 
 _SHARD_DIR_CACHE: dict[str, str] = {}
@@ -1100,7 +1100,8 @@ def wav_shard_dir(spark: SparkSession, sf_dir: str) -> str:
         for i, mid in enumerate(ids):
             per_shard[i % N_MEDIA_SHARDS].append(mid)
         for s, mids in enumerate(per_shard):
-            spath = os.path.join(shard_dir, f"shard_{s:04d}.bin")
+            sname = f"shard_{s:04d}.bin"
+            spath = os.path.join(shard_dir, sname)
             man: dict[str, list] = {
                 "media_id": [], "shard": [], "offset": [], "length": []
             }
@@ -1110,7 +1111,13 @@ def wav_shard_dir(spark: SparkSession, sf_dir: str) -> str:
                     payload = make_wav(mid)
                     f.write(payload)
                     man["media_id"].append(mid)
-                    man["shard"].append(spath)
+                    # RELATIVE shard name (ADVICE r08): the manifest
+                    # must survive the staging dir being relocated or
+                    # copied — readers join the name to the staging
+                    # root they resolved, so a moved SPARK_GRAFT_TMP_DIR
+                    # can never leave validated-but-dead absolute paths
+                    # inside the parquet
+                    man["shard"].append(sname)
                     man["offset"].append(off)
                     man["length"].append(len(payload))
                     off += len(payload)
@@ -1141,6 +1148,7 @@ def _q_wav_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     d = wav_shard_dir(spark, sf_dir)
+    shard_root = os.path.join(d, "shards")
     man = (
         spark.read.parquet(os.path.join(d, "manifest"))
         .repartition(N_MEDIA_SHARDS, "shard")
@@ -1158,7 +1166,12 @@ def _q_wav_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ):
                     f = handles.get(sp)
                     if f is None:
-                        f = handles[sp] = open(sp, "rb")
+                        # manifest stores relative shard names; resolve
+                        # against the staging root the DRIVER validated
+                        # (ADVICE r08 — see wav_shard_dir)
+                        f = handles[sp] = open(
+                            os.path.join(shard_root, sp), "rb"
+                        )
                     f.seek(off)
                     payloads.append(f.read(ln))
                 yield pd.DataFrame(
@@ -1175,3 +1188,262 @@ def _q_wav_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("multimodal_source_packed_shards", _q_wav_packed_shards, _wav_oracle())
+
+
+# ---------------------------------------------------------------------------
+# MIXED-modality packed shards (VERDICT r08 #5): the WAV-only shard set
+# proves the layout; real shard lakes interleave modalities in the same
+# containers (a WebDataset tar holds jpg+flac+json side by side). This
+# query generalizes the manifest with a FORMAT column — (media_id,
+# format, shard, offset, length) — packs all four fixture formats into
+# the same shards (doc_id % 4 → ppm | wav | y4m | bmp), and dispatches
+# each slice to the matching strict parser inside the decode UDF. The
+# output is the cross-modality reduction every mixed lake needs for
+# audit/afteringest checks: (format, n_units, byte_sum) per record,
+# where n_units is the format's natural unit count (pixels for rasters,
+# frames for audio/video) and byte_sum its total sample/byte sum —
+# exact integers, so zero float-parity surface. The oracle recomputes
+# every format's sum from its generator byte-formula (the four decode
+# oracles composed by UNION ALL): a parser or dispatch bug in ANY
+# format breaks its rows. Plan shape identical to the WAV shard twin:
+# ONE exchange moving manifest metadata (now ~41 B/record with the
+# format tag), media bytes never shuffle, per-task handles seek+read.
+
+_MIXED_FORMATS = ("ppm", "wav", "y4m", "bmp")  # doc_id % 4 order
+
+
+def _make_mixed(mid: int) -> bytes:
+    return {
+        "ppm": make_ppm, "wav": make_wav, "y4m": make_y4m, "bmp": make_bmp,
+    }[_MIXED_FORMATS[mid % 4]](mid)
+
+
+_MIXED_SHARD_DIR_CACHE: dict[str, str] = {}
+
+
+def mixed_shard_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the mixed-modality shard set: same container/manifest
+    discipline as ``wav_shard_dir`` (relative shard names, versioned
+    dir, corpus fingerprint, ``_STAGED_OK``), plus the format column."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from strategy_analyzer_exporter_spark.sources.staging import (
+        staging_root,
+        staging_suffix,
+    )
+
+    sf_dir = os.path.abspath(sf_dir)
+    cached = _MIXED_SHARD_DIR_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    ids = _doc_ids(spark, sf_dir)
+    fp = hashlib.md5(("mixed:" + ",".join(map(str, ids))).encode()).hexdigest()[:8]
+    suf = staging_suffix(sf_dir)
+    d = os.path.join(
+        staging_root(), f"mixed_shards_{_SHARD_STAGE_VERSION}_{suf}_{fp}"
+    )
+    flag = os.path.join(d, "_STAGED_OK")
+    if not os.path.exists(flag):
+        shard_dir = os.path.join(d, "shards")
+        man_dir = os.path.join(d, "manifest")
+        os.makedirs(shard_dir, exist_ok=True)
+        os.makedirs(man_dir, exist_ok=True)
+        per_shard: list[list[int]] = [[] for _ in range(N_MEDIA_SHARDS)]
+        for i, mid in enumerate(ids):
+            per_shard[i % N_MEDIA_SHARDS].append(mid)
+        for s, mids in enumerate(per_shard):
+            sname = f"shard_{s:04d}.bin"
+            man: dict[str, list] = {
+                "media_id": [], "format": [], "shard": [],
+                "offset": [], "length": [],
+            }
+            off = 0
+            with open(os.path.join(shard_dir, sname), "wb") as f:
+                for mid in mids:
+                    payload = _make_mixed(mid)
+                    f.write(payload)
+                    man["media_id"].append(mid)
+                    man["format"].append(_MIXED_FORMATS[mid % 4])
+                    man["shard"].append(sname)
+                    man["offset"].append(off)
+                    man["length"].append(len(payload))
+                    off += len(payload)
+            papq.write_table(
+                pa.table(
+                    {
+                        "media_id": pa.array(man["media_id"], pa.int64()),
+                        "format": pa.array(man["format"], pa.string()),
+                        "shard": pa.array(man["shard"], pa.string()),
+                        "offset": pa.array(man["offset"], pa.int64()),
+                        "length": pa.array(man["length"], pa.int64()),
+                    }
+                ),
+                os.path.join(man_dir, f"manifest_{s:04d}.parquet"),
+            )
+        open(flag, "w").close()
+    _MIXED_SHARD_DIR_CACHE[sf_dir] = d
+    return d
+
+
+_MIXED_SCHEMA = (
+    "media_id long, format string, decoded_ok boolean, "
+    "n_units long, byte_sum long"
+)
+
+
+def _mixed_reduce(fmt: str, payload: bytes) -> tuple[bool, int, int]:
+    """(decoded_ok, n_units, byte_sum) via the format's strict parser.
+    byte_sum definitions: rasters — all channel bytes (BGR→RGB reorder
+    is sum-invariant); wav — all interleaved samples (= sum_ch0 +
+    sum_ch1 of the per-format query); y4m — every plane byte of every
+    frame (the full stream, not the sampled frames)."""
+    if fmt == "ppm":
+        parsed = parse_ppm(payload)
+        if parsed is None:
+            return False, 0, 0
+        w, h, raster = parsed
+        return True, w * h, sum(raster)
+    if fmt == "bmp":
+        parsed = parse_bmp(payload)
+        if parsed is None:
+            return False, 0, 0
+        w, h, raster = parsed
+        return True, w * h, sum(raster)
+    if fmt == "wav":
+        parsed = parse_wav(payload)
+        if parsed is None:
+            return False, 0, 0
+        nch, _rate, samples = parsed
+        return True, len(samples) // nch, sum(samples)
+    if fmt == "y4m":
+        parsed = parse_y4m(payload)
+        if parsed is None:
+            return False, 0, 0
+        _w, _h, frames = parsed
+        return True, len(frames), sum(sum(fr) for fr in frames)
+    return False, 0, 0
+
+
+def _q_mixed_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = mixed_shard_dir(spark, sf_dir)
+    shard_root = os.path.join(d, "shards")
+    man = (
+        spark.read.parquet(os.path.join(d, "manifest"))
+        .repartition(N_MEDIA_SHARDS, "shard")
+        .sortWithinPartitions("shard", "offset")
+    )
+
+    def slice_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handles: dict[str, object] = {}
+        try:
+            for pdf in batches:
+                rows = []
+                for mid, fmt, sp, off, ln in zip(
+                    pdf["media_id"], pdf["format"], pdf["shard"],
+                    pdf["offset"].tolist(), pdf["length"].tolist(),
+                ):
+                    f = handles.get(sp)
+                    if f is None:
+                        f = handles[sp] = open(
+                            os.path.join(shard_root, sp), "rb"
+                        )
+                    f.seek(off)
+                    ok, n_units, byte_sum = _mixed_reduce(fmt, f.read(ln))
+                    rows.append((int(mid), fmt, ok, n_units, byte_sum))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "format", "decoded_ok",
+                        "n_units", "byte_sum",
+                    ],
+                )
+        finally:
+            for f in handles.values():
+                f.close()
+
+    return man.mapInPandas(slice_decode, _MIXED_SCHEMA)
+
+
+def _mixed_oracle() -> str:
+    # per-format byte formulas — the SAME generator arithmetic the four
+    # decode oracles certify, reduced to (n_units, byte_sum)
+    ppm_sum = (
+        "list_sum(list_transform(range(0, 3 * width * height), "
+        "j -> (media_id * 7 + j * 13) % 256))"
+    )
+    bmp_sum = (
+        "list_sum(list_transform(range(0, width * height), i -> "
+        "(media_id * 11 + i * 17) % 256"
+        " + (media_id * 11 + i * 17 + 29) % 256"
+        " + (media_id * 11 + i * 17 + 58) % 256))"
+    )
+
+    def wav_s(c: int) -> str:
+        return (
+            f"list_sum(list_transform(range(0, n_frames), "
+            f"i -> (media_id * 31 + i * 17 + {c} * 7) % 4096 - 2048))"
+        )
+
+    def y4m_plane(p: int, n: str) -> str:
+        return (
+            f"list_sum(list_transform(range(0, {n}), "
+            f"j -> (media_id * 13 + f * 31 + j * 7 + {p} * 85) % 256))"
+        )
+
+    y4m_frame = (
+        f"{y4m_plane(0, 'width*height')}"
+        f" + {y4m_plane(1, '(width//2)*(height//2)')}"
+        f" + {y4m_plane(2, '(width//2)*(height//2)')}"
+    )
+    return f"""WITH ppm AS (
+    SELECT media_id, 'ppm' AS format, TRUE AS decoded_ok,
+           CAST(width * height AS BIGINT) AS n_units,
+           CAST({ppm_sum} AS BIGINT) AS byte_sum
+    FROM (
+        SELECT doc_id AS media_id,
+               4 + doc_id % 5 AS width, 3 + doc_id % 4 AS height
+        FROM documents WHERE doc_id % 4 = 0)
+),
+wav AS (
+    SELECT media_id, 'wav' AS format, TRUE AS decoded_ok,
+           n_frames AS n_units,
+           CAST({wav_s(0)} + CASE WHEN n_channels = 2 THEN {wav_s(1)}
+                             ELSE 0 END AS BIGINT) AS byte_sum
+    FROM (
+        SELECT doc_id AS media_id, 1 + doc_id % 2 AS n_channels,
+               CAST(16 + doc_id % 17 AS BIGINT) AS n_frames
+        FROM documents WHERE doc_id % 4 = 1)
+),
+y4m AS (
+    SELECT media_id, 'y4m' AS format, TRUE AS decoded_ok,
+           n_frames AS n_units,
+           CAST(list_sum(list_transform(range(0, n_frames),
+                f -> {y4m_frame})) AS BIGINT) AS byte_sum
+    FROM (
+        SELECT doc_id AS media_id,
+               4 + 2 * (doc_id % 3) AS width, 2 + 2 * (doc_id % 4) AS height,
+               CAST(3 + doc_id % 6 AS BIGINT) AS n_frames
+        FROM documents WHERE doc_id % 4 = 2)
+),
+bmp AS (
+    SELECT media_id, 'bmp' AS format, TRUE AS decoded_ok,
+           CAST(width * height AS BIGINT) AS n_units,
+           CAST({bmp_sum} AS BIGINT) AS byte_sum
+    FROM (
+        SELECT doc_id AS media_id,
+               4 + doc_id % 5 AS width, 3 + doc_id % 4 AS height
+        FROM documents WHERE doc_id % 4 = 3)
+)
+SELECT * FROM ppm UNION ALL SELECT * FROM wav
+UNION ALL SELECT * FROM y4m UNION ALL SELECT * FROM bmp"""
+
+
+register(
+    "multimodal_source_mixed_shards", _q_mixed_packed_shards, _mixed_oracle()
+)

@@ -492,6 +492,157 @@ WHERE tf_total * {MG_K + 1} > n"""
 register("agg_heavy_hitters_sketch", _q_heavy_hitters, _HEAVY_HITTERS_ORACLE)
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (VERDICT r08 #6): the FOURTH sketch
+# family (HLL distinct, KLL-style quantiles, Misra–Gries frequent
+# items, now count-min), cross-checked against Misra–Gries on the SAME
+# corpus and SAME exact-count threshold — two independent sketch
+# families agreeing on the exact-defined heavy-hitter set
+# (tests/test_sketches.py pins the token sets equal).
+#
+# CMS is a LINEAR sketch: the d×w counter matrix of a partitioned
+# stream is the elementwise SUM of per-partition matrices, so — unlike
+# Misra–Gries, whose estimates are merge-order-dependent — the merged
+# estimate is a pure function of the exact token frequencies:
+#   est_d(t) = Σ tf(t') over t' with h_d(t') = h_d(t);  est = min_d.
+# That makes the estimate itself PARTITION-INVARIANT and fully
+# oracle-expressible: DuckDB recomputes the same bucket sums from the
+# exact tf relation with the same md5-derived hash rows, and the query
+# emits cms_est as a value-checked INTEGER column (strictly stronger
+# than the sketch-contract booleans the order-dependent sketches are
+# held to). CMS never underestimates, so cms_est ≥ tf_total on every
+# row by construction — the overestimate column shows the collision
+# mass directly.
+#
+# Scale shape: one map-only Arrow pass over documents (tokenising
+# in-UDF), a ≤ d·w·P-row matrix merge (d·w = 256 counters — constant,
+# corpus-size-independent), and the exact tf aggregation the audit
+# contract needs anyway. The heavy-token probe side joins the merged
+# 256-row matrix as a broadcast.
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # buckets per row (31-token test vocab → real collisions)
+
+
+def _cms_hash_sql(d_sql: str, token_sql: str) -> str:
+    """Bucket index for hash row ``d_sql`` — identical text valid in
+    Spark SQL and DuckDB (the feature-hash convention), and mirrored
+    byte-for-byte by the Python sketch pass below: md5 of 'd:token',
+    first 8 hex chars as BIGINT, mod CMS_W (non-negative input, so %
+    agrees across engines)."""
+    from strategy_analyzer_exporter_spark.functions import hex8_to_long_sql
+
+    # STRING is the one text-type spelling BOTH engines parse (Spark
+    # rejects bare VARCHAR; DuckDB accepts STRING as a VARCHAR alias)
+    h = f"substring(md5(CAST({d_sql} AS STRING) || ':' || {token_sql}), 1, 8)"
+    return f"({hex8_to_long_sql(h)} % {CMS_W})"
+
+
+def _q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("text").repartition(spark.sparkContext.defaultParallelism)
+
+    def cms(batches):
+        mat = [[0] * CMS_W for _ in range(CMS_D)]
+        for pdf in batches:
+            for text in pdf["text"]:
+                for t in (text or "").split(" "):
+                    if t:
+                        for di in range(CMS_D):
+                            w = (
+                                int(
+                                    hashlib.md5(
+                                        f"{di}:{t}".encode()
+                                    ).hexdigest()[:8],
+                                    16,
+                                )
+                                % CMS_W
+                            )
+                            mat[di][w] += 1
+        rows = [
+            (di, w, c)
+            for di in range(CMS_D)
+            for w, c in enumerate(mat[di])
+            if c
+        ]
+        yield pd.DataFrame(rows, columns=["d", "w", "cnt"])
+
+    merged = (
+        docs.mapInPandas(cms, "d int, w int, cnt long")
+        .groupBy("d", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf_total"))
+    n_tot = tf.agg(F.sum("tf_total").alias("n"))
+    heavy = (
+        tf.crossJoin(F.broadcast(n_tot))
+        .filter(F.col("tf_total") * (MG_K + 1) > F.col("n"))
+        .select("token", "tf_total")
+    )
+    probes = heavy.select(
+        "token",
+        "tf_total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(di).alias("d"),
+                        F.expr(_cms_hash_sql(f"'{di}'", "token"))
+                        .cast("int")
+                        .alias("w"),
+                    )
+                    for di in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("token", "tf_total", F.col("p.d").alias("d"), F.col("p.w").alias("w"))
+    return (
+        probes.join(F.broadcast(merged), ["d", "w"])
+        .groupBy("token", "tf_total")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "token",
+            "tf_total",
+            "cms_est",
+            (F.col("cms_est") - F.col("tf_total")).alias("overestimate"),
+        )
+    )
+
+
+def _cms_oracle() -> str:
+    return f"""WITH tok AS (
+    SELECT unnest({TOKENS_SQL}) AS token FROM documents
+),
+tf AS (SELECT token, count(*) AS tf_total FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n FROM tok),
+ds AS (SELECT CAST(unnest(range(0, {CMS_D})) AS INTEGER) AS d),
+bx AS (
+    SELECT ds.d AS d, {_cms_hash_sql("ds.d", "tf.token")} AS w,
+           sum(tf_total) AS cnt
+    FROM tf CROSS JOIN ds
+    GROUP BY 1, 2
+),
+heavy AS (
+    SELECT token, tf_total FROM tf, n WHERE tf_total * {MG_K + 1} > n
+),
+est AS (
+    SELECT h.token, min(b.cnt) AS cms_est
+    FROM heavy h CROSS JOIN ds
+    JOIN bx b ON b.d = ds.d
+             AND b.w = {_cms_hash_sql("ds.d", "h.token")}
+    GROUP BY h.token
+)
+SELECT h.token, h.tf_total, CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(e.cms_est - h.tf_total AS BIGINT) AS overestimate
+FROM heavy h JOIN est e ON e.token = h.token"""
+
+
+register("agg_heavy_hitters_cms", _q_heavy_hitters_cms, _cms_oracle())
+
+
 
 # ---------------------------------------------------------------------------
 # TF-IDF top-k terms per document. Linear idf (N/df, one IEEE division)

@@ -117,7 +117,26 @@ def write_bucketed_table(
     cost of fact-fact joins (full repartition of both sides) into a
     bucket-local sort-merge; with sort_cols matching the join key the
     sort disappears too. tests/test_plans.py asserts the zero-exchange
-    plan."""
+    plan.
+
+    Orphan-location tolerance (VERDICT r08 #4): a killed run can leave
+    the managed table's warehouse directory behind an EMPTY in-memory
+    catalog; the next session's ``saveAsTable`` then dies with
+    LOCATION_ALREADY_EXISTS. When the catalog has no entry for
+    ``table`` but its default managed location exists on disk, the
+    orphan is removed before writing — the catalog is the source of
+    truth for managed tables, so a location without an entry is by
+    definition dead state from a crashed writer."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        wh_path = urlparse(wh).path or wh
+        orphan = os.path.join(wh_path, table.lower())
+        if wh_path and os.path.isdir(orphan):
+            shutil.rmtree(orphan, ignore_errors=True)
     w = (
         df.write.mode("overwrite")
         .format("parquet")

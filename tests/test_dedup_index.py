@@ -1,0 +1,125 @@
+"""At-rest dedup index (VERDICT r08 #3): the corpus's gram + band
+relations persisted as bucketed tables, the incremental query serving
+its corpus side from them, and the ingest APPEND step."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from strategy_analyzer_exporter_spark import plans as P
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_at_rest_incremental_equals_in_memory_twin(spark):
+    """The at-rest layout is a storage refactor, not a semantics
+    change: its pairs (and exact jaccard values) must equal the
+    in-memory incremental query's bit-for-bit."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    at_rest = _sorted_rows(QUERIES["dedup_incremental_at_rest"](spark, SF))
+    in_mem = _sorted_rows(QUERIES["dedup_incremental_minhash"](spark, SF))
+    assert at_rest == in_mem
+    assert len(at_rest) > 0  # non-vacuous: the fixture has near-dups
+
+
+def test_at_rest_plan_serves_corpus_from_bucketed_tables(spark):
+    """Three bucketed scans (band table once; gram table twice — the
+    verify's doc_a join and the size aggregation) and no MORE exchanges
+    than the in-memory twin: the corpus side is read, never
+    re-shingled (no corpus-side mapInPandas in the plan)."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["dedup_incremental_at_rest"](spark, SF)
+    plan = P.physical_plan(q)
+    assert plan.count("Bucketed: true") == 3, plan
+    base = P.count_exchanges(QUERIES["dedup_incremental_minhash"](spark, SF))
+    assert P.count_exchanges(q) <= base, plan
+    # the corpus is NEVER re-shingled: every documents scan in this
+    # plan carries the batch split predicate (the only shingle pass is
+    # the batch side's — its cached lineage reprints under each
+    # InMemoryTableScan, so count the scans' filters, not the UDF
+    # node strings)
+    doc_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents.parquet" in ln
+    ]
+    assert doc_scans, plan
+    assert all("% 10) = 0" in ln for ln in doc_scans), doc_scans
+
+
+def test_dedup_index_append_extends_the_index(spark):
+    """The ingest append: after appending the batch split to a fresh
+    copy of the index, the tables hold every doc's rows (corpus ∪
+    batch == the full band/gram relations)."""
+    from strategy_analyzer_exporter_spark.operators.dedup import (
+        BATCH_MOD,
+        _band_rows,
+        _gram_rows,
+        _sig_rows,
+        dedup_index_append,
+        dedup_index_tables,
+    )
+
+    tables = dedup_index_tables(spark, SF, name_extra="apptest")
+    gram_tbl, band_tbl = tables
+    try:
+        full_grams = _gram_rows(spark, SF).count()
+        full_bands = _band_rows(_sig_rows(spark, SF)).count()
+        assert spark.table(gram_tbl).count() < full_grams  # corpus only
+        dedup_index_append(
+            spark, SF, tables, F.col("doc_id") % BATCH_MOD == 0
+        )
+        assert spark.table(gram_tbl).count() == full_grams
+        assert spark.table(band_tbl).count() == full_bands
+        # appended rows land in the CORRECT buckets: a doc_id-keyed
+        # aggregation over the appended gram table still needs no
+        # exchange (bucket spec enforced on append)
+        agg = spark.table(gram_tbl).groupBy("doc_id").count()
+        assert P.count_exchanges(agg) == 0, P.physical_plan(agg)
+    finally:
+        from strategy_analyzer_exporter_spark.sources.staging import (
+            staging_root,
+        )
+
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(staging_root(), "bucketed", t),
+                ignore_errors=True,
+            )
+
+
+def test_write_bucketed_table_tolerates_orphan_location(spark):
+    """VERDICT r08 #4: a killed run's leftover warehouse directory
+    (location on disk, no catalog entry) must not poison the next
+    write_bucketed_table call with LOCATION_ALREADY_EXISTS."""
+    from urllib.parse import urlparse
+
+    from strategy_analyzer_exporter_spark.sinks import write_bucketed_table
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    table = "b_orphan_check"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = os.path.join(wh, table)
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "stale-part.parquet"), "w") as f:
+        f.write("not parquet")
+    try:
+        df = load_table(spark, SF, "region").select("r_regionkey", "r_name")
+        write_bucketed_table(df, table, ("r_regionkey",), 2, ("r_regionkey",))
+        assert spark.table(table).count() == df.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        import shutil
+
+        shutil.rmtree(orphan, ignore_errors=True)

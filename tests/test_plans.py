@@ -257,6 +257,59 @@ def test_packed_shard_source_moves_metadata_not_media(spark):
     assert "payload" not in plan.split("Exchange")[-1], plan
 
 
+def test_mixed_shard_source_moves_metadata_not_media(spark):
+    """The mixed-modality shard set (VERDICT r08 #5) keeps the WAV
+    twin's plan shape: ONE exchange, manifest metadata only (the
+    format tag rides along; media bytes never shuffle)."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["multimodal_source_mixed_shards"](spark, SF)
+    plan = P.physical_plan(q)
+    assert P.count_exchanges(q) == 1, plan
+    ex = plan[plan.index("Exchange"):]
+    ex_line = ex[: ex.index("\n")]
+    assert "binary" not in ex_line.lower(), ex_line
+
+
+def test_ivfpq_at_rest_scan_prunes_partitions(spark):
+    """The at-rest IVF-PQ index (VERDICT r08 #2): the stored code
+    table is partitioned by cell and the probe restricts it with a
+    LITERAL cell set — the pruning must appear as a PartitionFilter on
+    the codes scan (the scan itself prunes; a post-scan Filter would
+    read every cell's files). Output must equal the join-restricted
+    in-session twin row-for-row."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    q = QUERIES["similarity_ivfpq_at_rest"](spark, SF)
+    plan = P.physical_plan(q)
+    code_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "pq_index" in ln and "code0" in ln
+    ]
+    assert code_scans, plan
+    assert all("PartitionFilters: [cell" in ln for ln in code_scans), code_scans
+    at_rest = sorted(tuple(r) for r in q.collect())
+    twin = sorted(
+        tuple(r)
+        for r in QUERIES["similarity_ivfpq_topk"](spark, SF).collect()
+    )
+    assert at_rest == twin
+
+
+def test_cms_and_misra_gries_agree_on_heavy_hitters(spark):
+    """Two sketch families, one exact-defined output: the count-min
+    query's token set must equal the Misra–Gries query's (same corpus,
+    same tf·(K+1) > n threshold), and CMS must never underestimate."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    cms = QUERIES["agg_heavy_hitters_cms"](spark, SF).collect()
+    mg = QUERIES["agg_heavy_hitters_sketch"](spark, SF).collect()
+    assert {r["token"] for r in cms} == {r["token"] for r in mg}
+    assert all(r["cms_est"] >= r["tf_total"] for r in cms)
+    assert all(r["overestimate"] == r["cms_est"] - r["tf_total"] for r in cms)
+
+
 def test_tfidf_bucketed_twin_cuts_the_token_shuffle(spark):
     """The at-rest TF-IDF twin (VERDICT r07 #3) must shuffle strictly
     less than the re-explode form: the full-token-stream
@@ -363,6 +416,11 @@ BROADCAST_HINT_ALLOWLIST: dict[str, object] = {
     # coarse-centroid relation (IVF_CELLS rows) on the probe crossJoin;
     # measured 9 under BOTH kernels
     "similarity_ivfpq_topk": 9,
+    # the at-rest twin: coarse-centroid probe crossJoin + 4 stored
+    # codebooks + 4 per-query distance tables — all k-row relations
+    "similarity_ivfpq_at_rest": 9,
+    # 1-row token total + the 256-row merged CMS matrix (d·w constant)
+    "agg_heavy_hitters_cms": 2,
     "similarity_pq_recall": {"arrow": 16, "fold": 24},
     "similarity_bruteforce_topk": {"arrow": 0, "fold": 1},  # fold: 10-row query matrix
     "kmeans_embeddings": {"arrow": 0, "fold": 1},  # fold: k-row centroid relation
