@@ -545,22 +545,27 @@ def _q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select("text").repartition(spark.sparkContext.defaultParallelism)
 
     def cms(batches):
-        mat = [[0] * CMS_W for _ in range(CMS_D)]
+        # count per DISTINCT token first, then hash each distinct token
+        # once per hash row: d·|vocab| md5 calls per partition instead
+        # of d·(stream length) — adding counts is equivalent to
+        # incrementing per occurrence because CMS is linear (bucket
+        # cells are sums; grouping identical tokens first changes
+        # nothing). The per-occurrence form measured exponent 0.32 at
+        # the 10× probe purely from repeated hashing of a fixed vocab.
+        counts: dict[str, int] = {}
         for pdf in batches:
             for text in pdf["text"]:
                 for t in (text or "").split(" "):
                     if t:
-                        for di in range(CMS_D):
-                            w = (
-                                int(
-                                    hashlib.md5(
-                                        f"{di}:{t}".encode()
-                                    ).hexdigest()[:8],
-                                    16,
-                                )
-                                % CMS_W
-                            )
-                            mat[di][w] += 1
+                        counts[t] = counts.get(t, 0) + 1
+        mat = [[0] * CMS_W for _ in range(CMS_D)]
+        for t, c in counts.items():
+            for di in range(CMS_D):
+                w = (
+                    int(hashlib.md5(f"{di}:{t}".encode()).hexdigest()[:8], 16)
+                    % CMS_W
+                )
+                mat[di][w] += c
         rows = [
             (di, w, c)
             for di in range(CMS_D)

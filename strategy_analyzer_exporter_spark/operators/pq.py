@@ -531,15 +531,20 @@ def _q_ivfpq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "cid", vector.sqdist(F.col("qv"), F.col("cv")).alias("d")
     )
     wp = Window.partitionBy("query_id").orderBy(F.col("d"), F.col("cid"))
-    probe = (
+    probe_df = (
         qc.withColumn("prn", F.row_number().over(wp))
         .filter(F.col("prn") <= IVF_NPROBE)
         .select("query_id", F.col("cid").alias("cell"))
     )
-    # nprobe × N_QUERIES ≤ 20 rows — bounded by design (see header)
-    probed_cells = sorted(
-        {int(r["cell"]) for r in probe.select("cell").distinct().collect()}
-    )
+    # nprobe × N_QUERIES ≤ 20 rows — bounded by design (see header).
+    # Collected ONCE and re-materialized as a local relation: the probe
+    # set is needed both as literal partition-filter values and as the
+    # per-query cell restriction, and reusing the collected rows keeps
+    # the coarse-probe computation (query × centroid cross + window)
+    # from executing twice per run.
+    probe_rows = probe_df.collect()
+    probed_cells = sorted({int(r["cell"]) for r in probe_rows})
+    probe = spark.createDataFrame(probe_rows, schema=probe_df.schema)
     codes = spark.read.parquet(os.path.join(d, "codes")).filter(
         F.col("cell").isin(probed_cells)  # literal IN → partition pruning
     )

@@ -416,9 +416,11 @@ BROADCAST_HINT_ALLOWLIST: dict[str, object] = {
     # coarse-centroid relation (IVF_CELLS rows) on the probe crossJoin;
     # measured 9 under BOTH kernels
     "similarity_ivfpq_topk": 9,
-    # the at-rest twin: coarse-centroid probe crossJoin + 4 stored
-    # codebooks + 4 per-query distance tables — all k-row relations
-    "similarity_ivfpq_at_rest": 9,
+    # the at-rest twin: 4 stored codebooks + 4 per-query distance
+    # tables (the coarse-probe crossJoin's cents hint is not in the
+    # returned plan — the probe is collected once, ≤ 20 rows, and
+    # re-materialized as a local relation)
+    "similarity_ivfpq_at_rest": 8,
     # 1-row token total + the 256-row merged CMS matrix (d·w constant)
     "agg_heavy_hitters_cms": 2,
     "similarity_pq_recall": {"arrow": 16, "fold": 24},
