@@ -926,14 +926,25 @@ register("dedup_incremental_minhash", _q_dedup_incremental, _incremental_oracle(
 
 _IDX_STAGE_VERSION = "v1"
 
-#: derivation fingerprint for the staged index: shingle rule + MinHash
-#: geometry + the corpus-side split. Any change here (or to the source
-#: parquet) invalidates the staging without a manual version bump.
-_IDX_DERIVATION = (
-    f"minhash_idx;k={SHINGLE_K};h={NUM_HASHES};"
-    f"bands={NUM_BANDS}x{ROWS_PER_BAND};corpus=doc_id%{BATCH_MOD}!=0;"
-    "shingle=word-kgram-distinct"
-)
+def _idx_derivation() -> str:
+    """Derivation fingerprint for the staged index: MinHash geometry +
+    the corpus-side split + a hash of the ACTUAL shingle/signature
+    source code (r09 review: a hand-maintained tag like
+    'shingle=word-kgram-distinct' goes stale silently when _shingle_gen
+    changes — embedding the code the way the token tables embed
+    TOKENS_SQL makes any shingle-rule edit invalidate the staging
+    automatically; over-invalidation on comment edits is the safe
+    direction). Any change here (or to the source parquet) forces a
+    rebuild without a manual version bump."""
+    import hashlib
+    import inspect
+
+    code = inspect.getsource(_shingle_gen) + inspect.getsource(_sig_agg_exprs)
+    return (
+        f"minhash_idx;k={SHINGLE_K};h={NUM_HASHES};"
+        f"bands={NUM_BANDS}x{ROWS_PER_BAND};corpus=doc_id%{BATCH_MOD}!=0;"
+        f"code={hashlib.md5(code.encode()).hexdigest()[:12]}"
+    )
 
 #: (applicationId, abspath(sf_dir)) → persisted batch gram relation;
 #: the batch side feeds three subtrees (band keys, verify's doc_b join,
@@ -947,7 +958,9 @@ def _batch_grams(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFr
     supplies everything corpus-side."""
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    # k is part of the key like _GRAM_CACHE's (r09 review: a k=5 call
+    # after a k=SHINGLE_K call must not return the wrong shingles)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), k)
     cached = _BATCH_GRAM_CACHE.get(key)
     if cached is not None:
         return cached
@@ -968,12 +981,15 @@ def _batch_grams(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFr
 
 def dedup_index_tables(
     spark: SparkSession, sf_dir: str, name_extra: str = ""
-) -> tuple[str, str]:
+) -> tuple[str, str, str]:
     """Ensure the at-rest dedup index for ``sf_dir``'s corpus side
-    exists; returns (gram table, band table) names. ``name_extra``
-    forks an independent copy (the append test mutates its own copy —
-    an appended table's contents deliberately outrun the staging
-    fingerprint, which records the INITIAL build only)."""
+    exists; returns (gram table, band table, sizes table) names. The
+    sizes table (doc_id, n — one row per corpus doc) is stored at
+    ingest so batch queries don't pay a second full scan of the gram
+    table just to recount sizes the index build already aggregated
+    (r09 review — the gram table is the index's biggest artifact).
+    ``name_extra`` forks an independent copy (the append test mutates
+    its own copy)."""
     import os
 
     from strategy_analyzer_exporter_spark.operators.bucketed import (
@@ -984,10 +1000,11 @@ def dedup_index_tables(
 
     suf = staging_suffix(os.path.abspath(sf_dir), name_extra)
     fp = corpus_fingerprint(
-        sf_dir, derivation=_IDX_DERIVATION, version=_IDX_STAGE_VERSION
+        sf_dir, derivation=_idx_derivation(), version=_IDX_STAGE_VERSION
     )
     gram_tbl = f"dedup_gram_idx_{suf}"
     band_tbl = f"dedup_band_idx_{suf}"
+    size_tbl = f"dedup_size_idx_{suf}"
     corpus_pred = F.col("doc_id") % BATCH_MOD != 0
     ensure_bucketed(
         spark,
@@ -1004,28 +1021,54 @@ def dedup_index_tables(
         lambda: _band_rows(_sig_rows(spark, sf_dir)).filter(corpus_pred),
         bucket_cols=("key",),
     )
-    return gram_tbl, band_tbl
+    ensure_bucketed(
+        spark,
+        size_tbl,
+        "doc_id BIGINT, n BIGINT",
+        fp,
+        lambda: _sig_rows(spark, sf_dir).filter(corpus_pred).select("doc_id", "n"),
+    )
+    return gram_tbl, band_tbl, size_tbl
 
 
 def dedup_index_append(
     spark: SparkSession,
     sf_dir: str,
-    tables: tuple[str, str],
+    tables: tuple[str, str, str],
     pred,
     k: int = SHINGLE_K,
 ) -> None:
     """The ingest APPEND step: shingle+sign the docs matching ``pred``
-    and append their gram and band rows to the at-rest index tables —
-    after this, the next batch's band join sees them as corpus. Spark
-    enforces the tables' bucket spec on append (rows shuffle into the
-    right buckets; a second file per bucket appears, which keeps the
-    scan's hashpartitioning and drops only the per-bucket sort
-    assumption). Tested by tests/test_dedup_index.py against a fresh
-    ``name_extra`` copy; the REGISTERED query's index must stay
-    corpus-only, so never append to the default tables."""
-    from strategy_analyzer_exporter_spark.operators.bucketed import N_BUCKETS
+    and append their gram, band, and size rows to the at-rest index
+    tables — after this, the next batch's band join sees them as
+    corpus. Spark enforces the tables' bucket spec on append (rows
+    shuffle into the right buckets; a second file per bucket appears,
+    which keeps the scan's hashpartitioning and drops only the
+    per-bucket sort assumption).
 
-    gram_tbl, band_tbl = tables
+    The tables' ``_STAGED_OK`` flags are removed FIRST: the fingerprint
+    describes the INITIAL corpus-only build, and an appended layout no
+    longer matches it — leaving the flag valid would let a later
+    session re-attach corpus+batch rows as if they were the corpus
+    (r09 review: a crashed appender would otherwise poison every
+    subsequent run until someone hand-deleted the staging dir). A
+    fresh session therefore REBUILDS after any append — correct for
+    test/demo staging; a production deployment's index lives in a real
+    metastore where append is the steady state and nothing revalidates
+    against an initial-build fingerprint. Tested by
+    tests/test_dedup_index.py against a fresh ``name_extra`` copy; the
+    REGISTERED query's index must stay corpus-only, so never append to
+    the default tables."""
+    import os
+
+    from strategy_analyzer_exporter_spark.operators.bucketed import N_BUCKETS
+    from strategy_analyzer_exporter_spark.sources.staging import staging_root
+
+    for t in tables:
+        flag = os.path.join(staging_root(), "bucketed", t, "_STAGED_OK")
+        if os.path.exists(flag):
+            os.remove(flag)
+    gram_tbl, band_tbl, size_tbl = tables
     g = (
         load_table(spark, sf_dir, "documents")
         .filter(pred)
@@ -1054,17 +1097,27 @@ def dedup_index_append(
             .sortBy("key")
             .saveAsTable(band_tbl)
         )
+        (
+            sig.select("doc_id", "n")
+            .repartition(N_BUCKETS, "doc_id")
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(N_BUCKETS, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(size_tbl)
+        )
     finally:
         g.unpersist()
 
 
 def _q_dedup_incremental_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gram_tbl, band_tbl = dedup_index_tables(spark, sf_dir)
+    gram_tbl, band_tbl, size_tbl = dedup_index_tables(spark, sf_dir)
     corpus_grams = spark.table(gram_tbl)
     corpus_bands = spark.table(band_tbl)
-    corpus_sizes = corpus_grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n")
-    )  # rides the bucketed scan's hashpartitioning(doc_id) — no exchange
+    # sizes come from the at-rest (doc_id, n) table, not a recount of
+    # the gram table — the big artifact is scanned exactly once (the
+    # verify's doc_a join); its bucketed layout co-partitions that join
+    corpus_sizes = spark.table(size_tbl)
     bg = _batch_grams(spark, sf_dir)
     bsig = bg.groupBy("doc_id").agg(*_sig_agg_exprs())
     bbands = _band_rows(bsig)

@@ -454,10 +454,34 @@ register("similarity_ivfpq_topk", _q_ivfpq, _ivfpq_oracle())
 
 _PQ_STAGE_VERSION = "v1"
 
-_PQ_IDX_DERIVATION = (
-    f"ivfpq;M={PQ_M}x{PQ_SUBDIM};K={PQ_K};cells={IVF_CELLS};"
-    f"nprobe={IVF_NPROBE};init=ranked_vec_id;lloyd=1"
-)
+
+def _pq_idx_derivation() -> str:
+    """Derivation fingerprint for the staged index: the PQ/IVF
+    geometry constants + a hash of the ACTUAL index-build source
+    (_codebook, _pq_index, _coarse_index, and the kmeans primitives
+    they compose) — r09 review: a hand-maintained tag like
+    'init=ranked_vec_id;lloyd=1' goes stale silently when the Lloyd
+    recipe changes, replaying a stale staged index only on machines
+    with pre-existing staging. Over-invalidation on comment edits is
+    the safe direction."""
+    import hashlib
+    import inspect
+
+    from strategy_analyzer_exporter_spark.functions.topk import ranked_init
+    from strategy_analyzer_exporter_spark.operators.pipeline import (
+        kmeans_assign,
+        kmeans_update,
+    )
+
+    code = "".join(
+        inspect.getsource(f)
+        for f in (_codebook, _pq_index, _coarse_index, kmeans_assign,
+                  kmeans_update, ranked_init)
+    )
+    return (
+        f"ivfpq;M={PQ_M}x{PQ_SUBDIM};K={PQ_K};cells={IVF_CELLS};"
+        f"nprobe={IVF_NPROBE};code={hashlib.md5(code.encode()).hexdigest()[:12]}"
+    )
 
 
 def ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -479,7 +503,7 @@ def ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
     fp = corpus_fingerprint(
         sf_dir,
         source="embeddings.parquet",
-        derivation=_PQ_IDX_DERIVATION,
+        derivation=_pq_idx_derivation(),
         version=_PQ_STAGE_VERSION,
     )
     d = os.path.join(

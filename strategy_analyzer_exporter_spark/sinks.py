@@ -123,19 +123,33 @@ def write_bucketed_table(
     the managed table's warehouse directory behind an EMPTY in-memory
     catalog; the next session's ``saveAsTable`` then dies with
     LOCATION_ALREADY_EXISTS. When the catalog has no entry for
-    ``table`` but its default managed location exists on disk, the
-    orphan is removed before writing — the catalog is the source of
-    truth for managed tables, so a location without an entry is by
-    definition dead state from a crashed writer."""
+    ``table`` (bare name, current database) but its managed location
+    exists on disk, the orphan is removed before writing. Scope: the
+    catalog consulted is the SESSION's — correct for this engine's
+    in-memory-catalog test/bench fixtures (where an entry-less location
+    can only be a crashed writer's leftovers), and for a shared
+    metastore deployment tableExists is global so the check is sound
+    there too. The one unsafe configuration is two CONCURRENT
+    in-memory-catalog sessions pointing at the same warehouse and table
+    name — already a broken setup (either session's overwrite clobbers
+    the other); don't share a warehouse across live sessions. The
+    location is resolved from the CURRENT DATABASE's locationUri (not
+    the warehouse root), so non-default databases prune correctly, and
+    percent-encoding in the URI is decoded before touching the
+    filesystem."""
     spark = df.sparkSession
     if not spark.catalog.tableExists(table):
         import shutil
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
-        wh = spark.conf.get("spark.sql.warehouse.dir", "")
-        wh_path = urlparse(wh).path or wh
-        orphan = os.path.join(wh_path, table.lower())
-        if wh_path and os.path.isdir(orphan):
+        try:
+            db = spark.catalog.currentDatabase()
+            loc = spark.catalog.getDatabase(db).locationUri
+        except Exception:
+            loc = spark.conf.get("spark.sql.warehouse.dir", "")
+        db_path = unquote(urlparse(loc).path) or loc
+        orphan = os.path.join(db_path, table.lower())
+        if db_path and os.path.isdir(orphan):
             shutil.rmtree(orphan, ignore_errors=True)
     w = (
         df.write.mode("overwrite")

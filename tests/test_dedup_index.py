@@ -29,15 +29,21 @@ def test_at_rest_incremental_equals_in_memory_twin(spark):
 
 
 def test_at_rest_plan_serves_corpus_from_bucketed_tables(spark):
-    """Three bucketed scans (band table once; gram table twice — the
-    verify's doc_a join and the size aggregation) and no MORE exchanges
-    than the in-memory twin: the corpus side is read, never
-    re-shingled (no corpus-side mapInPandas in the plan)."""
+    """The corpus side is served from the three at-rest tables (band,
+    gram — scanned exactly once, by the verify's doc_a join — and the
+    stored sizes), with no MORE exchanges than the in-memory twin and
+    the corpus NEVER re-shingled."""
+    from strategy_analyzer_exporter_spark.operators.dedup import BATCH_MOD
     from strategy_analyzer_exporter_spark.registry import QUERIES
 
     q = QUERIES["dedup_incremental_at_rest"](spark, SF)
     plan = P.physical_plan(q)
-    assert plan.count("Bucketed: true") == 3, plan
+    # gram + band scans ride their bucket layouts; the tiny sizes scan
+    # may print "Bucketed: false (disabled by query planner)" — Spark
+    # auto-disables bucketed reading when the join side is broadcast
+    # and the layout buys nothing, which is itself correct behavior
+    assert plan.count("Bucketed: true") >= 2, plan
+    assert "dedup_size_idx" in plan, plan
     base = P.count_exchanges(QUERIES["dedup_incremental_minhash"](spark, SF))
     assert P.count_exchanges(q) <= base, plan
     # the corpus is NEVER re-shingled: every documents scan in this
@@ -51,7 +57,7 @@ def test_at_rest_plan_serves_corpus_from_bucketed_tables(spark):
         if "FileScan parquet" in ln and "documents.parquet" in ln
     ]
     assert doc_scans, plan
-    assert all("% 10) = 0" in ln for ln in doc_scans), doc_scans
+    assert all(f"% {BATCH_MOD}) = 0" in ln for ln in doc_scans), doc_scans
 
 
 def test_dedup_index_append_extends_the_index(spark):
@@ -68,21 +74,36 @@ def test_dedup_index_append_extends_the_index(spark):
     )
 
     tables = dedup_index_tables(spark, SF, name_extra="apptest")
-    gram_tbl, band_tbl = tables
+    gram_tbl, band_tbl, size_tbl = tables
     try:
         full_grams = _gram_rows(spark, SF).count()
         full_bands = _band_rows(_sig_rows(spark, SF)).count()
+        full_docs = _sig_rows(spark, SF).count()
         assert spark.table(gram_tbl).count() < full_grams  # corpus only
         dedup_index_append(
             spark, SF, tables, F.col("doc_id") % BATCH_MOD == 0
         )
         assert spark.table(gram_tbl).count() == full_grams
         assert spark.table(band_tbl).count() == full_bands
+        assert spark.table(size_tbl).count() == full_docs
         # appended rows land in the CORRECT buckets: a doc_id-keyed
         # aggregation over the appended gram table still needs no
         # exchange (bucket spec enforced on append)
         agg = spark.table(gram_tbl).groupBy("doc_id").count()
         assert P.count_exchanges(agg) == 0, P.physical_plan(agg)
+        # the append invalidated _STAGED_OK (the fingerprint describes
+        # the corpus-only build): a crashed appender can no longer
+        # poison later sessions into re-attaching corpus+batch rows
+        import os as _os
+
+        from strategy_analyzer_exporter_spark.sources.staging import (
+            staging_root as _sr,
+        )
+
+        for t in tables:
+            assert not _os.path.exists(
+                _os.path.join(_sr(), "bucketed", t, "_STAGED_OK")
+            )
     finally:
         from strategy_analyzer_exporter_spark.sources.staging import (
             staging_root,
