@@ -79,9 +79,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CHANGED_AS_OF_ROUND or later (so a query that missed one round's
 #: 50-slot sample keeps its priority until actually re-verified, and
 #: no hand-maintained cleanup is needed).
-#: r09: four net-new registrations (dedup_incremental_at_rest,
+#: r09: five net-new registrations (dedup_incremental_at_rest,
 #: similarity_ivfpq_at_rest, multimodal_source_mixed_shards,
-#: agg_heavy_hitters_cms) enter via the never-recorded band. Changed
+#: agg_heavy_hitters_cms, similarity_ivfpq_frozen_ingest — the
+#: frozen-codebook vector-ingest twin) enter via the never-recorded
+#: band. Changed
 #: band: multimodal_source_packed_shards (manifest now stores RELATIVE
 #: shard names + stage-version bump — ADVICE r08; layout restaged,
 #: reader changed); the dedup family rides the _shingle_gen /
@@ -94,9 +96,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: source_bucketed_join + text_tfidf_topk_bucketed ride the
 #: ensure_bucketed/corpus_fingerprint generalization (fingerprint
 #: string byte-identical — no restaging — but the staging code path
-#: changed). 4 + 11 priority slots leave 35 for the stalest-first
+#: changed). 5 + 11 priority slots leave 34 for the stalest-first
 #: tail, which covers the entire 28-query r05 record tail this round
-#: (VERDICT r08 #1; 4 + 11 + 28 = 43 ≤ 50).
+#: (VERDICT r08 #1; 5 + 11 + 28 = 44 ≤ 50).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "multimodal_source_packed_shards",
     "dedup_minhash_lsh",
@@ -130,8 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     both drains any stale backlog in one pass (VERDICT r06 #1 — the
     alphabetical rotation this replaces in r07 needed two rounds) and
     self-balances: sampled queries get fresh rows and sink to the back,
-    so with 174 registered every query is re-verified at least every
-    ⌈174/50⌉ ≈ 4 rounds — the property the rotation was for (ADVICE
+    so with 175 registered every query is re-verified at least every
+    ⌈175/50⌉ ≈ 4 rounds — the property the rotation was for (ADVICE
     r03), achieved with a tighter worst case.
 
     A query whose LATEST recorded row is a FAIL also joins the priority

@@ -211,6 +211,9 @@ PROBE_QUERIES = (
     "similarity_ivfpq_at_rest",
     "multimodal_source_mixed_shards",
     "agg_heavy_hitters_cms",
+    # r09 wave 2: frozen-codebook ingest — same probe shape as the
+    # at-rest twin (staging incl. the batch append lands in warm-up)
+    "similarity_ivfpq_frozen_ingest",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute

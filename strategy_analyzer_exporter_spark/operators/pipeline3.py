@@ -538,34 +538,47 @@ def _cms_hash_sql(d_sql: str, token_sql: str) -> str:
     return f"({hex8_to_long_sql(h)} % {CMS_W})"
 
 
-def _q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cms_bucket(d: int, token: str, w: int = CMS_W) -> int:
+    """The one bucket-index definition, mirrored byte-for-byte by
+    _cms_hash_sql (md5 of 'd:token', first 8 hex chars, mod w).
+    Module-level so the linearity/no-underestimate guarantees are
+    property-testable directly (tests/test_properties.py)."""
     import hashlib
 
+    return int(hashlib.md5(f"{d}:{token}".encode()).hexdigest()[:8], 16) % w
+
+
+def cms_matrix(tokens_iter, d: int = CMS_D, w: int = CMS_W) -> list[list[int]]:
+    """One-pass count-min matrix over a token iterator. Counts per
+    DISTINCT token first, then hashes each distinct token once per hash
+    row: d·|vocab| md5 calls instead of d·(stream length) — equivalent
+    because CMS cells are sums (grouping identical tokens first changes
+    nothing). The per-occurrence form measured probe exponent 0.32 at
+    10× purely from re-hashing a fixed vocab; this form measures 0.22
+    (docs/BENCH_NOTES.md §r09)."""
+    counts: dict[str, int] = {}
+    for t in tokens_iter:
+        counts[t] = counts.get(t, 0) + 1
+    mat = [[0] * w for _ in range(d)]
+    for t, c in counts.items():
+        for di in range(d):
+            mat[di][cms_bucket(di, t, w)] += c
+    return mat
+
+
+def _q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     docs = d.select("text").repartition(spark.sparkContext.defaultParallelism)
 
     def cms(batches):
-        # count per DISTINCT token first, then hash each distinct token
-        # once per hash row: d·|vocab| md5 calls per partition instead
-        # of d·(stream length) — adding counts is equivalent to
-        # incrementing per occurrence because CMS is linear (bucket
-        # cells are sums; grouping identical tokens first changes
-        # nothing). The per-occurrence form measured exponent 0.32 at
-        # the 10× probe purely from repeated hashing of a fixed vocab.
-        counts: dict[str, int] = {}
-        for pdf in batches:
-            for text in pdf["text"]:
-                for t in (text or "").split(" "):
-                    if t:
-                        counts[t] = counts.get(t, 0) + 1
-        mat = [[0] * CMS_W for _ in range(CMS_D)]
-        for t, c in counts.items():
-            for di in range(CMS_D):
-                w = (
-                    int(hashlib.md5(f"{di}:{t}".encode()).hexdigest()[:8], 16)
-                    % CMS_W
-                )
-                mat[di][w] += c
+        def toks():
+            for pdf in batches:
+                for text in pdf["text"]:
+                    for t in (text or "").split(" "):
+                        if t:
+                            yield t
+
+        mat = cms_matrix(toks())
         rows = [
             (di, w, c)
             for di in range(CMS_D)

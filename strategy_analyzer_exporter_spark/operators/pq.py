@@ -161,11 +161,16 @@ def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_topk(_adc_scored(spark, sf_dir))
 
 
-def _pq_sql_parts() -> tuple[list, str, str, str]:
+def _pq_sql_parts(train_pred: str | None = None) -> tuple[list, str, str, str]:
     """(cte list, qd joins, code joins, code cols) — the PQ pipeline's
     SQL pieces, shared by the flat-PQ and IVF-PQ oracles so the two can
-    never drift."""
+    never drift. ``train_pred`` (a predicate over ``vec_id``) restricts
+    the CODEBOOK TRAINING relations (init + the assignment feeding the
+    centroid update) to the at-rest corpus for the frozen-ingest
+    variant; encoding (code CTEs) always covers every vector. None
+    keeps the emitted SQL byte-identical to the unparameterized form."""
     ctes = []
+    train_where = f"\n    WHERE {train_pred}" if train_pred else ""
     for m in range(PQ_M):
         sq = lambda a, b: _sqdist_sql(a, b, PQ_SUBDIM)  # noqa: E731
         ctes.append(
@@ -178,14 +183,14 @@ def _pq_sql_parts() -> tuple[list, str, str, str]:
         ctes.append(
             f"""c0_{m} AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-    FROM sub{m} ORDER BY vec_id LIMIT {PQ_K}
+    FROM sub{m}{train_where} ORDER BY vec_id LIMIT {PQ_K}
 )"""
         )
         ctes.append(
             f"""a0_{m} AS (
     SELECT vec_id, cid FROM (
         SELECT s.vec_id, c.cid, {sq("s.v", "c.cv")} AS dist
-        FROM sub{m} s CROSS JOIN c0_{m} c)
+        FROM sub{m} s CROSS JOIN c0_{m} c{train_where})
     QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
 )"""
         )
@@ -356,10 +361,11 @@ def _q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_topk(scored).select("query_id", "cand_id", "rn")
 
 
-def _ivfpq_oracle() -> str:
-    ctes, joins, code_joins, code_cols = _pq_sql_parts()
+def _ivfpq_oracle(train_pred: str | None = None) -> str:
+    ctes, joins, code_joins, code_cols = _pq_sql_parts(train_pred)
     dim = PQ_M * PQ_SUBDIM
     sq = lambda a, b: _sqdist_sql(a, b, dim)  # noqa: E731
+    train_where = f"\n    WHERE {train_pred}" if train_pred else ""
     ctes.append(
         f"""fullv AS (
     SELECT vec_id, list_transform(range(1, {dim} + 1),
@@ -370,14 +376,14 @@ def _ivfpq_oracle() -> str:
     ctes.append(
         f"""g0 AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-    FROM fullv ORDER BY vec_id LIMIT {IVF_CELLS}
+    FROM fullv{train_where} ORDER BY vec_id LIMIT {IVF_CELLS}
 )"""
     )
     ctes.append(
         f"""ga0 AS (
     SELECT vec_id, cid FROM (
         SELECT s.vec_id, c.cid, {sq("s.v", "c.cv")} AS dist
-        FROM fullv s CROSS JOIN g0 c)
+        FROM fullv s CROSS JOIN g0 c{train_where})
     QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
 )"""
     )
@@ -538,12 +544,16 @@ def ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
-def _q_ivfpq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _at_rest_topk(spark: SparkSession, sf_dir: str, d: str) -> DataFrame:
+    """The probe half of the at-rest index family: read centroids /
+    codebooks / cell-partitioned codes from ``d`` (stored artifacts
+    only), prune the codes scan to the probed cells, ADC-score, top-k.
+    Shared by similarity_ivfpq_at_rest and the frozen-ingest twin —
+    the two differ only in how the index directory was built."""
     import os
 
     from strategy_analyzer_exporter_spark.functions import vector
 
-    d = ivfpq_index_dir(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     cents = spark.read.parquet(os.path.join(d, "centroids"))
     fq = (
@@ -602,6 +612,10 @@ def _q_ivfpq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_topk(scored).select("query_id", "cand_id", "rn")
 
 
+def _q_ivfpq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _at_rest_topk(spark, sf_dir, ivfpq_index_dir(spark, sf_dir))
+
+
 def _register_ivfpq_at_rest() -> None:
     from strategy_analyzer_exporter_spark.registry import ORACLES
 
@@ -617,3 +631,151 @@ from strategy_analyzer_exporter_spark.registry import (  # noqa: E402
 )
 
 register_deferred(_register_ivfpq_at_rest, requires=("similarity_ivfpq_topk",))
+
+
+# ---------------------------------------------------------------------------
+# FROZEN-CODEBOOK INGEST (r09, the vector twin of dedup_index_append):
+# production vector stores never retrain on ingest — codebooks and the
+# coarse quantizer are trained once on the at-rest corpus and FROZEN
+# (the FAISS IVF/PQ operating model); late-arriving vectors are encoded
+# with the stored artifacts and appended to the cell-partitioned code
+# table. This query stages exactly that lifecycle:
+#   1. TRAIN on the corpus split (vec_id % 10 != 0): coarse centroids,
+#      M codebooks — one exact Lloyd round each, same recipe as the
+#      full-corpus index;
+#   2. write the corpus's codes (partitionBy cell) + the frozen
+#      codebook/centroid relations;
+#   3. INGEST the late batch (vec_id % 10 == 0) by READING THE STORED
+#      codebooks/centroids BACK from parquet — the append path is
+#      structurally incapable of touching training state — encoding
+#      the batch, and appending into the cell partitions;
+#   4. probe through the same _at_rest_topk as similarity_ivfpq_at_rest.
+# The _STAGED_OK flag is written only after the append completes, so a
+# killed staging never validates a half-ingested index (the
+# dedup_index_append lesson applied from the start).
+#
+# The oracle is the IVF-PQ oracle with the TRAINING relations (c0/a0,
+# g0/ga0) restricted to the corpus split while encoding covers every
+# vector — exactly the frozen semantics. Parity: parquet round-trips
+# the codebook doubles bit-exactly, so batch codes computed from
+# read-back relations equal a monolithic train-on-corpus/encode-all
+# computation; output stays the integer (query_id, cand_id, rn)
+# contract.
+
+VEC_BATCH_MOD = 10  # vec_id % 10 == 0 = the late-arriving batch
+
+
+def _frozen_train_pred():
+    return F.col("vec_id") % VEC_BATCH_MOD != 0
+
+
+def ivfpq_frozen_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the frozen-ingest index (train on corpus → write → ingest
+    batch from read-back artifacts → flag)."""
+    import os
+
+    from strategy_analyzer_exporter_spark.operators.bucketed import (
+        corpus_fingerprint,
+    )
+    from strategy_analyzer_exporter_spark.operators.pipeline import (
+        kmeans_assign,
+        kmeans_update,
+    )
+    from strategy_analyzer_exporter_spark.sources.staging import (
+        staging_root,
+        staging_suffix,
+    )
+
+    sf_dir = os.path.abspath(sf_dir)
+    fp = corpus_fingerprint(
+        sf_dir,
+        source="embeddings.parquet",
+        derivation=_pq_idx_derivation()
+        + f";train=vec_id%{VEC_BATCH_MOD}<>0;frozen_ingest",
+        version=_PQ_STAGE_VERSION,
+    )
+    d = os.path.join(
+        staging_root(),
+        f"pq_frozen_{_PQ_STAGE_VERSION}_{staging_suffix(sf_dir)}",
+    )
+    flag = os.path.join(d, "_STAGED_OK")
+    try:
+        with open(flag) as f:
+            if f.read().strip() == fp:
+                return d
+    except OSError:
+        pass
+    if os.path.exists(flag):
+        os.remove(flag)  # invalidate before touching data files
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = _frozen_train_pred()
+    # --- 1. train + 2. write the corpus index ---------------------------
+    fv_train = _fullv(emb).filter(train)
+    g0 = ranked_init(fv_train, "vec_id", IVF_CELLS, "cid").select(
+        "cid", F.col("v").alias("cv")
+    )
+    cents = kmeans_update(
+        kmeans_assign(fv_train, g0).select("vec_id", "cid"), fv_train
+    ).localCheckpoint()
+    cb_all = None
+    corpus_codes = None
+    for m in range(PQ_M):
+        sub_train = _subspace(emb, m).filter(train)
+        cb = _codebook(sub_train)
+        part = cb.select(F.lit(m).alias("m"), "cid", "cv")
+        cb_all = part if cb_all is None else cb_all.unionByName(part)
+        code_m = kmeans_assign(sub_train, cb).select(
+            "vec_id", F.col("cid").alias(f"code{m}")
+        )
+        corpus_codes = (
+            code_m if corpus_codes is None else corpus_codes.join(code_m, "vec_id")
+        )
+    corpus_cells = kmeans_assign(fv_train, cents).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    (
+        corpus_codes.join(corpus_cells, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(d, "codes"))
+    )
+    cb_all.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
+    cents.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    # --- 3. ingest the batch from READ-BACK artifacts only --------------
+    stored_cents = spark.read.parquet(os.path.join(d, "centroids"))
+    stored_cbs = spark.read.parquet(os.path.join(d, "codebooks"))
+    batch = ~train
+    batch_codes = None
+    for m in range(PQ_M):
+        sub_b = _subspace(emb, m).filter(batch)
+        cb_m = stored_cbs.filter(F.col("m") == m).select("cid", "cv")
+        code_m = kmeans_assign(sub_b, cb_m).select(
+            "vec_id", F.col("cid").alias(f"code{m}")
+        )
+        batch_codes = (
+            code_m if batch_codes is None else batch_codes.join(code_m, "vec_id")
+        )
+    batch_cells = kmeans_assign(_fullv(emb).filter(batch), stored_cents).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    (
+        batch_codes.join(batch_cells, "vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(d, "codes"))
+    )
+    # --- 4. flag LAST: a killed staging never validates ------------------
+    with open(flag, "w") as f:
+        f.write(fp)
+    return d
+
+
+def _q_ivfpq_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _at_rest_topk(spark, sf_dir, ivfpq_frozen_dir(spark, sf_dir))
+
+
+register(
+    "similarity_ivfpq_frozen_ingest",
+    _q_ivfpq_frozen,
+    _ivfpq_oracle(train_pred=f"vec_id % {VEC_BATCH_MOD} <> 0"),
+)

@@ -297,6 +297,33 @@ def test_ivfpq_at_rest_scan_prunes_partitions(spark):
     assert at_rest == twin
 
 
+def test_ivfpq_frozen_ingest_covers_all_vectors_and_prunes(spark):
+    """The frozen-codebook ingest (r09): after staging, the stored code
+    table covers EVERY vector (corpus write + batch append into the
+    same cell partitions), the probe scan still prunes by cell, and the
+    batch rows live in cells assigned by the READ-BACK centroids (the
+    append path never touches training state — structural, but the
+    coverage count is the observable)."""
+    from strategy_analyzer_exporter_spark.operators.pq import ivfpq_frozen_dir
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    d = ivfpq_frozen_dir(spark, SF)
+    n_emb = load_table(spark, SF, "embeddings").count()
+    codes = spark.read.parquet(d + "/codes")
+    assert codes.count() == n_emb
+    assert codes.select("vec_id").distinct().count() == n_emb
+    q = QUERIES["similarity_ivfpq_frozen_ingest"](spark, SF)
+    plan = P.physical_plan(q)
+    code_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "pq_frozen" in ln and "code0" in ln
+    ]
+    assert code_scans, plan
+    assert all("PartitionFilters: [cell" in ln for ln in code_scans), code_scans
+
+
 def test_cms_and_misra_gries_agree_on_heavy_hitters(spark):
     """Two sketch families, one exact-defined output: the count-min
     query's token set must equal the Misra–Gries query's (same corpus,
@@ -421,6 +448,8 @@ BROADCAST_HINT_ALLOWLIST: dict[str, object] = {
     # returned plan — the probe is collected once, ≤ 20 rows, and
     # re-materialized as a local relation)
     "similarity_ivfpq_at_rest": 8,
+    # frozen-ingest twin probes through the same _at_rest_topk
+    "similarity_ivfpq_frozen_ingest": 8,
     # 1-row token total + the 256-row merged CMS matrix (d·w constant)
     "agg_heavy_hitters_cms": 2,
     "similarity_pq_recall": {"arrow": 16, "fold": 24},

@@ -113,3 +113,50 @@ def test_misra_gries_merge_guarantees(partitions, k):
         assert c - est <= bound, (t, c, est, bound)
         if c * (k + 1) > n:
             assert t in merged, (t, c, n, k)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=200),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=2, max_value=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_count_min_linearity_and_no_underestimate(partitions, d, w):
+    """The count-min guarantees behind agg_heavy_hitters_cms, on
+    adversarial streams and splits: (1) LINEARITY — the elementwise sum
+    of per-partition matrices equals the matrix of the whole stream, so
+    the merged estimate is partition-invariant by construction; (2) the
+    min-over-rows estimate never underestimates any token's exact
+    count; (3) per-row overestimate is exactly the colliding tokens'
+    mass (the oracle's bucket-sum definition)."""
+    from collections import Counter
+
+    from strategy_analyzer_exporter_spark.operators.pipeline3 import (
+        cms_bucket,
+        cms_matrix,
+    )
+
+    whole = cms_matrix((t for part in partitions for t in part), d, w)
+    merged = [[0] * w for _ in range(d)]
+    for part in partitions:
+        m = cms_matrix(iter(part), d, w)
+        for di in range(d):
+            for wi in range(w):
+                merged[di][wi] += m[di][wi]
+    assert merged == whole  # linearity: split-invariant by sums
+    exact = Counter(t for part in partitions for t in part)
+    for t, c in exact.items():
+        est = min(merged[di][cms_bucket(di, t, w)] for di in range(d))
+        assert est >= c, (t, c, est)
+        # est_d - exact == sum of OTHER tokens in the same bucket
+        for di in range(d):
+            b = cms_bucket(di, t, w)
+            others = sum(
+                cc for tt, cc in exact.items()
+                if tt != t and cms_bucket(di, tt, w) == b
+            )
+            assert merged[di][b] - c == others
