@@ -170,9 +170,6 @@ def ensure_bucketed(
         f.write(fingerprint)
 
 
-# backward-compat alias for the original private name (tests import it)
-_ensure_bucketed = ensure_bucketed
-
 
 def bucketed_doc_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Ensure the two bucketed tables for ``sf_dir`` exist and return
@@ -182,7 +179,7 @@ def bucketed_doc_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     fp = corpus_fingerprint(sf_dir)
     docs_tbl = f"bkt_docs_{suf}"
     toks_tbl = f"bkt_tokens_{suf}"
-    _ensure_bucketed(
+    ensure_bucketed(
         spark,
         docs_tbl,
         "doc_id BIGINT, doc_len BIGINT",
@@ -191,7 +188,7 @@ def bucketed_doc_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             "doc_id", F.length("text").cast("long").alias("doc_len")
         ),
     )
-    _ensure_bucketed(
+    ensure_bucketed(
         spark,
         toks_tbl,
         "doc_id BIGINT, token STRING",
