@@ -79,40 +79,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CHANGED_AS_OF_ROUND or later (so a query that missed one round's
 #: 50-slot sample keeps its priority until actually re-verified, and
 #: no hand-maintained cleanup is needed).
-#: r09: five net-new registrations (dedup_incremental_at_rest,
-#: similarity_ivfpq_at_rest, multimodal_source_mixed_shards,
-#: agg_heavy_hitters_cms, similarity_ivfpq_frozen_ingest — the
-#: frozen-codebook vector-ingest twin) enter via the never-recorded
-#: band. Changed
-#: band: multimodal_source_packed_shards (manifest now stores RELATIVE
-#: shard names + stage-version bump — ADVICE r08; layout restaged,
-#: reader changed); the dedup family rides the _shingle_gen /
-#: _sig_agg_exprs / _verify_jaccard(grams_b) refactors extracted for
-#: the at-rest index (outputs sweep-verified unchanged — the r08
-#: every-consumer convention): dedup_minhash_lsh, dedup_ngram_jaccard,
-#: dedup_incremental_minhash, dedup_cluster_cc, dedup_cluster_cc_star,
-#: corpus_clean_neardup; similarity_pq_adc + similarity_ivfpq_topk
-#: ride the pq.py index-cache abspath normalization (ADVICE r08);
-#: source_bucketed_join + text_tfidf_topk_bucketed ride the
-#: ensure_bucketed/corpus_fingerprint generalization (fingerprint
-#: string byte-identical — no restaging — but the staging code path
-#: changed). 5 + 11 priority slots leave 34 for the stalest-first
-#: tail, which covers the entire 28-query r05 record tail this round
-#: (VERDICT r08 #1; 5 + 11 + 28 = 44 ≤ 50).
+#: r10: three net-new registrations (dedup_incremental_tombstoned,
+#: similarity_ivfpq_tombstoned — the probe-time deletion path, VERDICT
+#: r09 #4 — and dedup_index_lifecycle — append-epoch + compaction end
+#: to end, #2/#3) enter via the never-recorded band. Changed band: the
+#: at-rest index family rides the epoch/append-log protocol (stage
+#: version v1→v2, staging restructured, probe body refactored into
+#: shared helpers): dedup_incremental_at_rest, similarity_ivfpq_at_rest,
+#: similarity_ivfpq_frozen_ingest; multimodal_source_mixed_shards rides
+#: the payload-generator source-hash fingerprint (ADVICE r09 — layout
+#: restaged, identical bytes); source_bucketed_join +
+#: text_tfidf_topk_bucketed ride ensure_bucketed's rmtree-before-
+#: rebuild (fingerprint unchanged, staging code path changed). 3 + 6
+#: priority slots leave 41 for the stalest-first tail — the entire
+#: 39-query r06 record tail drains this round (VERDICT r09 #1;
+#: 3 + 6 + 39 = 48 ≤ 50).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "multimodal_source_packed_shards",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_incremental_minhash",
-    "dedup_cluster_cc",
-    "dedup_cluster_cc_star",
-    "corpus_clean_neardup",
-    "similarity_pq_adc",
-    "similarity_ivfpq_topk",
+    "dedup_incremental_at_rest",
+    "similarity_ivfpq_at_rest",
+    "similarity_ivfpq_frozen_ingest",
+    "multimodal_source_mixed_shards",
     "source_bucketed_join",
     "text_tfidf_topk_bucketed",
 )
-CHANGED_AS_OF_ROUND = 9  # a row from round ≥ 9 post-dates the change
+CHANGED_AS_OF_ROUND = 10  # a row from round ≥ 10 post-dates the change
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

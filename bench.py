@@ -214,6 +214,15 @@ PROBE_QUERIES = (
     # r09 wave 2: frozen-codebook ingest — same probe shape as the
     # at-rest twin (staging incl. the batch append lands in warm-up)
     "similarity_ivfpq_frozen_ingest",
+    # r10: the round's net-new — probe-time tombstone twins (expect the
+    # baselines' exponents: the anti-join adds a broadcast over a tiny
+    # relation, no new scaling term) and the append→compact lifecycle
+    # query (staging incl. the epoch append + compaction lands in the
+    # warm-up; the timed pass is a half-batch probe over the extended
+    # index, expect the at-rest incremental's class)
+    "dedup_incremental_tombstoned",
+    "similarity_ivfpq_tombstoned",
+    "dedup_index_lifecycle",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute
@@ -222,6 +231,23 @@ PROBE_QUERIES = (
     "streaming_features",
 )
 PAIR_KERNEL_PROBE = ("similarity_lsh_ann",)
+
+# VERDICT r09 #5: the flat-exponent at-rest family gets a THIRD decade.
+# Every scale claim so far rests on 1×/10×; for layouts whose whole
+# point is "the scan prunes / the layout co-locates" (exponents
+# 0.04-0.36), a 100× point separates "flat because the plan scales"
+# from "flat because fixed costs dominate both measured points". Only
+# the cheap at-rest queries get the tier — their t100 staging
+# (documents+embeddings copies, shard payloads, index builds) lands in
+# the probe warm-up like every other staged layout.
+PROBE100_QUERIES = (
+    "source_bucketed_join",
+    "multimodal_source_packed_shards",
+    "multimodal_source_mixed_shards",
+    "text_tfidf_topk_bucketed",
+    "dedup_incremental_at_rest",
+    "similarity_ivfpq_at_rest",
+)
 # min-of-3 (was 2): this host shows intermittent noisy-neighbor bursts
 # that inflate ISOLATED probe entries 2-4× even on an idle box (r07:
 # three consecutive full runs each had a different single outlier —
@@ -424,6 +450,80 @@ def _calibration(spark) -> dict:
     return cal
 
 
+def _stage_100x(spark, sf_dir: str) -> str:
+    """100× documents + embeddings for the at-rest third decade
+    (VERDICT r09 #5). Same copy-isomorphism invariant as _stage_10x
+    (per-copy vocabulary namespaces → candidate pairs scale linearly by
+    construction); only the two tables the PROBE100 queries read —
+    events/bars pipelines stay on the 1×/10× tiers."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(
+        _probe_staging_root(), "scale100x_v1_" + sf_dir.strip("/").split("/")[-1]
+    )
+    done_flag = os.path.join(out, "_STAGED_OK")
+    if os.path.exists(done_flag):
+        return out
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+
+    def scramble(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                i = int(r["copy"])
+                if i > 0:
+                    text = " ".join(w + str(i) for w in r["text"].split())
+                else:
+                    text = r["text"]
+                rows.append(
+                    (
+                        int(r["doc_id"]) + i * n_docs,
+                        text,
+                        r["lang"],
+                        r["source"],
+                        len(text),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+            )
+
+    docs100 = (
+        docs.crossJoin(spark.range(100).select(F.col("id").alias("copy")))
+        .repartition(int(CPUS) * 4)
+        .mapInPandas(
+            scramble,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    docs100.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_emb = emb.count()
+    others = [c for c in emb.columns if c not in ("vec_id", "embedding")]
+    emb100 = emb.crossJoin(
+        spark.range(100).select(F.col("id").alias("copy"))
+    ).select(
+        (F.col("vec_id") + F.col("copy") * n_emb).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x + F.col("copy").cast("double") * F.lit(1e-4)).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+        *others,
+    )
+    emb100.repartition(int(CPUS)).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    open(done_flag, "w").close()
+    return out
+
+
 def _probe_one(spark, fn, dirs) -> dict:
     import math
 
@@ -436,18 +536,29 @@ def _probe_one(spark, fn, dirs) -> dict:
             fn(spark, d).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
         entry[tag] = round(min(times), 3)
-    entry["exponent"] = round(
-        math.log10(max(entry["t10"], 1e-9) / max(entry["t1"], 1e-9)), 2
-    )
+    if "t1" in entry and "t10" in entry:
+        entry["exponent"] = round(
+            math.log10(max(entry["t10"], 1e-9) / max(entry["t1"], 1e-9)), 2
+        )
+    if "t10" in entry and "t100" in entry:
+        # second-decade exponent: does the flatness HOLD when fixed
+        # costs stop dominating?
+        entry["exponent_d2"] = round(
+            math.log10(max(entry["t100"], 1e-9) / max(entry["t10"], 1e-9)), 2
+        )
     return entry
 
 
 def _scale_probe(spark, queries) -> dict:
     dir10 = _stage_10x(spark, SF_DIR)
+    dir100 = _stage_100x(spark, SF_DIR)
     dirs = (("t1", SF_DIR), ("t10", dir10))
+    dirs100 = dirs + (("t100", dir100),)
     probe: dict[str, dict] = {}
     for name in PROBE_QUERIES:
-        probe[name] = _probe_one(spark, queries[name], dirs)
+        probe[name] = _probe_one(
+            spark, queries[name], dirs100 if name in PROBE100_QUERIES else dirs
+        )
         if name in PAIR_KERNEL_PROBE:
             # measure the OTHER pair kernel too (kernel choice happens
             # at query-build time, so flip the env and rebuild)
@@ -532,6 +643,25 @@ def main() -> None:
 
     extras["exchanges"] = exchanges
     extras["scale_probe"] = _scale_probe(spark, queries)
+    # VERDICT r09 #6 — the cold-clock ordering experiment, made a
+    # permanent artifact field: features_flagship runs FIRST in the
+    # headline loop (coldest CPU clocks of the whole run); re-timing
+    # the SAME DataFrame at the END of the run puts first-slot vs
+    # warm-box throughput side by side in every record. If end-of-run
+    # rows/s recovers while the plan is unchanged, a soft first-slot
+    # number is the governor ramp, not a code regression.
+    df_fl = queries["features_flagship"](spark, SF_DIR)
+    fl_times = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        df_fl.write.format("noop").mode("overwrite").save()
+        fl_times.append(time.perf_counter() - t0)
+    fl_end = sorted(fl_times)[len(fl_times) // 2]
+    extras["flagship_end_of_run"] = {
+        "sec": round(fl_end, 3),
+        "rows_per_s": round(extras["features_rows"] / fl_end, 1),
+        "first_slot_sec": results["features_flagship"],
+    }
     calibration["end"] = _calibration(spark)
     extras["calibration"] = calibration
     # Round-stamped measurement commentary lives in docs/BENCH_NOTES.md
@@ -540,6 +670,18 @@ def main() -> None:
     # BENCH_FULL.json alongside fresh numbers. The artifact now carries
     # only a pointer; the history file is keyed by round.
     extras["notes"] = {"history": "docs/BENCH_NOTES.md"}
+    # make each record self-classifying (VERDICT r09: a driver re-run on
+    # a loaded host overwrote the committed idle record and the two
+    # disagreed with nothing in the artifact saying which to trust):
+    # idle-comparable iff the calibration job ran in the idle band AND
+    # the 15-min load average was low at start — otherwise treat the
+    # medians as smeared and compare probe t1 values / exchange counts
+    idle = (
+        calibration["start"]["sec_min"] <= 0.16
+        and calibration["end"]["sec_min"] <= 0.11
+        and calibration["start"].get("load15", 99.0) < 2.0
+    )
+    extras["run_kind"] = "idle-comparable" if idle else "host-smeared"
 
     total = round(sum(results.values()), 3)
     compact = {
@@ -552,6 +694,9 @@ def main() -> None:
     for k in ("features_rows", "features_rows_per_s"):
         if k in extras:
             compact[k] = extras[k]
+    compact["features_rows_per_s_end"] = extras["flagship_end_of_run"][
+        "rows_per_s"
+    ]
     # calibration summary in the compact line (full record in extras):
     # min-of-3 reference-job seconds at start/end + the 15-min load avg
     # at start — the best contamination predictor on this host
@@ -561,6 +706,7 @@ def main() -> None:
     ]
     if "load15" in calibration["start"]:
         compact["load15_start"] = calibration["start"]["load15"]
+    compact["run_kind"] = extras["run_kind"]
     # the parseable driver artifact is the compact LAST stdout line —
     # print it BEFORE the file write so a full disk / read-only dir
     # can't eat the whole bench record again (the r05 failure mode)

@@ -165,10 +165,85 @@ def ensure_bucketed(
         return
     if os.path.exists(flag):
         os.remove(flag)  # invalidate before touching the data files
+    # wipe the whole layout, not just the flag: a crashed prior run (or
+    # a crashed APPEND — stale _EPOCH_* markers, half-written bucket
+    # files) must not leak into the rebuilt table, and under
+    # partitionOverwriteMode=dynamic an overwrite alone wouldn't
+    # truncate files the new write doesn't shadow (ADVICE r09 class)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
     _write_bucketed(build(), table, path, bucket_cols, n_buckets)
     with open(flag, "w") as f:
         f.write(fingerprint)
 
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    ddl_cols: str,
+    bucket_cols: tuple[str, ...] = ("doc_id",),
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Index maintenance (VERDICT r09 #3): after K appends each bucket
+    holds K+1 files; rewrite the table back to ONE file per bucket,
+    preserving the bucket spec, the ``_STAGED_OK`` fingerprint (the
+    source/derivation contract is unchanged by compaction) and the
+    epoch manifest (re-marked ``compacted`` — see epochs module).
+
+    The 100 TB shape: write a full compacted copy NEXT TO the live
+    layout (readers keep working against the old files), then swap
+    directories and re-attach the catalog entry — never a rewrite in
+    place, which would race the read of the very files being replaced.
+    The swap itself is two renames; a crash between them loses the
+    flag/markers (they travel with the directories), so the next ensure
+    pass rebuilds — degraded to the pre-epoch behavior, never wrong."""
+    import shutil
+
+    from strategy_analyzer_exporter_spark.sources import epochs
+
+    path = os.path.join(staging_root(), "bucketed", table)
+    flag = os.path.join(path, "_STAGED_OK")
+    with open(flag) as f:
+        fp = f.read()
+    tmp_tbl = f"{table}__compact"
+    tmp_path = f"{path}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    # full copy first — the read executes while the old files are still
+    # live. Read the PARQUET FILES, not the catalog table: the bucketed
+    # scan advertises hashpartitioning(bucket cols), which lets the
+    # planner elide _write_bucketed's repartition — but a multi-file
+    # bucket scan splits into MORE tasks than buckets, so the "one file
+    # per bucket" write discipline breaks (measured: 27 files from an
+    # 8-bucket table). A plain parquet read advertises unknown
+    # partitioning, the repartition survives, one task per bucket.
+    _write_bucketed(
+        spark.read.parquet(path), tmp_tbl, tmp_path, bucket_cols, n_buckets
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external: files stay
+    # carry flag + epoch history into the compacted layout, then mark
+    # every epoch compacted (their file lists now describe nothing)
+    for name in os.listdir(path):
+        if name.startswith("_EPOCH_") and name.endswith("_OK"):
+            shutil.copy2(os.path.join(path, name), os.path.join(tmp_path, name))
+    epochs.rewrite_compacted(tmp_path)
+    with open(os.path.join(tmp_path, "_STAGED_OK"), "w") as f:
+        f.write(fp)
+    # swap + re-attach
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    old = f"{path}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp_path, path)
+    shutil.rmtree(old)
+    cols = ", ".join(bucket_cols)
+    spark.sql(
+        f"CREATE TABLE {table} ({ddl_cols}) USING parquet "
+        f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
 
 
 def bucketed_doc_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

@@ -1241,7 +1241,27 @@ def mixed_shard_dir(spark: SparkSession, sf_dir: str) -> str:
     if cached is not None:
         return cached
     ids = _doc_ids(spark, sf_dir)
-    fp = hashlib.md5(("mixed:" + ",".join(map(str, ids))).encode()).hexdigest()[:8]
+    # the fingerprint covers the PAYLOAD DERIVATION, not just the
+    # doc-id set: an edit to any make_* generator (or the modality
+    # rotation) must restage the shard bytes instead of silently
+    # replaying stale ones against the current oracle — the
+    # _idx_derivation/_pq_idx_derivation source-hash discipline
+    # (ADVICE r09). The sibling single-format staging dirs still key on
+    # ids + a hand-bumped version; folding their generators in is
+    # queued behind the r06 driver-record drain (each restage re-enters
+    # its consumers into the changed band — budgeted per round).
+    import inspect
+
+    gen_code = "".join(
+        inspect.getsource(f) for f in (make_ppm, make_wav, make_y4m, make_bmp)
+    )
+    fp = hashlib.md5(
+        (
+            "mixed:" + ",".join(map(str, ids))
+            + ";formats=" + ",".join(_MIXED_FORMATS)
+            + ";gen=" + hashlib.md5(gen_code.encode()).hexdigest()[:12]
+        ).encode()
+    ).hexdigest()[:8]
     suf = staging_suffix(sf_dir)
     d = os.path.join(
         staging_root(), f"mixed_shards_{_SHARD_STAGE_VERSION}_{suf}_{fp}"

@@ -233,7 +233,11 @@ def _pq_sql_parts(train_pred: str | None = None) -> tuple[list, str, str, str]:
 
 def _adc_sql(ctes: list, joins: str, code_joins: str, code_cols: str,
              extra_joins: str = "",
-             out_cols: str = "query_id, cand_id, adc_dist, rn") -> str:
+             out_cols: str = "query_id, cand_id, adc_dist, rn",
+             cand_pred: str | None = None) -> str:
+    # cand_pred restricts the CANDIDATE set only (tombstones: deleted
+    # vectors stay in the trained index but never surface at probe)
+    cand_where = f"\n      AND ({cand_pred})" if cand_pred else ""
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -249,7 +253,7 @@ scored AS (
     JOIN qd0 ON qd0.cid = cs.code0
     {joins}
     {extra_joins}
-    WHERE cs.cand_id <> qd0.query_id
+    WHERE cs.cand_id <> qd0.query_id{cand_where}
 )
 SELECT {out_cols} FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -361,7 +365,9 @@ def _q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_topk(scored).select("query_id", "cand_id", "rn")
 
 
-def _ivfpq_oracle(train_pred: str | None = None) -> str:
+def _ivfpq_oracle(
+    train_pred: str | None = None, cand_pred: str | None = None
+) -> str:
     ctes, joins, code_joins, code_cols = _pq_sql_parts(train_pred)
     dim = PQ_M * PQ_SUBDIM
     sq = lambda a, b: _sqdist_sql(a, b, dim)  # noqa: E731
@@ -423,7 +429,7 @@ def _ivfpq_oracle(train_pred: str | None = None) -> str:
     )
     return _adc_sql(
         ctes, joins, code_joins, code_cols, extra_joins=extra,
-        out_cols="query_id, cand_id, rn",
+        out_cols="query_id, cand_id, rn", cand_pred=cand_pred,
     )
 
 
@@ -458,7 +464,7 @@ register("similarity_ivfpq_topk", _q_ivfpq, _ivfpq_oracle())
 # index is kernel-independent. Oracle REUSED from similarity_ivfpq_topk
 # via register_deferred — same rows, zero drift possible.
 
-_PQ_STAGE_VERSION = "v1"
+_PQ_STAGE_VERSION = "v2"  # v2: epoch/append-log protocol (VERDICT r09 #2)
 
 
 def _pq_idx_derivation() -> str:
@@ -525,6 +531,13 @@ def ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
         pass
     if os.path.exists(flag):
         os.remove(flag)  # invalidate before touching data files
+    # wipe the whole dir, not just the flag: under
+    # partitionOverwriteMode=dynamic the corpus overwrite would leave a
+    # crashed prior run's files in cells the new write doesn't shadow —
+    # duplicate vec_ids in the staged index (ADVICE r09)
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
     codes, cbs = _pq_index(spark, sf_dir)
     cells, cents = _coarse_index(spark, sf_dir)
     (
@@ -544,12 +557,25 @@ def ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
-def _at_rest_topk(spark: SparkSession, sf_dir: str, d: str) -> DataFrame:
+def _at_rest_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    d: str,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
     """The probe half of the at-rest index family: read centroids /
     codebooks / cell-partitioned codes from ``d`` (stored artifacts
     only), prune the codes scan to the probed cells, ADC-score, top-k.
-    Shared by similarity_ivfpq_at_rest and the frozen-ingest twin —
-    the two differ only in how the index directory was built."""
+    Shared by similarity_ivfpq_at_rest, the frozen-ingest twin and the
+    tombstoned twin — they differ only in how the index directory was
+    built / which candidates survive.
+
+    ``tombstones`` (VERDICT r09 #4): a tiny (vec_id) relation of
+    DELETED vectors, anti-joined against the pruned codes scan — the
+    probe-time retirement path (takedowns, dedup losers) that spares a
+    full index rebuild. Broadcast anti-join: no new exchange, the plan
+    keeps riding the partition-pruned scan (plan-asserted in
+    tests/test_plans.py)."""
     import os
 
     from strategy_analyzer_exporter_spark.functions import vector
@@ -582,6 +608,8 @@ def _at_rest_topk(spark: SparkSession, sf_dir: str, d: str) -> DataFrame:
     codes = spark.read.parquet(os.path.join(d, "codes")).filter(
         F.col("cell").isin(probed_cells)  # literal IN → partition pruning
     )
+    if tombstones is not None:
+        codes = codes.join(F.broadcast(tombstones), "vec_id", "left_anti")
     cb = spark.read.parquet(os.path.join(d, "codebooks"))
     restricted = probe.join(
         codes.withColumnRenamed("vec_id", "cand_id"), "cell"
@@ -669,10 +697,32 @@ def _frozen_train_pred():
     return F.col("vec_id") % VEC_BATCH_MOD != 0
 
 
-def ivfpq_frozen_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the frozen-ingest index (train on corpus → write → ingest
-    batch from read-back artifacts → flag)."""
+#: the registered query's declared epoch chain: ONE batch append
+#: covering the late-arriving split (tests fork with name_extra and
+#: declare multi-append chains)
+_FROZEN_DEFAULT_APPENDS = (f"vec_id % {VEC_BATCH_MOD} = 0",)
+
+
+def ivfpq_frozen_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    name_extra: str = "",
+    appends: tuple[str, ...] = _FROZEN_DEFAULT_APPENDS,
+) -> str:
+    """Ensure the frozen-ingest index exists AT THE DECLARED STATE:
+    base = train on the corpus split + write corpus codes/codebooks/
+    centroids + ``_STAGED_OK``; each entry of ``appends`` (SQL
+    predicates over vec_id, ingest order) is an encode-only epoch
+    (``ivfpq_encode_append``) recorded in the codes directory's epoch
+    chain. A fresh session validates base fingerprint + chain against
+    ``appends`` and RE-ATTACHES (replaying only missing epochs) instead
+    of rebuilding — VERDICT r09 #2; the r9 single-append-inside-staging
+    shape is now just the default chain. A torn epoch or any mismatch
+    wipes the directory (also ADVICE r09: an overwrite alone leaves a
+    crashed appender's cell files behind under
+    partitionOverwriteMode=dynamic) and rebuilds."""
     import os
+    import shutil
 
     from strategy_analyzer_exporter_spark.operators.bucketed import (
         corpus_fingerprint,
@@ -681,6 +731,7 @@ def ivfpq_frozen_dir(spark: SparkSession, sf_dir: str) -> str:
         kmeans_assign,
         kmeans_update,
     )
+    from strategy_analyzer_exporter_spark.sources import epochs
     from strategy_analyzer_exporter_spark.sources.staging import (
         staging_root,
         staging_suffix,
@@ -696,17 +747,28 @@ def ivfpq_frozen_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     d = os.path.join(
         staging_root(),
-        f"pq_frozen_{_PQ_STAGE_VERSION}_{staging_suffix(sf_dir)}",
+        f"pq_frozen_{_PQ_STAGE_VERSION}_{staging_suffix(sf_dir, name_extra)}",
     )
     flag = os.path.join(d, "_STAGED_OK")
+    codes_dir = os.path.join(d, "codes")
+    base_ok = False
     try:
         with open(flag) as f:
-            if f.read().strip() == fp:
-                return d
+            base_ok = f.read().strip() == fp
     except OSError:
         pass
-    if os.path.exists(flag):
-        os.remove(flag)  # invalidate before touching data files
+    expected = list(appends)
+    chain_ok, preds = epochs.chain_state([codes_dir])
+    if (
+        base_ok
+        and chain_ok
+        and len(preds) <= len(expected)
+        and preds == expected[: len(preds)]
+    ):
+        for pred_sql in expected[len(preds):]:
+            ivfpq_encode_append(spark, sf_dir, d, pred_sql)
+        return d
+    shutil.rmtree(d, ignore_errors=True)
     emb = load_table(spark, sf_dir, "embeddings")
     train = _frozen_train_pred()
     # --- 1. train + 2. write the corpus index ---------------------------
@@ -741,10 +803,50 @@ def ivfpq_frozen_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     cb_all.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
     cents.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
-    # --- 3. ingest the batch from READ-BACK artifacts only --------------
+    # --- 3. flag marks the BASE as committed; append epochs carry their
+    # own two-phase markers (a killed base staging never validates — the
+    # flag is written after every base artifact exists)
+    with open(flag, "w") as f:
+        f.write(fp)
+    # --- 4. ingest epochs from READ-BACK artifacts only -----------------
+    for pred_sql in expected:
+        ivfpq_encode_append(spark, sf_dir, d, pred_sql)
+    return d
+
+
+def ivfpq_encode_append(
+    spark: SparkSession, sf_dir: str, d: str, pred_sql: str
+) -> None:
+    """Encode-only ingest epoch (the FAISS operating model): read the
+    FROZEN codebooks/centroids back from ``d`` — the append path is
+    structurally incapable of touching training state — encode the
+    vectors matching ``pred_sql`` (M+1 broadcast-assign map passes, no
+    retrain), and append their codes into the cell partitions.
+    Two-phase epoch markers in the codes directory (PENDING before any
+    data file, OK with added files + row counts as the commit point)
+    make the append crash-safe and SESSION-DURABLE: a fresh session
+    re-attaches a committed append, a torn one forces rebuild
+    (VERDICT r09 #2)."""
+    import os
+
+    from strategy_analyzer_exporter_spark.operators.pipeline import kmeans_assign
+    from strategy_analyzer_exporter_spark.sources import epochs
+
+    codes_dir = os.path.join(d, "codes")
+    _, preds = epochs.chain_state([codes_dir])
+    n = len(preds) + 1
+    base_fp = ""
+    try:
+        with open(os.path.join(d, "_STAGED_OK")) as f:
+            base_fp = f.read().strip()
+    except OSError:
+        pass
+    epochs.begin_epoch([codes_dir], n, pred_sql)
+    before = epochs.data_files(codes_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = F.expr(pred_sql)
     stored_cents = spark.read.parquet(os.path.join(d, "centroids"))
     stored_cbs = spark.read.parquet(os.path.join(d, "codebooks"))
-    batch = ~train
     batch_codes = None
     for m in range(PQ_M):
         sub_b = _subspace(emb, m).filter(batch)
@@ -762,12 +864,46 @@ def ivfpq_frozen_dir(spark: SparkSession, sf_dir: str) -> str:
         batch_codes.join(batch_cells, "vec_id")
         .write.mode("append")
         .partitionBy("cell")
-        .parquet(os.path.join(d, "codes"))
+        .parquet(codes_dir)
     )
-    # --- 4. flag LAST: a killed staging never validates ------------------
-    with open(flag, "w") as f:
-        f.write(fp)
-    return d
+    added = {
+        rel: sz
+        for rel, sz in epochs.data_files(codes_dir).items()
+        if rel not in before
+    }
+    epochs.commit_epoch([codes_dir], n, pred_sql, {codes_dir: added}, base_fp)
+
+
+def compact_codes_dir(spark: SparkSession, d: str) -> None:
+    """Compaction for the cell-partitioned code table (VERDICT r09 #3):
+    after K encode-append epochs each probed cell reads K+1 file
+    groups; rewrite to ONE file per cell (repartition by the partition
+    column puts each cell's rows in exactly one task), preserving the
+    epoch manifest (re-marked compacted). Copy-then-swap like
+    compact_bucketed_table — never in place."""
+    import os
+    import shutil
+
+    from strategy_analyzer_exporter_spark.sources import epochs
+
+    codes_dir = os.path.join(d, "codes")
+    tmp = f"{codes_dir}__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(codes_dir)
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .parquet(tmp)
+    )
+    for name in os.listdir(codes_dir):
+        if name.startswith("_EPOCH_") and name.endswith("_OK"):
+            shutil.copy2(os.path.join(codes_dir, name), os.path.join(tmp, name))
+    epochs.rewrite_compacted(tmp)
+    old = f"{codes_dir}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(codes_dir, old)
+    os.rename(tmp, codes_dir)
+    shutil.rmtree(old)
 
 
 def _q_ivfpq_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,4 +914,83 @@ register(
     "similarity_ivfpq_frozen_ingest",
     _q_ivfpq_frozen,
     _ivfpq_oracle(train_pred=f"vec_id % {VEC_BATCH_MOD} <> 0"),
+)
+
+
+# ---------------------------------------------------------------------------
+# TOMBSTONES (VERDICT r09 #4): documents get removed from corpora
+# (takedowns, dedup losers); rebuilding a 100 TB index per deletion is
+# not a path. The retirement shape every vector store runs: deleted ids
+# live in a tiny tombstone RELATION, anti-joined against the candidate
+# stream at probe time — the trained index (codebooks, centroids,
+# codes) is untouched, the deleted vector simply never surfaces. The
+# oracle applies the same exclusion as a candidate predicate while its
+# TRAINING relations still cover every vector — exactly "deleted from
+# serving, not from history". Output contract unchanged: integer
+# (query_id, cand_id, rn); ranks RESHUFFLE below a deleted candidate,
+# which is what makes this a value-checked query rather than a filter
+# bolted on top of the baseline's rows.
+
+VEC_TOMB_MOD = 13
+VEC_TOMB_RESIDUE = 5  # delete vec_id ≡ 5 (mod 13) — hits baseline top-k rows
+
+
+def vec_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deleted-vector relation, staged once as a tiny parquet
+    (flag keyed on the index fingerprint + predicate) and derived from
+    the AT-REST codes table — ids of vectors the index actually serves,
+    no corpus rescan. At 100 TB this is the takedown list: thousands of
+    rows against billions, always broadcastable."""
+    import os
+    import shutil
+
+    from strategy_analyzer_exporter_spark.sources.staging import (
+        staging_root,
+        staging_suffix,
+    )
+
+    d_idx = ivfpq_index_dir(spark, sf_dir)
+    with open(os.path.join(d_idx, "_STAGED_OK")) as f:
+        idx_fp = f.read().strip()
+    pred = f"vec_id % {VEC_TOMB_MOD} = {VEC_TOMB_RESIDUE}"
+    fp = f"{idx_fp};{pred}"
+    td = os.path.join(
+        staging_root(),
+        f"vec_tomb_{staging_suffix(os.path.abspath(sf_dir))}",
+    )
+    flag = os.path.join(td, "_STAGED_OK")
+    ok = False
+    try:
+        with open(flag) as f:
+            ok = f.read().strip() == fp
+    except OSError:
+        pass
+    if not ok:
+        shutil.rmtree(td, ignore_errors=True)
+        (
+            spark.read.parquet(os.path.join(d_idx, "codes"))
+            .filter(F.expr(pred))
+            .select("vec_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(td, "ids"))
+        )
+        with open(flag, "w") as f:
+            f.write(fp)
+    return spark.read.parquet(os.path.join(td, "ids"))
+
+
+def _q_ivfpq_tombstoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ivfpq_index_dir(spark, sf_dir)
+    return _at_rest_topk(
+        spark, sf_dir, d, tombstones=vec_tombstones(spark, sf_dir)
+    )
+
+
+register(
+    "similarity_ivfpq_tombstoned",
+    _q_ivfpq_tombstoned,
+    _ivfpq_oracle(
+        cand_pred=f"cs.cand_id % {VEC_TOMB_MOD} <> {VEC_TOMB_RESIDUE}"
+    ),
 )

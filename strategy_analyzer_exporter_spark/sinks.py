@@ -150,7 +150,28 @@ def write_bucketed_table(
         db_path = unquote(urlparse(loc).path) or loc
         orphan = os.path.join(db_path, table.lower())
         if db_path and os.path.isdir(orphan):
-            shutil.rmtree(orphan, ignore_errors=True)
+            # only delete what LOOKS like a crashed table write
+            # (part files / _SUCCESS / _temporary / hidden .crc):
+            # an unexpectedly-named user directory under the warehouse
+            # is surfaced, not silently removed; and the rmtree result
+            # is checked — a partial delete must not proceed into
+            # saveAsTable's LOCATION_ALREADY_EXISTS (ADVICE r09)
+            unexpected = [
+                e
+                for e in os.listdir(orphan)
+                if not (
+                    e.startswith(("part-", "_", "."))
+                )
+            ]
+            if unexpected:
+                raise RuntimeError(
+                    f"warehouse location {orphan!r} exists without a "
+                    f"catalog entry but does not look like a crashed "
+                    f"table write (unexpected entries: {unexpected[:5]}) "
+                    f"— refusing to delete it; move it aside or drop "
+                    f"the files explicitly"
+                )
+            shutil.rmtree(orphan)
     w = (
         df.write.mode("overwrite")
         .format("parquet")

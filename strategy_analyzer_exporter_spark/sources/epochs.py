@@ -1,0 +1,194 @@
+"""Append-log / epoch manifest for at-rest index layouts (VERDICT r09 #2).
+
+The r9 at-rest indexes (the bucketed dedup tables, the cell-partitioned
+IVF-PQ code table) validated staging with a single ``_STAGED_OK``
+fingerprint describing the INITIAL build, so any append had to
+invalidate the flag and a fresh session re-BUILT the whole index from
+the corpus. Production ingest is append → append → append across many
+sessions; this module gives every at-rest layout the missing piece: a
+per-directory epoch chain whose markers let a fresh session VALIDATE an
+appended layout from the filesystem alone and re-attach instead of
+rebuilding.
+
+Protocol (two-phase, crash-safe — the _STAGED_OK lesson applied to
+appends):
+
+1. ``begin_epoch`` writes ``_EPOCH_<n>_PENDING`` into every directory
+   of the group BEFORE any data file is touched. A PENDING marker
+   without its matching OK means a torn append: validation fails and
+   the next ensure pass rebuilds from scratch — exactly the safety the
+   old flag-removal bought, but scoped to crashed appends instead of
+   every append.
+2. The caller appends its data files (bucketed saveAsTable append /
+   partitioned parquet append), snapshotting each directory's data-file
+   listing before and after.
+3. ``commit_epoch`` writes ``_EPOCH_<n>_OK`` — a JSON record carrying
+   the append's PREDICATE (a SQL string, the cross-session identity of
+   the batch), the added files with their sizes, and the appended row
+   counts (read from the new parquet footers driver-side — no Spark
+   job) — then removes the PENDING markers. The OK file is the commit
+   point.
+
+Validation (``chain_state``) is filesystem-only, like the fingerprint
+checks — staging validity must be checkable before a session has read
+anything: no PENDING without OK, OK chain contiguous from 1, every
+non-compacted epoch's recorded files still present with their recorded
+sizes. Marker names start with ``_`` so Spark's file index treats them
+as hidden — they are invisible to table/parquet scans sharing the
+directory.
+
+Compaction (VERDICT r09 #3) rewrites a layout back to one file per
+bucket/cell; the epoch HISTORY must survive (it is what expected-state
+matching validates against) while the per-epoch file lists become
+meaningless. ``rewrite_compacted`` re-emits each OK marker with
+``compacted: true`` and an empty file list — validation keeps checking
+the chain and predicates but skips the file-existence check for
+compacted epochs (the compacted data files are the base layout's now).
+
+All markers are tiny JSON files; nothing here runs a Spark job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+_PENDING_RE = re.compile(r"^_EPOCH_(\d{4})_PENDING$")
+_OK_RE = re.compile(r"^_EPOCH_(\d{4})_OK$")
+
+
+def data_files(root: str) -> dict[str, int]:
+    """{relative path: size} for every DATA file under ``root`` —
+    hidden files/dirs (leading ``_`` or ``.``), i.e. markers, flags and
+    in-flight ``_temporary`` output, are excluded, matching Spark's own
+    hidden-file convention."""
+    out: dict[str, int] = {}
+    for r, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(r, f)
+            out[os.path.relpath(p, root)] = os.stat(p).st_size
+    return out
+
+
+def parquet_rows(root: str, rel_files: list[str]) -> int:
+    """Sum of row counts from the listed parquet files' FOOTERS —
+    driver-side metadata reads, no Spark job (the epoch record's row
+    count, VERDICT r09 #2)."""
+    import pyarrow.parquet as papq
+
+    n = 0
+    for rel in rel_files:
+        try:
+            n += papq.ParquetFile(os.path.join(root, rel)).metadata.num_rows
+        except Exception:
+            return -1  # unreadable footer — recorded, never validated
+    return n
+
+
+def begin_epoch(dirs: list[str], n: int, pred: str) -> None:
+    """Phase 1: declare the in-flight append in every group directory
+    BEFORE touching data. A crash from here until ``commit_epoch``
+    leaves PENDING markers that fail validation → rebuild."""
+    for d in dirs:
+        with open(os.path.join(d, f"_EPOCH_{n:04d}_PENDING"), "w") as f:
+            json.dump({"pred": pred}, f)
+
+
+def commit_epoch(
+    dirs: list[str],
+    n: int,
+    pred: str,
+    added: dict[str, dict[str, int]],
+    base_fp: str,
+) -> None:
+    """Phase 2: write the OK record (the commit point), then clear the
+    PENDING markers. ``added`` maps each directory to its {relfile:
+    size} diff from the append."""
+    for d in dirs:
+        files = added.get(d, {})
+        rec = {
+            "pred": pred,
+            "base_fp": base_fp,
+            "compacted": False,
+            "files": files,
+            "rows": parquet_rows(d, list(files)),
+        }
+        with open(os.path.join(d, f"_EPOCH_{n:04d}_OK"), "w") as f:
+            json.dump(rec, f)
+    for d in dirs:
+        p = os.path.join(d, f"_EPOCH_{n:04d}_PENDING")
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def clear_epochs(d: str) -> None:
+    """Remove every epoch marker in ``d`` (full-rebuild path)."""
+    if not os.path.isdir(d):
+        return
+    for f in os.listdir(d):
+        if _PENDING_RE.match(f) or _OK_RE.match(f):
+            os.remove(os.path.join(d, f))
+
+
+def chain_state(dirs: list[str]) -> tuple[bool, list[str]]:
+    """(valid, committed predicate chain) for a group of directories
+    that are appended together. Valid iff, in EVERY directory: no
+    PENDING marker survives (torn append), the OK chain is contiguous
+    1..K with the same K and the same predicates group-wide, and each
+    non-compacted epoch's recorded files still exist with their
+    recorded sizes. Filesystem-only — zero Spark jobs."""
+    group_preds: list[str] | None = None
+    for d in dirs:
+        if not os.path.isdir(d):
+            return False, []
+        oks: dict[int, dict] = {}
+        for f in os.listdir(d):
+            if _PENDING_RE.match(f):
+                return False, []  # torn append
+            m = _OK_RE.match(f)
+            if m:
+                try:
+                    with open(os.path.join(d, f)) as fh:
+                        oks[int(m.group(1))] = json.load(fh)
+                except (OSError, ValueError):
+                    return False, []
+        if sorted(oks) != list(range(1, len(oks) + 1)):
+            return False, []  # gap in the chain
+        preds = [oks[i]["pred"] for i in sorted(oks)]
+        if group_preds is None:
+            group_preds = preds
+        elif preds != group_preds:
+            return False, []  # directories disagree — partial append
+        for rec in oks.values():
+            if rec.get("compacted"):
+                continue
+            for rel, size in rec.get("files", {}).items():
+                p = os.path.join(d, rel)
+                try:
+                    if os.stat(p).st_size != size:
+                        return False, []
+                except OSError:
+                    return False, []
+    return True, group_preds or []
+
+
+def rewrite_compacted(d: str) -> None:
+    """After compaction rewrote ``d``'s data files, re-emit each OK
+    marker with ``compacted: true`` and no file list — the chain and
+    its predicates survive (expected-state matching still works), the
+    stale per-epoch file references do not."""
+    for f in sorted(os.listdir(d)):
+        m = _OK_RE.match(f)
+        if not m:
+            continue
+        p = os.path.join(d, f)
+        with open(p) as fh:
+            rec = json.load(fh)
+        rec["compacted"] = True
+        rec["files"] = {}
+        with open(p, "w") as fh:
+            json.dump(rec, fh)

@@ -450,6 +450,12 @@ BROADCAST_HINT_ALLOWLIST: dict[str, object] = {
     "similarity_ivfpq_at_rest": 8,
     # frozen-ingest twin probes through the same _at_rest_topk
     "similarity_ivfpq_frozen_ingest": 8,
+    # tombstoned twin: the at-rest 8 + the tombstone relation's
+    # anti-join hint (the takedown list — thousands of ids vs billions
+    # of vectors at scale, broadcastable by design; VERDICT r09 #4)
+    "similarity_ivfpq_tombstoned": 9,
+    # the dedup tombstone relation, same bound (retired corpus doc ids)
+    "dedup_incremental_tombstoned": 1,
     # 1-row token total + the 256-row merged CMS matrix (d·w constant)
     "agg_heavy_hitters_cms": 2,
     "similarity_pq_recall": {"arrow": 16, "fold": 24},
