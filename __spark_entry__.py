@@ -122,8 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     both drains any stale backlog in one pass (VERDICT r06 #1 — the
     alphabetical rotation this replaces in r07 needed two rounds) and
     self-balances: sampled queries get fresh rows and sink to the back,
-    so with 175 registered every query is re-verified at least every
-    ⌈175/50⌉ ≈ 4 rounds — the property the rotation was for (ADVICE
+    so with 178 registered every query is re-verified at least every
+    ⌈178/50⌉ ≈ 4 rounds — the property the rotation was for (ADVICE
     r03), achieved with a tighter worst case.
 
     A query whose LATEST recorded row is a FAIL also joins the priority
