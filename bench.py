@@ -651,6 +651,13 @@ def main() -> None:
     # rows/s recovers while the plan is unchanged, a soft first-slot
     # number is the governor ramp, not a code regression.
     df_fl = queries["features_flagship"](spark, SF_DIR)
+    # same 2-warm-up JIT discipline as the headline loop: this is a
+    # REBUILT DataFrame (new codegen — the probe section long since
+    # evicted the headline plan's compiled code), so an unwarmed median
+    # would carry C2 compilation and bias the end-of-run reading low —
+    # the exact confound this field exists to rule out (r10 review)
+    for _ in range(2):
+        df_fl.write.format("noop").mode("overwrite").save()
     fl_times = []
     for _ in range(TRIALS):
         t0 = time.perf_counter()

@@ -1072,10 +1072,14 @@ def dedup_index_tables(
     )
     if not attached:
         # full rebuild: wipe catalog entries + dirs (data, flags AND
-        # epoch markers — a stale chain must not survive the rebuild)
+        # epoch markers — a stale chain must not survive the rebuild),
+        # including a torn compaction's __old/__compact siblings, which
+        # otherwise leak one full-table copy per torn swap (r10 review)
         for t, d in zip(tables, dirs):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(d, ignore_errors=True)
+            spark.sql(f"DROP TABLE IF EXISTS {t}__compact")
+            for p in (d, f"{d}__old", f"{d}__compact"):
+                shutil.rmtree(p, ignore_errors=True)
         preds = []
     corpus_pred = F.col("doc_id") % BATCH_MOD != 0
     builders = (
@@ -1126,7 +1130,17 @@ def dedup_index_append(
     from strategy_analyzer_exporter_spark.sources import epochs
 
     dirs = _idx_dirs(tables)
-    _, preds = epochs.chain_state(dirs)
+    ok, preds = epochs.chain_state(dirs)
+    if not ok:
+        # appending onto an invalid chain would renumber from the gap
+        # and CLOBBER an existing epoch's OK record — the clobbered
+        # chain then validates over duplicated data rows (r10 review).
+        # The ensure path never gets here (it rebuilds first); a direct
+        # caller must be stopped loudly.
+        raise RuntimeError(
+            f"dedup_index_append on an invalid epoch chain for {tables}; "
+            f"run dedup_index_tables(...) to rebuild first"
+        )
     n = len(preds) + 1
     base_fp = ""
     try:
@@ -1278,12 +1292,16 @@ DOC_TOMB_MOD = 5
 DOC_TOMB_RESIDUE = 2
 
 
-def doc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_tombstones(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, str, str]
+) -> DataFrame:
     """The retired-doc relation, staged once as a tiny parquet keyed on
     the index fingerprint + predicate, derived from the at-rest size
-    table (one row per indexed doc — never a corpus rescan). The 100 TB
-    takedown list: thousands of rows vs billions, always
-    broadcastable."""
+    table (one row per indexed doc — never a corpus rescan). ``tables``
+    is the caller's already-ensured index (re-validating here would
+    double the fingerprint/chain filesystem work per query build — r10
+    review). The 100 TB takedown list: thousands of rows vs billions,
+    always broadcastable."""
     import os
     import shutil
 
@@ -1292,7 +1310,6 @@ def doc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         staging_suffix,
     )
 
-    tables = dedup_index_tables(spark, sf_dir)
     size_dir = _idx_dirs(tables)[2]
     with open(os.path.join(size_dir, "_STAGED_OK")) as f:
         idx_fp = f.read().strip()
@@ -1329,7 +1346,7 @@ def _q_dedup_incremental_tombstoned(
 ) -> DataFrame:
     tables = dedup_index_tables(spark, sf_dir)
     return _at_rest_incremental(
-        spark, sf_dir, tables, tombstones=doc_tombstones(spark, sf_dir)
+        spark, sf_dir, tables, tombstones=doc_tombstones(spark, sf_dir, tables)
     )
 
 

@@ -678,9 +678,14 @@ register_deferred(_register_ivfpq_at_rest, requires=("similarity_ivfpq_topk",))
 #      structurally incapable of touching training state — encoding
 #      the batch, and appending into the cell partitions;
 #   4. probe through the same _at_rest_topk as similarity_ivfpq_at_rest.
-# The _STAGED_OK flag is written only after the append completes, so a
-# killed staging never validates a half-ingested index (the
-# dedup_index_append lesson applied from the start).
+# Crash safety (v2, VERDICT r09 #2): _STAGED_OK validates the BASE
+# build only (written after every base artifact exists); each ingest
+# epoch carries its own two-phase PENDING/OK markers in the codes dir
+# (sources/epochs.py), so a valid flag does NOT imply a fully-ingested
+# index — consumers must validate base fingerprint + the epoch chain
+# against their declared appends, which is exactly what
+# ivfpq_frozen_dir does. A killed base staging never validates; a
+# killed append leaves PENDING and forces rebuild.
 #
 # The oracle is the IVF-PQ oracle with the TRAINING relations (c0/a0,
 # g0/ga0) restricted to the corpus split while encoding covers every
@@ -833,7 +838,15 @@ def ivfpq_encode_append(
     from strategy_analyzer_exporter_spark.sources import epochs
 
     codes_dir = os.path.join(d, "codes")
-    _, preds = epochs.chain_state([codes_dir])
+    ok, preds = epochs.chain_state([codes_dir])
+    if not ok:
+        # same hazard as dedup_index_append (r10 review): renumbering
+        # from an invalid chain clobbers an existing OK record and the
+        # chain then validates over duplicated code rows
+        raise RuntimeError(
+            f"ivfpq_encode_append on an invalid epoch chain in {d}; "
+            f"rebuild via ivfpq_frozen_dir(...) first"
+        )
     n = len(preds) + 1
     base_fp = ""
     try:

@@ -125,15 +125,6 @@ def commit_epoch(
             os.remove(p)
 
 
-def clear_epochs(d: str) -> None:
-    """Remove every epoch marker in ``d`` (full-rebuild path)."""
-    if not os.path.isdir(d):
-        return
-    for f in os.listdir(d):
-        if _PENDING_RE.match(f) or _OK_RE.match(f):
-            os.remove(os.path.join(d, f))
-
-
 def chain_state(dirs: list[str]) -> tuple[bool, list[str]]:
     """(valid, committed predicate chain) for a group of directories
     that are appended together. Valid iff, in EVERY directory: no

@@ -104,6 +104,13 @@ def test_compact_codes_dir_one_file_per_cell(spark):
     from strategy_analyzer_exporter_spark.registry import QUERIES
     from strategy_analyzer_exporter_spark.sources import epochs
 
+    import shutil
+
+    # the fork persists across test sessions and a PREVIOUS run already
+    # compacted it (re-attach would hand back 1 file/cell) — rebuild
+    # fresh so the multi-file precondition holds
+    d = ivfpq_frozen_dir(spark, SF, name_extra="cmp", appends=_HALVES)
+    shutil.rmtree(d)
     d = ivfpq_frozen_dir(spark, SF, name_extra="cmp", appends=_HALVES)
     codes_dir = os.path.join(d, "codes")
     cells = [
