@@ -185,6 +185,7 @@ def compact_bucketed_table(
     ddl_cols: str,
     bucket_cols: tuple[str, ...] = ("doc_id",),
     n_buckets: int = N_BUCKETS,
+    drop_ids: tuple[DataFrame, str] | None = None,
 ) -> None:
     """Index maintenance (VERDICT r09 #3): after K appends each bucket
     holds K+1 files; rewrite the table back to ONE file per bucket,
@@ -198,7 +199,14 @@ def compact_bucketed_table(
     place, which would race the read of the very files being replaced.
     The swap itself is two renames; a crash between them loses the
     flag/markers (they travel with the directories), so the next ensure
-    pass rebuilds — degraded to the pre-epoch behavior, never wrong."""
+    pass rebuilds — degraded to the pre-epoch behavior, never wrong.
+
+    ``drop_ids`` = (tiny id relation, key column): VACUUM — the rewrite
+    broadcast-anti-joins the ids out, physically purging tombstoned
+    rows while the files are being rewritten anyway. Probe-time
+    tombstones make deletion FAST (no rewrite); vacuum at the next
+    compaction makes it PHYSICAL (takedown compliance: the bytes are
+    gone) — the two halves of how real lakes delete."""
     import shutil
 
     from strategy_analyzer_exporter_spark.sources import epochs
@@ -219,9 +227,11 @@ def compact_bucketed_table(
     # per bucket" write discipline breaks (measured: 27 files from an
     # 8-bucket table). A plain parquet read advertises unknown
     # partitioning, the repartition survives, one task per bucket.
-    _write_bucketed(
-        spark.read.parquet(path), tmp_tbl, tmp_path, bucket_cols, n_buckets
-    )
+    src = spark.read.parquet(path)
+    if drop_ids is not None:
+        ids, key = drop_ids
+        src = src.join(F.broadcast(ids), key, "left_anti")
+    _write_bucketed(src, tmp_tbl, tmp_path, bucket_cols, n_buckets)
     spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external: files stay
     # carry flag + epoch history into the compacted layout, then mark
     # every epoch compacted (their file lists now describe nothing)

@@ -1202,18 +1202,30 @@ def dedup_index_append(
 
 
 def compact_dedup_index(
-    spark: SparkSession, tables: tuple[str, str, str]
+    spark: SparkSession,
+    tables: tuple[str, str, str],
+    vacuum_ids: DataFrame | None = None,
 ) -> None:
     """Index maintenance (VERDICT r09 #3): rewrite each index table back
     to ONE file per bucket, preserving the bucket spec and the epoch
     manifest (epochs re-marked ``compacted`` — their predicates keep
-    validating expected state, their stale file lists do not)."""
+    validating expected state, their stale file lists do not).
+
+    ``vacuum_ids``: a tiny (doc_id) relation of tombstoned docs to
+    PHYSICALLY purge during the rewrite — all three tables key on
+    doc_id, so one anti-join per table drops the retired docs' grams,
+    bands, and size rows while the files are being rewritten anyway.
+    After a vacuum the probe-time tombstone anti-join over those ids is
+    a no-op (tested equal); the bytes themselves are gone. NEVER vacuum
+    the default (name_extra="") tables — the registered queries' oracle
+    describes the full corpus split; vacuum forks only."""
     from strategy_analyzer_exporter_spark.operators.bucketed import (
         compact_bucketed_table,
     )
 
+    drop = (vacuum_ids, "doc_id") if vacuum_ids is not None else None
     for (label, ddl, bcols), t in zip(_IDX_TABLE_SPECS, tables):
-        compact_bucketed_table(spark, t, ddl, bucket_cols=bcols)
+        compact_bucketed_table(spark, t, ddl, bucket_cols=bcols, drop_ids=drop)
 
 
 def _at_rest_incremental(

@@ -887,13 +887,22 @@ def ivfpq_encode_append(
     epochs.commit_epoch([codes_dir], n, pred_sql, {codes_dir: added}, base_fp)
 
 
-def compact_codes_dir(spark: SparkSession, d: str) -> None:
+def compact_codes_dir(
+    spark: SparkSession, d: str, vacuum_ids: DataFrame | None = None
+) -> None:
     """Compaction for the cell-partitioned code table (VERDICT r09 #3):
     after K encode-append epochs each probed cell reads K+1 file
     groups; rewrite to ONE file per cell (repartition by the partition
     column puts each cell's rows in exactly one task), preserving the
     epoch manifest (re-marked compacted). Copy-then-swap like
-    compact_bucketed_table — never in place."""
+    compact_bucketed_table — never in place.
+
+    ``vacuum_ids``: a tiny (vec_id) relation to PHYSICALLY purge during
+    the rewrite — the physical half of deletion (probe-time tombstones
+    are the fast half); afterwards the tombstone anti-join over those
+    ids is a no-op and the vectors' codes are gone from disk. Never
+    vacuum an index a registered query reads — oracle semantics
+    describe the unvacuumed corpus; vacuum forks only."""
     import os
     import shutil
 
@@ -902,8 +911,11 @@ def compact_codes_dir(spark: SparkSession, d: str) -> None:
     codes_dir = os.path.join(d, "codes")
     tmp = f"{codes_dir}__compact"
     shutil.rmtree(tmp, ignore_errors=True)
+    src = spark.read.parquet(codes_dir)
+    if vacuum_ids is not None:
+        src = src.join(F.broadcast(vacuum_ids), "vec_id", "left_anti")
     (
-        spark.read.parquet(codes_dir)
+        src
         .repartition("cell")
         .write.partitionBy("cell")
         .parquet(tmp)

@@ -277,6 +277,63 @@ def test_compaction_one_file_per_bucket(spark):
         _drop_index(spark, tables)
 
 
+def test_vacuum_purges_tombstoned_rows_physically(spark):
+    """The physical half of deletion: compacting with vacuum_ids drops
+    the tombstoned docs' gram/band/size rows from disk, after which the
+    probe WITHOUT any anti-join equals the tombstoned probe BEFORE the
+    vacuum — and the layout still holds one file per bucket, a valid
+    epoch chain, and zero-write re-attach."""
+    from pyspark.sql import functions as F2
+
+    from strategy_analyzer_exporter_spark.operators.dedup import (
+        _at_rest_incremental,
+        compact_dedup_index,
+        dedup_index_tables,
+    )
+    from strategy_analyzer_exporter_spark.sources import epochs
+    from strategy_analyzer_exporter_spark.sources.staging import staging_root
+
+    tables = dedup_index_tables(spark, SF, name_extra="vactest")
+    try:
+        tomb = (
+            spark.table(tables[2])
+            .filter(F2.col("doc_id") % 7 == 1)
+            .select("doc_id")
+            .localCheckpoint()  # pin the ids: the source table is rewritten
+        )
+        n_tomb = tomb.count()
+        assert n_tomb > 0
+        gram_before = spark.table(tables[0]).count()
+        want = sorted(
+            tuple(r)
+            for r in _at_rest_incremental(
+                spark, SF, tables, tombstones=tomb
+            ).collect()
+        )
+        compact_dedup_index(spark, tables, vacuum_ids=tomb)
+        # rows physically gone from all three tables
+        assert spark.table(tables[2]).join(tomb, "doc_id").count() == 0
+        assert spark.table(tables[0]).join(tomb, "doc_id").count() == 0
+        assert spark.table(tables[1]).join(tomb, "doc_id").count() == 0
+        assert spark.table(tables[0]).count() < gram_before
+        # probe WITHOUT the anti-join now equals the tombstoned probe
+        got = sorted(
+            tuple(r)
+            for r in _at_rest_incremental(spark, SF, tables).collect()
+        )
+        assert got == want
+        dirs = [os.path.join(staging_root(), "bucketed", t) for t in tables]
+        ok, _ = epochs.chain_state(dirs)
+        assert ok
+        before = _listing(tables)
+        for t in tables:
+            spark.sql(f"DROP TABLE {t}")
+        dedup_index_tables(spark, SF, name_extra="vactest")
+        assert _listing(tables) == before  # vacuumed layout re-attaches
+    finally:
+        _drop_index(spark, tables)
+
+
 def test_tombstoned_docs_never_appear(spark):
     """VERDICT r09 #4: a tombstoned corpus doc never appears in the
     incremental pairs; every other pair survives untouched; the

@@ -149,6 +149,48 @@ def test_compact_codes_dir_one_file_per_cell(spark):
     assert got == want
 
 
+def test_vacuum_codes_purges_tombstoned_vectors(spark):
+    """Vacuum for the code table: compacting with vacuum_ids physically
+    drops the tombstoned vectors' codes, after which the plain probe
+    equals the tombstoned probe from before — and the layout keeps one
+    file per cell, a valid chain, and its partition-pruned plan."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from strategy_analyzer_exporter_spark.operators.pq import (
+        _at_rest_topk,
+        compact_codes_dir,
+        ivfpq_frozen_dir,
+    )
+    from strategy_analyzer_exporter_spark.sources import epochs
+
+    d = ivfpq_frozen_dir(spark, SF, name_extra="vac", appends=_HALVES)
+    shutil.rmtree(d)  # a previous run may have vacuumed it already
+    d = ivfpq_frozen_dir(spark, SF, name_extra="vac", appends=_HALVES)
+    codes_dir = os.path.join(d, "codes")
+    tomb = (
+        spark.read.parquet(codes_dir)
+        .filter(F2.col("vec_id") % 9 == 2)
+        .select("vec_id")
+        .localCheckpoint()  # pin: the source files are rewritten
+    )
+    assert tomb.count() > 0
+    n_before = spark.read.parquet(codes_dir).count()
+    want = sorted(
+        tuple(r)
+        for r in _at_rest_topk(spark, SF, d, tombstones=tomb).collect()
+    )
+    compact_codes_dir(spark, d, vacuum_ids=tomb)
+    codes = spark.read.parquet(codes_dir)
+    assert codes.join(tomb, "vec_id").count() == 0  # physically gone
+    assert codes.count() < n_before
+    got = sorted(tuple(r) for r in _at_rest_topk(spark, SF, d).collect())
+    assert got == want
+    ok, preds = epochs.chain_state([codes_dir])
+    assert ok and preds == list(_HALVES)
+
+
 def test_ivfpq_tombstones_never_surface(spark):
     """VERDICT r09 #4: tombstoned vectors never appear as candidates,
     ranks re-close over the survivors, the exclusion is non-vacuous,
