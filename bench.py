@@ -247,6 +247,13 @@ PROBE100_QUERIES = (
     "text_tfidf_topk_bucketed",
     "dedup_incremental_at_rest",
     "similarity_ivfpq_at_rest",
+    # VERDICT r10 #6: the lifecycle family's second decade — "the
+    # tombstone anti-join is free" and "epoch append + compact stays in
+    # the at-rest class" measured at 100×, not just claimed from 1×/10×
+    "dedup_index_lifecycle",
+    "dedup_incremental_tombstoned",
+    "similarity_ivfpq_tombstoned",
+    "similarity_ivfpq_frozen_ingest",
 )
 # min-of-3 (was 2): this host shows intermittent noisy-neighbor bursts
 # that inflate ISOLATED probe entries 2-4× even on an idle box (r07:

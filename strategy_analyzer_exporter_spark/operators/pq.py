@@ -496,16 +496,27 @@ def _pq_idx_derivation() -> str:
     )
 
 
-def ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+def ivfpq_index_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    name_extra: str = "",
+    vacuums: tuple[str, ...] = (),
+) -> str:
     """Ensure the at-rest IVF-PQ index for ``sf_dir`` exists on disk and
     return its directory. Build path reuses the memoized in-session
     index relations; probe sessions never enter it (flag valid →
-    read-only)."""
+    read-only). ``name_extra`` forks an independent copy; ``vacuums``
+    declares physical deletions (vec_id predicates, applied via vacuum
+    compaction of the codes table) that the layout's ``_VACUUMED``
+    manifest must match exactly — an undeclared vacuum, or a pristine
+    layout where one was declared, fails validation and rebuilds
+    (VERDICT r10 #4 + ADVICE r10)."""
     import os
 
     from strategy_analyzer_exporter_spark.operators.bucketed import (
         corpus_fingerprint,
     )
+    from strategy_analyzer_exporter_spark.sources import epochs
     from strategy_analyzer_exporter_spark.sources.staging import (
         staging_root,
         staging_suffix,
@@ -520,15 +531,31 @@ def ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     d = os.path.join(
         staging_root(),
-        f"pq_index_{_PQ_STAGE_VERSION}_{staging_suffix(sf_dir)}",
+        f"pq_index_{_PQ_STAGE_VERSION}_{staging_suffix(sf_dir, name_extra)}",
     )
     flag = os.path.join(d, "_STAGED_OK")
+    codes_dir = os.path.join(d, "codes")
+    expected_vacs = list(vacuums)
     try:
         with open(flag) as f:
-            if f.read().strip() == fp:
-                return d
+            base_ok = f.read().strip() == fp
     except OSError:
-        pass
+        base_ok = False
+    if base_ok:
+        chain_ok, _ = epochs.chain_state([codes_dir])
+        rec_vacs = epochs.vacuum_state(codes_dir)
+        if chain_ok and rec_vacs == expected_vacs[: len(rec_vacs)]:
+            epochs.ensure_base([codes_dir])  # adopt-on-attach (r10 #3)
+            for vac_pred in expected_vacs[len(rec_vacs):]:
+                ids = (
+                    spark.read.parquet(codes_dir)
+                    .filter(F.expr(vac_pred))
+                    .select("vec_id")
+                )
+                compact_codes_dir(
+                    spark, d, vacuum_ids=ids, vacuum_pred=vac_pred
+                )
+            return d
     if os.path.exists(flag):
         os.remove(flag)  # invalidate before touching data files
     # wipe the whole dir, not just the flag: under
@@ -552,8 +579,16 @@ def ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
         cb_all = part if cb_all is None else cb_all.unionByName(part)
     cb_all.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
     cents.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    epochs.record_base([codes_dir])
     with open(flag, "w") as f:
         f.write(fp)
+    for vac_pred in expected_vacs:
+        ids = (
+            spark.read.parquet(codes_dir)
+            .filter(F.expr(vac_pred))
+            .select("vec_id")
+        )
+        compact_codes_dir(spark, d, vacuum_ids=ids, vacuum_pred=vac_pred)
     return d
 
 
@@ -767,9 +802,13 @@ def ivfpq_frozen_dir(
     if (
         base_ok
         and chain_ok
+        # this entry point declares no vacuums: a vacuumed layout no
+        # longer matches the fingerprint's derivation (ADVICE r10)
+        and epochs.vacuum_state(codes_dir) == []
         and len(preds) <= len(expected)
         and preds == expected[: len(preds)]
     ):
+        epochs.ensure_base([codes_dir])  # adopt-on-attach (r10 #3)
         for pred_sql in expected[len(preds):]:
             ivfpq_encode_append(spark, sf_dir, d, pred_sql)
         return d
@@ -810,7 +849,11 @@ def ivfpq_frozen_dir(
     cents.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
     # --- 3. flag marks the BASE as committed; append epochs carry their
     # own two-phase markers (a killed base staging never validates — the
-    # flag is written after every base artifact exists)
+    # flag is written after every base artifact exists). The base record
+    # (epoch 0) snapshots the corpus codes' file listing first, so the
+    # chain rejects data files accounted for by neither base nor any
+    # epoch — an out-of-band writer's files (VERDICT r10 #3)
+    epochs.record_base([codes_dir])
     with open(flag, "w") as f:
         f.write(fp)
     # --- 4. ingest epochs from READ-BACK artifacts only -----------------
@@ -888,7 +931,10 @@ def ivfpq_encode_append(
 
 
 def compact_codes_dir(
-    spark: SparkSession, d: str, vacuum_ids: DataFrame | None = None
+    spark: SparkSession,
+    d: str,
+    vacuum_ids: DataFrame | None = None,
+    vacuum_pred: str | None = None,
 ) -> None:
     """Compaction for the cell-partitioned code table (VERDICT r09 #3):
     after K encode-append epochs each probed cell reads K+1 file
@@ -902,13 +948,32 @@ def compact_codes_dir(
     are the fast half); afterwards the tombstone anti-join over those
     ids is a no-op and the vectors' codes are gone from disk. Never
     vacuum an index a registered query reads — oracle semantics
-    describe the unvacuumed corpus; vacuum forks only."""
+    describe the unvacuumed corpus; vacuum forks only (and the vacuum
+    is recorded: ``vacuum_pred``, required with ``vacuum_ids``, lands
+    in the codes directory's ``_VACUUMED`` manifest so attach-time
+    validation distinguishes a vacuumed fork from the pristine layout —
+    ADVICE r10)."""
     import os
     import shutil
 
     from strategy_analyzer_exporter_spark.sources import epochs
 
+    if vacuum_ids is not None and vacuum_pred is None:
+        raise ValueError(
+            "compact_codes_dir with vacuum_ids requires vacuum_pred — an "
+            "undeclared vacuum would validate as the pristine layout"
+        )
     codes_dir = os.path.join(d, "codes")
+    # compacting a torn append would fold half-committed code rows into
+    # the compacted table and destroy the tear evidence; the next
+    # declared-state ensure would then REPLAY the epoch over duplicated
+    # rows. Same guard as ivfpq_encode_append (ADVICE r10, medium).
+    ok, _ = epochs.chain_state([codes_dir])
+    if not ok:
+        raise RuntimeError(
+            f"compact_codes_dir on an invalid epoch chain in {d}; "
+            f"rebuild via ivfpq_frozen_dir/ivfpq_index_dir first"
+        )
     tmp = f"{codes_dir}__compact"
     shutil.rmtree(tmp, ignore_errors=True)
     src = spark.read.parquet(codes_dir)
@@ -921,9 +986,13 @@ def compact_codes_dir(
         .parquet(tmp)
     )
     for name in os.listdir(codes_dir):
-        if name.startswith("_EPOCH_") and name.endswith("_OK"):
+        if name == "_VACUUMED" or (
+            name.startswith("_EPOCH_") and name.endswith("_OK")
+        ):
             shutil.copy2(os.path.join(codes_dir, name), os.path.join(tmp, name))
     epochs.rewrite_compacted(tmp)
+    if vacuum_pred is not None:
+        epochs.record_vacuum(tmp, vacuum_pred)
     old = f"{codes_dir}__old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(codes_dir, old)
@@ -974,11 +1043,19 @@ def vec_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         staging_suffix,
     )
 
+    from strategy_analyzer_exporter_spark.sources import epochs
+
     d_idx = ivfpq_index_dir(spark, sf_dir)
     with open(os.path.join(d_idx, "_STAGED_OK")) as f:
         idx_fp = f.read().strip()
     pred = f"vec_id % {VEC_TOMB_MOD} = {VEC_TOMB_RESIDUE}"
-    fp = f"{idx_fp};{pred}"
+    # key the staged id list on the committed epoch chain, not just the
+    # base fingerprint: under the v2 protocol the base fingerprint
+    # survives appends, so a pre-append id list would keep validating
+    # while newly appended vectors matching the residue were never
+    # filtered (ADVICE r10)
+    _, chain_preds = epochs.chain_state([os.path.join(d_idx, "codes")])
+    fp = f"{idx_fp};chain={chain_preds!r};{pred}"
     td = os.path.join(
         staging_root(),
         f"vec_tomb_{staging_suffix(os.path.abspath(sf_dir))}",
@@ -1015,6 +1092,37 @@ def _q_ivfpq_tombstoned(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "similarity_ivfpq_tombstoned",
     _q_ivfpq_tombstoned,
+    _ivfpq_oracle(
+        cand_pred=f"cs.cand_id % {VEC_TOMB_MOD} <> {VEC_TOMB_RESIDUE}"
+    ),
+)
+
+
+# --- vacuum, end to end (VERDICT r10 #4, the vector twin) -------------------
+# A forked index is vacuum-compacted over the SAME vec_ids the
+# tombstone query filters, then probed with NO anti-join — the deleted
+# vectors' codes are physically gone from the cell partitions, so the
+# pruned probe scan simply never reads them. Oracle identical to the
+# tombstoned query's: physical purge and probe-time exclusion must be
+# observationally equivalent (test_pq_lifecycle.py proves it on a unit
+# fork; this query proves it through the driver gate every round). The
+# vacuum is DECLARED (vacuums=(pred,)), so fresh sessions re-attach the
+# vacuumed layout with zero writes while an undeclared vacuum of a
+# pristine index fails the manifest check (ADVICE r10).
+
+VEC_VACUUM_PRED = f"vec_id % {VEC_TOMB_MOD} = {VEC_TOMB_RESIDUE}"
+
+
+def _q_ivfpq_vacuumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ivfpq_index_dir(
+        spark, sf_dir, name_extra="vacuumed", vacuums=(VEC_VACUUM_PRED,)
+    )
+    return _at_rest_topk(spark, sf_dir, d)
+
+
+register(
+    "similarity_ivfpq_vacuumed",
+    _q_ivfpq_vacuumed,
     _ivfpq_oracle(
         cand_pred=f"cs.cand_id % {VEC_TOMB_MOD} <> {VEC_TOMB_RESIDUE}"
     ),

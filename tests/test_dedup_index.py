@@ -206,6 +206,17 @@ def test_torn_epoch_forces_rebuild(spark):
         with open(os.path.join(dirs[0], "_EPOCH_0002_PENDING"), "w") as f:
             f.write('{"pred": "crashed"}')
         assert epochs.chain_state(dirs) == (False, [])
+        # compacting the torn layout would fold the half-committed rows
+        # in and destroy the tear evidence — the entry point must refuse
+        # (ADVICE r10, the dedup_index_append guard mirrored)
+        import pytest
+
+        from strategy_analyzer_exporter_spark.operators.dedup import (
+            compact_dedup_index,
+        )
+
+        with pytest.raises(RuntimeError, match="invalid epoch chain"):
+            compact_dedup_index(spark, tables)
         before = _listing(tables)
         tables2 = dedup_index_tables(
             spark, SF, name_extra="torntest", appends=appends
@@ -310,7 +321,10 @@ def test_vacuum_purges_tombstoned_rows_physically(spark):
                 spark, SF, tables, tombstones=tomb
             ).collect()
         )
-        compact_dedup_index(spark, tables, vacuum_ids=tomb)
+        vac_pred = "doc_id % 7 = 1"
+        compact_dedup_index(
+            spark, tables, vacuum_ids=tomb, vacuum_pred=vac_pred
+        )
         # rows physically gone from all three tables
         assert spark.table(tables[2]).join(tomb, "doc_id").count() == 0
         assert spark.table(tables[0]).join(tomb, "doc_id").count() == 0
@@ -325,11 +339,24 @@ def test_vacuum_purges_tombstoned_rows_physically(spark):
         dirs = [os.path.join(staging_root(), "bucketed", t) for t in tables]
         ok, _ = epochs.chain_state(dirs)
         assert ok
+        # the vacuum is RECORDED (ADVICE r10): a session that DECLARES
+        # it re-attaches the vacuumed layout with zero writes...
+        assert all(epochs.vacuum_state(d) == [vac_pred] for d in dirs)
         before = _listing(tables)
         for t in tables:
             spark.sql(f"DROP TABLE {t}")
-        dedup_index_tables(spark, SF, name_extra="vactest")
+        dedup_index_tables(
+            spark, SF, name_extra="vactest", vacuums=(vac_pred,)
+        )
         assert _listing(tables) == before  # vacuumed layout re-attaches
+        # ...while presenting the vacuumed layout as PRISTINE (no
+        # declared vacuums) fails the manifest check and rebuilds — the
+        # previously-undetectable mistaken-vacuum corruption
+        for t in tables:
+            spark.sql(f"DROP TABLE {t}")
+        dedup_index_tables(spark, SF, name_extra="vactest")
+        assert all(epochs.vacuum_state(d) == [] for d in dirs)
+        assert spark.table(tables[2]).join(tomb, "doc_id").count() == n_tomb
     finally:
         _drop_index(spark, tables)
 
@@ -357,6 +384,23 @@ def test_tombstoned_docs_never_appear(spark):
     assert P.count_exchanges(tomb) <= P.count_exchanges(base), (
         P.physical_plan(tomb)
     )
+
+
+def test_vacuumed_query_equals_tombstoned_without_antijoin(spark):
+    """VERDICT r10 #4's Done-criterion: the registered vacuumed query
+    answers the tombstone query's rows exactly, and its probe plan
+    carries NO anti-join — the retired docs are gone from disk, not
+    filtered at probe time."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    vac = QUERIES["dedup_incremental_vacuumed"](spark, SF)
+    tomb = QUERIES["dedup_incremental_tombstoned"](spark, SF)
+    assert sorted(tuple(r) for r in vac.collect()) == sorted(
+        tuple(r) for r in tomb.collect()
+    )
+    vac_plan = P.physical_plan(vac)
+    assert "LeftAnti" not in vac_plan, vac_plan
+    assert "LeftAnti" in P.physical_plan(tomb)  # the twin still filters
 
 
 def test_write_bucketed_table_tolerates_orphan_location(spark):

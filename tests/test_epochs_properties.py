@@ -57,6 +57,7 @@ def _commit(dirs, n, pred, files_per_dir=1):
             "resized_file",     # truncate a recorded data file
             "divergent_pred",   # one dir's OK disagrees on the predicate
             "compacted",        # rewrite_compacted (files gone, still valid)
+            "orphan",           # data file accounted for by no record
         ]
     ),
     victim=st.integers(0, 10),
@@ -65,6 +66,9 @@ def test_chain_state_matches_reference_model(
     tmp_path_factory, n_dirs, n_epochs, corruption, victim
 ):
     dirs = _mk_group(tmp_path_factory.mktemp("grp"), n_dirs)
+    # models the build path: every layout starts with a base record
+    # (epoch 0), so the orphan check is live (VERDICT r10 #3)
+    epochs.record_base(dirs)
     preds = [f"id % {k + 2} = 0" for k in range(n_epochs)]
     for k, pred in enumerate(preds, start=1):
         _commit(dirs, k, pred)
@@ -106,11 +110,74 @@ def test_chain_state_matches_reference_model(
             with open(os.path.join(d, "part-0000-c.bin"), "wb") as f:
                 f.write(b"compacted")
             epochs.rewrite_compacted(d)
-        # still valid: compacted epochs skip the file check
+        # still valid: compacted epochs skip the file check, and the
+        # re-snapshot base record accounts for the compacted file
+    elif corruption == "orphan":
+        # an out-of-band writer's file: present on disk, recorded by
+        # neither the base nor any epoch — must fail validation
+        with open(os.path.join(dirs[victim % n_dirs], "part-9999-x.bin"),
+                  "wb") as f:
+            f.write(b"orphan")
+        expect_valid, expect_preds = False, []
 
     ok, got_preds = epochs.chain_state(dirs)
     assert ok == expect_valid, (corruption, n_dirs, n_epochs)
     assert got_preds == expect_preds
+
+
+def test_second_appender_collides_on_pending(tmp_path):
+    """VERDICT r10 #3's concurrent-writer story: PENDING markers are
+    created O_EXCL, so a second appender that raced to the same epoch
+    number fails loudly BEFORE writing any data — and the chain is
+    left torn (two writers did race), forcing rebuild."""
+    import pytest
+
+    dirs = _mk_group(tmp_path, 2)
+    epochs.record_base(dirs)
+    _commit(dirs, 1, "id % 2 = 0")
+    epochs.begin_epoch(dirs, 2, "id % 3 = 0")  # appender A in flight
+    with pytest.raises(RuntimeError, match="already claimed"):
+        epochs.begin_epoch(dirs, 2, "id % 5 = 0")  # appender B loses
+    assert epochs.chain_state(dirs) == (False, [])  # torn → rebuild
+
+
+def test_ensure_base_adopts_legacy_layout(tmp_path):
+    """Layouts staged before the base record: first successful attach
+    adopts (current files − epoch-recorded files) as the base, after
+    which orphan detection is active — no rebuild, no silent hole
+    left open forever."""
+    dirs = _mk_group(tmp_path, 1)
+    d = dirs[0]
+    # legacy build: base data files but NO epoch-0 record
+    with open(os.path.join(d, "part-base-0.bin"), "wb") as f:
+        f.write(b"base")
+    _commit(dirs, 1, "id % 2 = 0")
+    assert epochs.chain_state(dirs) == (True, ["id % 2 = 0"])
+    epochs.ensure_base(dirs)  # the attach-path upgrade
+    with open(os.path.join(d, "_EPOCH_0000_OK")) as f:
+        rec = json.load(f)
+    assert rec["base"] and list(rec["files"]) == ["part-base-0.bin"]
+    assert epochs.chain_state(dirs) == (True, ["id % 2 = 0"])
+    epochs.ensure_base(dirs)  # idempotent
+    # protection is live from here: an orphan now fails validation
+    with open(os.path.join(d, "part-9999-x.bin"), "wb") as f:
+        f.write(b"orphan")
+    assert epochs.chain_state(dirs) == (False, [])
+
+
+def test_vacuum_manifest_roundtrip(tmp_path):
+    """ADVICE r10: vacuums are declared state — recorded in order,
+    read back exactly, absent by default, and poison (unreadable
+    manifest) never matches any expectation."""
+    dirs = _mk_group(tmp_path, 1)
+    d = dirs[0]
+    assert epochs.vacuum_state(d) == []
+    epochs.record_vacuum(d, "id % 7 = 1")
+    epochs.record_vacuum(d, "id % 11 = 3")
+    assert epochs.vacuum_state(d) == ["id % 7 = 1", "id % 11 = 3"]
+    with open(os.path.join(d, "_VACUUMED"), "w") as f:
+        f.write("not json")
+    assert epochs.vacuum_state(d) == ["<unreadable _VACUUMED>"]
 
 
 def test_commit_clears_pending_and_records_rows(tmp_path):

@@ -454,6 +454,11 @@ BROADCAST_HINT_ALLOWLIST: dict[str, object] = {
     # anti-join hint (the takedown list — thousands of ids vs billions
     # of vectors at scale, broadcastable by design; VERDICT r09 #4)
     "similarity_ivfpq_tombstoned": 9,
+    # the vacuumed twin probes through the same _at_rest_topk but with
+    # NO tombstone broadcast — the at-rest baseline's 8 (centroids + 4
+    # per-subspace codebook distance relations, etc.), one fewer than
+    # the tombstoned twin, which is itself the point (r11)
+    "similarity_ivfpq_vacuumed": 8,
     # the dedup tombstone relation, same bound (retired corpus doc ids)
     "dedup_incremental_tombstoned": 1,
     # 1-row token total + the 256-row merged CMS matrix (d·w constant)

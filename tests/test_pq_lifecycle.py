@@ -81,6 +81,14 @@ def test_frozen_torn_epoch_forces_rebuild(spark):
     with open(os.path.join(codes_dir, "_EPOCH_0003_PENDING"), "w") as f:
         f.write('{"pred": "crashed"}')
     assert epochs.chain_state([codes_dir]) == (False, [])
+    # the compaction entry point must refuse the torn chain rather than
+    # fold the half-committed rows in (ADVICE r10)
+    import pytest
+
+    from strategy_analyzer_exporter_spark.operators.pq import compact_codes_dir
+
+    with pytest.raises(RuntimeError, match="invalid epoch chain"):
+        compact_codes_dir(spark, d)
     before = _files(d)
     d2 = ivfpq_frozen_dir(spark, SF, name_extra="torn", appends=_HALVES)
     assert _files(d2) != before  # rebuilt
@@ -181,7 +189,8 @@ def test_vacuum_codes_purges_tombstoned_vectors(spark):
         tuple(r)
         for r in _at_rest_topk(spark, SF, d, tombstones=tomb).collect()
     )
-    compact_codes_dir(spark, d, vacuum_ids=tomb)
+    vac_pred = "vec_id % 9 = 2"
+    compact_codes_dir(spark, d, vacuum_ids=tomb, vacuum_pred=vac_pred)
     codes = spark.read.parquet(codes_dir)
     assert codes.join(tomb, "vec_id").count() == 0  # physically gone
     assert codes.count() < n_before
@@ -189,6 +198,79 @@ def test_vacuum_codes_purges_tombstoned_vectors(spark):
     assert got == want
     ok, preds = epochs.chain_state([codes_dir])
     assert ok and preds == list(_HALVES)
+    # the vacuum is recorded (ADVICE r10): a fresh ensure that does NOT
+    # declare it must refuse to re-attach this layout and rebuild —
+    # manifest mismatch, not docstring convention
+    assert epochs.vacuum_state(codes_dir) == [vac_pred]
+    d2 = ivfpq_frozen_dir(spark, SF, name_extra="vac", appends=_HALVES)
+    assert d2 == d
+    assert epochs.vacuum_state(codes_dir) == []  # rebuilt pristine
+    assert spark.read.parquet(codes_dir).join(tomb, "vec_id").count() > 0
+
+
+def test_vacuumed_query_equals_tombstoned_without_antijoin(spark):
+    """VERDICT r10 #4 (vector twin): the registered vacuumed query
+    answers the tombstone query's rows exactly, with NO anti-join in
+    its probe plan — the deleted vectors' codes are gone from the cell
+    partitions, not filtered at probe time."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    vac = QUERIES["similarity_ivfpq_vacuumed"](spark, SF)
+    tomb = QUERIES["similarity_ivfpq_tombstoned"](spark, SF)
+    assert sorted(tuple(r) for r in vac.collect()) == sorted(
+        tuple(r) for r in tomb.collect()
+    )
+    vac_plan = P.physical_plan(vac)
+    assert "LeftAnti" not in vac_plan, vac_plan
+    assert "LeftAnti" in P.physical_plan(tomb)  # the twin still filters
+
+
+def test_tombstoned_recall_floor(spark):
+    """VERDICT r10 #7: the tombstoned probe changes the candidate set,
+    so its quality needs its own ground truth — exact cosine top-k over
+    the NON-tombstoned corpus (the same exclusion the oracle applies as
+    a candidate predicate). Floor matches the clean indexes' asserted
+    class (test_pipeline_ops.test_pq_recall_floor: mean recall ≥
+    0.2 × 3/5 — a 3-candidate index against a top-5 truth set)."""
+    import numpy as np
+
+    from strategy_analyzer_exporter_spark.operators.pq import (
+        N_QUERIES,
+        VEC_TOMB_MOD,
+        VEC_TOMB_RESIDUE,
+    )
+    from strategy_analyzer_exporter_spark.operators.similarity import TOP_K
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    emb = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    alive = {
+        i: v for i, v in emb.items()
+        if i % VEC_TOMB_MOD != VEC_TOMB_RESIDUE
+    }
+    truth = {}
+    for q in range(N_QUERIES):
+        qv = emb[q]
+        qn = np.linalg.norm(qv)
+        scored = sorted(
+            (-(float(qv @ cv) / (qn * np.linalg.norm(cv))), c)
+            for c, cv in alive.items()
+            if c != q
+        )
+        truth[q] = {c for _, c in scored[:TOP_K]}
+    hits, n = 0, 0
+    for r in QUERIES["similarity_ivfpq_tombstoned"](spark, SF).collect():
+        n += 1
+        hits += int(r["cand_id"] in truth[r["query_id"]])
+        # every candidate must be alive — redundant with the
+        # never-surface test but free here
+        assert r["cand_id"] % VEC_TOMB_MOD != VEC_TOMB_RESIDUE
+    assert n > 0
+    mean_recall = hits / (N_QUERIES * TOP_K)
+    assert mean_recall >= 0.2 * 3 / 5, (hits, n, mean_recall)
 
 
 def test_ivfpq_tombstones_never_surface(spark):
