@@ -223,6 +223,23 @@ PROBE_QUERIES = (
     "dedup_incremental_tombstoned",
     "similarity_ivfpq_tombstoned",
     "dedup_index_lifecycle",
+    # r11: vacuum twins — physical purge at compaction; staging (fork +
+    # tombstone-compact) lands in warm-up, the timed pass is a plain
+    # probe over the smaller index with NO anti-join: expect ≤ the
+    # tombstoned twins' exponents
+    "dedup_incremental_vacuumed",
+    "similarity_ivfpq_vacuumed",
+    # r11: substring-span dedup — gram-hash shuffle dominates and
+    # cross-copy grams never collide in the 10× corpus, so duplicated
+    # coverage grows linearly by construction; expect the minhash
+    # class (~0.5-0.8, shuffle+window bound)
+    "dedup_substring_spans",
+    # r11: SemDeDup at FIXED k — cluster size grows with the corpus, so
+    # within-cluster pairs grow ~quadratically: the expected exponent
+    # is ~2, ON PURPOSE. This probe is the measured case for the
+    # paper's own scaling rule (k ∝ n bounds cluster size); the
+    # operator docstring carries the rule, this number carries the why.
+    "dedup_semdedup",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute

@@ -1697,3 +1697,126 @@ FROM quality q LEFT JOIN clusters c ON c.doc_id = q.doc_id"""
 
 
 register("corpus_clean_neardup", _q_corpus_clean_neardup, _clean_neardup_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): find maximal TOKEN SPANS that
+# occur verbatim ≥2 times anywhere in the corpus (across documents or
+# repeated within one). Doc-level dedup (MinHash/SimHash above) keeps
+# or drops whole documents; this reports the duplicated REGIONS, which
+# is what a training pipeline clips before tokenization. The reference
+# paper builds a corpus-wide suffix array — inherently single-node; the
+# distributed equivalent is the gram-hash formulation below: a run of
+# ≥ SPAN_GRAM duplicated tokens exists iff every SPAN_GRAM-gram inside
+# it is duplicated, so duplicated grams mark coverage and merging
+# adjacent covered positions reconstructs the maximal spans exactly
+# (for spans ≥ SPAN_GRAM; shorter duplicates are below the reporting
+# threshold by definition).
+#
+# Shape at 100 TB: one scan fans out to (doc_id, pos, gram-hash) rows —
+# ~tokens-per-doc rows each a few dozen bytes; ONE shuffle on the gram
+# hash (the window count; map-side partial aggregation does not apply
+# to windows, but the alternative groupBy+semi-join costs TWO shuffles
+# of the same relation); ONE shuffle on doc_id for the interval merge,
+# whose input is only the duplicated positions (typically ≪ corpus).
+# Boilerplate grams (licence headers) are the skew hazard on the gram
+# shuffle — same mitigation as the LSH bands above (AQE skew split).
+# Hashing is md5 for engine parity with the DuckDB oracle (house rule,
+# module docstring); production would swap in xxhash64 — 64-bit
+# collisions only ever ADD a false covered position, never remove one.
+
+SPAN_GRAM = 8  # minimum duplicated run length, in tokens
+
+
+def _q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans per document: (doc_id,
+    span_start, span_end, span_tokens), positions in 0-based token
+    coordinates (whitespace tokens, empties dropped — the shared
+    :func:`tokens` convention, so Spark and the oracle index the same
+    list). Spans from distinct islands never touch: two covered
+    positions merge iff the gap is ≤ 1 token."""
+    from pyspark.sql import Window
+
+    k = SPAN_GRAM
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= k)
+    )
+    # one row per gram start: transform+posexplode keeps the fan-out in
+    # a single codegen'd projection (no self-join to build the window)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}), "
+                f"i -> md5(array_join(slice(t, i + 1, {k}), ' ')))"
+            )
+        ).alias("pos", "gh"),
+    )
+    # duplicated grams: window count over the hash — one exchange; the
+    # filter keeps only covered positions for the per-doc merge
+    cov = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos", (F.col("pos") + k - 1).alias("e"))
+    )
+    # gaps-and-islands: a new span starts where pos jumps past the
+    # running max end + 1 (adjacent/overlapping gram intervals merge)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    isl = cov.withColumn(
+        "ni",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("island", F.sum("ni").over(wd))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("m"))
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("span_start"),
+            F.col("m").cast("long").alias("span_end"),
+            (F.col("m") - F.col("s") + 1).cast("long").alias("span_tokens"),
+        )
+    )
+
+
+def _substring_spans_oracle() -> str:
+    k = SPAN_GRAM
+    return f"""WITH toks AS (
+    SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, u.i AS pos,
+           md5(array_to_string(t[u.i + 1 : u.i + {k}], ' ')) AS gh
+    FROM toks, UNNEST(generate_series(0, len(t) - {k})) AS u(i)
+    WHERE len(t) >= {k}
+),
+cov AS (
+    SELECT doc_id, pos, pos + {k - 1} AS e
+    FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS c FROM grams)
+    WHERE c >= 2
+),
+isl AS (
+    SELECT doc_id, pos, e,
+           CASE WHEN pos > coalesce(max(e) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+           THEN 1 ELSE 0 END AS ni
+    FROM cov
+),
+isl2 AS (
+    SELECT doc_id, pos, e,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl2 GROUP BY doc_id, island"""
+
+
+register(
+    "dedup_substring_spans", _q_dedup_substring_spans, _substring_spans_oracle()
+)

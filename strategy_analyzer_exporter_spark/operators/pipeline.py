@@ -38,7 +38,7 @@ from strategy_analyzer_exporter_spark.functions import (
     tokens as _tokens,
 )
 from strategy_analyzer_exporter_spark.functions.topk import ranked_init
-from strategy_analyzer_exporter_spark.registry import register
+from strategy_analyzer_exporter_spark.registry import register, register_deferred
 from strategy_analyzer_exporter_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -374,7 +374,11 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_assign_body() -> str:
+    """WITH-body CTE chain ending in ``assign`` (vec_id, cid) — the
+    converged k-means assignment. Shared by the k-means oracle and the
+    SemDeDup oracle below, so both engines always agree on the same
+    unrolled Lloyd iterations."""
     ctes = [
         f"e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n     FROM embeddings)",
         f"""c0 AS (
@@ -404,18 +408,115 @@ def _kmeans_oracle() -> str:
 )"""
         )
         cur = f"c{i + 1}"
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid, {_sqdist_sql("e.v", "c.cv")} AS dist
-    FROM e CROSS JOIN {cur} c)
-QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1"""
+    ctes.append(
+        f"""assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid, {_sqdist_sql("e.v", "c.cv")} AS dist
+        FROM e CROSS JOIN {cur} c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)"""
     )
+    return ",\n".join(ctes)
+
+
+def _kmeans_oracle() -> str:
+    return "WITH " + _kmeans_assign_body() + "\nSELECT vec_id, cid FROM assign"
 
 
 register("kmeans_embeddings", _q_kmeans, _kmeans_oracle())
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+# clustering — k-means partitions the embedding space, pairwise cosine
+# runs ONLY within each cluster, and of any similar pair the higher-id
+# vector is dropped (deterministic keep-lowest; the paper keeps the
+# point farthest from the centroid — any fixed tie-break works, lowest
+# id makes both engines trivially agree). The cluster step is what
+# makes semantic dedup feasible at scale: pairwise cost is bounded by
+# the LARGEST CLUSTER, never by the corpus — the paper runs k=50k over
+# LAION; here k = KM_K because the gate corpus is 500 vectors. The
+# kept rule "similar to ANY lower-id vector" (not "any KEPT lower-id")
+# is the standard one-pass approximation — it can over-drop a chain
+# a~b~c where a!~c, which is the conservative direction for training
+# data.
+#
+# Threshold calibration: the synthetic embeddings are near-orthogonal
+# (max within-cluster cosine ≈ 0.51, 99.9th pct ≈ 0.40 — measured at
+# sf0.001/0.01), so the paper's τ ≈ 0.95+ would make the drop path
+# vacuous. τ = 0.40 drops ~30 of 500 at both gate scales, so the
+# anti-join and the kept flag are value-checked non-trivially;
+# production swaps τ back to its semantic setting.
+
+SEMDEDUP_COS = 0.40
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, kept) — kept = 0 iff some lower-id same-cluster
+    vector has cosine ≥ τ. Plan: the memoized k-means assignment
+    (collect-free reuse, see _q_kmeans) joins embeddings once, pairs
+    come from the cid equi-join (cluster size bounds the quadratic),
+    and the dropped set — small by construction — comes back as a
+    broadcast-sized left join for the flag."""
+    from strategy_analyzer_exporter_spark.operators.similarity import _cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    x = _q_kmeans(spark, sf_dir).join(emb, "vec_id")
+    a = x.select(
+        F.col("vec_id").alias("vec_a"), F.col("cid").alias("cid_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = x.select(
+        F.col("vec_id").alias("vec_b"), F.col("cid").alias("cid_b"),
+        F.col("embedding").alias("vb"),
+    )
+    dropped = (
+        a.join(b, a.cid_a == b.cid_b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(_cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_COS)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        x.join(F.broadcast(dropped), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("is_dropped").isNotNull(), 0)
+            .otherwise(1)
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+def _semdedup_oracle() -> str:
+    from strategy_analyzer_exporter_spark.operators.similarity import _cosine_sql
+
+    return f"""WITH {_kmeans_assign_body()},
+x AS (
+    SELECT a.vec_id, a.cid, e2.embedding AS emb
+    FROM assign a JOIN embeddings e2 USING (vec_id)
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM x a JOIN x b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.emb', 'b.emb')} >= {SEMDEDUP_COS}
+)
+SELECT x.vec_id, x.cid,
+       CAST(CASE WHEN x.vec_id IN (SELECT vec_id FROM dropped)
+            THEN 0 ELSE 1 END AS INTEGER) AS kept
+FROM x"""
+
+
+# deferred: _semdedup_oracle needs similarity's fold-cosine SQL, and
+# similarity may not have finished importing when registry._load_all
+# reaches this module (same pattern as ann_recall.py)
+register_deferred(
+    lambda: register("dedup_semdedup", _q_semdedup, _semdedup_oracle()),
+    requires=("dedup_embedding_cosine",),
+)
 
 
 # ---------------------------------------------------------------------------

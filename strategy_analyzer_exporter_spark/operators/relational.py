@@ -376,9 +376,18 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
 
 
 def _q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    """Left-anti join (NOT EXISTS): customers with no large order.
+
+    r11 recalibration: the original predicate ("no orders at all") was
+    VACUOUS on the synthetic corpus — every sf0.001/0.01 customer has
+    at least one order, so the query had matched its oracle on ZERO
+    rows since r01, and a broken anti-join would have passed the gate.
+    Anti-joining against the > 400k-price subset returns 20 / 202 /
+    1997 rows at sf0.001/0.01/0.1 (measured), so the NOT EXISTS path
+    is value-checked on real rows at every scale. Same plan shape: the
+    filter pushes to the orders scan, then one anti-join on custkey."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -388,7 +397,8 @@ register(
     "join_anti",
     _q_join_anti,
     """SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""",
 )
 
 

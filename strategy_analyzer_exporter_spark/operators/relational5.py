@@ -182,10 +182,16 @@ JOIN customer ON o_custkey = c_custkey""",
 
 
 # ---------------------------------------------------------------------------
-# Q22 shape: well-funded customers with no orders, per nation — an
-# anti-join against orders plus a scalar-average gate. The scalar is a
-# one-row broadcast; the anti join shuffles on custkey (or broadcasts
-# at small SF under AQE).
+# Q22 shape: well-funded customers with no LARGE orders, per nation —
+# an anti-join plus a scalar-average gate. The scalar is a one-row
+# broadcast; the anti join shuffles on custkey (or broadcasts at small
+# SF under AQE).
+#
+# r11 recalibration: "no orders at all" was VACUOUS on this corpus
+# (every gate-scale customer has an order — zero output rows since
+# r01); anti-joining against the > 400k-price subset yields 7 / 88 /
+# 944 qualifying customers at sf0.001/0.01/0.1 (measured), so the
+# anti-join + scalar gate combination is value-checked on real rows.
 
 
 def _q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,7 +199,11 @@ def _q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_pos = c.filter(F.col("c_acctbal") > 0).agg(
         davg("c_acctbal").alias("avg_bal")
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select("o_custkey")
+    )
     rich = c.join(F.broadcast(avg_pos)).filter(
         F.col("c_acctbal") > F.col("avg_bal")
     )
@@ -211,7 +221,8 @@ register(
        {dsum_sql("c_acctbal")} AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT {davg_sql("c_acctbal")} FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
 GROUP BY c_nationkey""",
 )
 

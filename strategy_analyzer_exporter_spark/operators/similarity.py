@@ -34,7 +34,15 @@ DIM = 64
 N_PLANES = 8
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
-NEARDUP_COS = 0.98
+# r11 recalibration: 0.98 (the production near-dup setting) was
+# VACUOUS on this corpus — the synthetic embeddings are near-orthogonal
+# (max same-bucket cosine ≈ 0.44 at sf0.001/0.01, measured), so the
+# registered query had matched its oracle on ZERO rows since r01. The
+# gate exists to value-check the verify path, which needs rows to
+# check: 0.35 yields 4 / 6 pairs at the two gate scales (and is not
+# knife-edge — the nearest pair sits at ≈ 0.438). Production swaps the
+# semantic threshold back in; the operator shape is identical.
+NEARDUP_COS = 0.35
 
 
 def _hyperplanes() -> list[list[float]]:

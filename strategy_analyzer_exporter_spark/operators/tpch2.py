@@ -394,21 +394,37 @@ SELECT c_custkey, c_name, revenue, c_acctbal, n_name, rn FROM (
 
 
 # ---------------------------------------------------------------------------
-# Q11: important stock — parts whose lineitem revenue exceeds a fixed
-# fraction of total revenue (partsupp-free adaptation). The total is a
-# 1-row broadcast; the threshold multiply and the comparison are single
-# double ops on identically-computed dsums.
+# Q11: important stock — parts whose lineitem revenue exceeds a
+# multiple of the MEAN per-part revenue (partsupp-free adaptation).
+#
+# r11 recalibration: the original fixed-fraction-of-total threshold
+# (0.002) only returns rows when the corpus has ≤ 500 parts — at
+# sf0.01/0.1 every part's share is below it, so the gate had compared
+# ZERO rows since r01 (and sf0.001, where it DID return rows, is only
+# the local suite's scale). A mean-relative threshold is scale-free by
+# construction: 1.5× the mean share returns 2 / 29 / 252 parts at
+# sf0.001/0.01/0.1 (measured — the synthetic revenue-per-part
+# distribution is tight, max ≈ 1.8× mean, so 2× returned nothing).
+# Exactness: total_value is the decimal-exact dsum, n_parts an integer
+# count; mean = one double divide, threshold = one multiply — the
+# comparison operands are bit-identical across engines.
 
-_Q11_FRACTION = 0.002
+_Q11_MEAN_MULT = 1.5
 
 
 def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", _rev().alias("rev"))
     per_part = li.groupBy("l_partkey").agg(dsum("rev").alias("part_value"))
-    total = li.agg(dsum("rev").alias("total_value"))
+    total = li.agg(
+        dsum("rev").alias("total_value"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    thr = F.lit(_Q11_MEAN_MULT) * (
+        F.col("total_value") / F.col("n_parts").cast("double")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("total_value") * F.lit(_Q11_FRACTION))
+        .filter(F.col("part_value") > thr)
         .select("l_partkey", "part_value")
     )
 
@@ -417,9 +433,10 @@ _Q11_ORACLE = f"""WITH per_part AS (
     SELECT l_partkey, {dsum_sql(_REV)} AS part_value
     FROM lineitem GROUP BY l_partkey
 ),
-total AS (SELECT {dsum_sql(_REV)} AS total_value FROM lineitem)
+total AS (SELECT {dsum_sql(_REV)} AS total_value,
+                 count(DISTINCT l_partkey) AS n_parts FROM lineitem)
 SELECT l_partkey, part_value FROM per_part, total
-WHERE part_value > total_value * {_Q11_FRACTION}"""
+WHERE part_value > {_Q11_MEAN_MULT} * (total_value / CAST(n_parts AS DOUBLE))"""
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,132 @@
+"""Planted-input semantics for the two r11 dedup additions.
+
+dedup_substring_spans: the sf corpus's near-dup pairs share one long
+prefix, so every corpus doc yields exactly ONE span — the interval
+merge (multi-island, within-doc repetition, sub-threshold runs) is only
+exercised here, on planted documents.
+
+dedup_semdedup: planted orthogonal groups make the expected kept set
+engine-independent — identical vectors always land in the same k-means
+cluster and have cosine 1, cross-group cosine is exactly 0 < τ.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from strategy_analyzer_exporter_spark.operators.dedup import (
+    SPAN_GRAM,
+    _q_dedup_substring_spans,
+)
+from strategy_analyzer_exporter_spark.operators.pipeline import (
+    KM_DIM,
+    _q_semdedup,
+)
+
+
+def _words(tag: str, n: int) -> str:
+    """n distinct single-use tokens, namespaced by tag."""
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+RUN_A = " ".join(f"runA{i}" for i in range(SPAN_GRAM))  # exactly 8 tokens
+RUN_B = " ".join(f"runB{i}" for i in range(SPAN_GRAM + 4))  # 12 tokens
+RUN_SHORT = " ".join(f"runS{i}" for i in range(SPAN_GRAM - 1))  # 7 tokens
+
+
+@pytest.fixture(scope="module")
+def span_dir(tmp_path_factory):
+    rows = [
+        # doc 1 carries RUN_A then RUN_B separated by unique filler:
+        # two islands, never merged (gap of 10 unique tokens)
+        {"doc_id": 1, "text": f"{RUN_A} {_words('f1x', 10)} {RUN_B}"},
+        # doc 2 duplicates RUN_A, doc 3 duplicates RUN_B
+        {"doc_id": 2, "text": f"{_words('f2x', 5)} {RUN_A} {_words('f2y', 5)}"},
+        {"doc_id": 3, "text": f"{RUN_B} {_words('f3x', 5)}"},
+        # doc 4 repeats RUN_A twice WITHIN itself (count ≥ 2 needs no
+        # second document)
+        {"doc_id": 4, "text": f"{RUN_A} {_words('f4x', 9)} {RUN_A}"},
+        # docs 5/6 share only a 7-token run — below SPAN_GRAM, invisible
+        {"doc_id": 5, "text": f"{RUN_SHORT} {_words('f5x', 6)}"},
+        {"doc_id": 6, "text": f"{_words('f6x', 6)} {RUN_SHORT}"},
+    ]
+    for r in rows:
+        r["lang"], r["source"], r["n_chars"] = "en", "t", len(r["text"])
+    d = tmp_path_factory.mktemp("spans")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def _spans(spark, span_dir):
+    return {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in _q_dedup_substring_spans(spark, span_dir).collect()
+    }
+
+
+def test_two_separated_islands_and_maximal_merge(spark, span_dir):
+    got = _spans(spark, span_dir)
+    k = SPAN_GRAM
+    # doc 1: RUN_A at tokens [0, 7], RUN_B at [18, 29] — two spans; the
+    # 12-token RUN_B must come back as ONE maximal span (5 duplicated
+    # 8-gram starts merged), not five 8-token fragments
+    assert (1, 0, k - 1, k) in got
+    assert (1, 18, 29, 12) in got
+    # doc 2: RUN_A at [5, 12]; doc 3: RUN_B at [0, 11]
+    assert (2, 5, 5 + k - 1, k) in got
+    assert (3, 0, 11, 12) in got
+
+
+def test_within_doc_repetition_yields_two_spans(spark, span_dir):
+    got = {t for t in _spans(spark, span_dir) if t[0] == 4}
+    k = SPAN_GRAM
+    assert got == {(4, 0, k - 1, k), (4, k + 9, 2 * k + 8, k)}
+
+
+def test_runs_below_gram_threshold_are_invisible(spark, span_dir):
+    assert not {t for t in _spans(spark, span_dir) if t[0] in (5, 6)}
+
+
+def test_span_plan_two_exchanges(spark, span_dir):
+    """One shuffle on the gram hash (dup window), one on doc_id (the
+    interval merge; the final groupBy(doc_id, island) is satisfied by
+    the doc_id partitioning — no third exchange)."""
+    from strategy_analyzer_exporter_spark import plans as P
+
+    q = _q_dedup_substring_spans(spark, span_dir)
+    assert P.count_exchanges(q) == 2, P.physical_plan(q)
+
+
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sem_dir(tmp_path_factory):
+    def vec(dim: int, scale: float = 10.0) -> list[float]:
+        v = [0.0] * KM_DIM
+        v[dim] = scale
+        return v
+
+    rows = [
+        # ids 0-3 seed the deterministic init (4 lowest ids) on four
+        # orthogonal one-hots; 4 and 5 are EXACT copies of 0 and 1 —
+        # identical vectors share a cluster under any centroid set
+        {"vec_id": 0, "embedding": vec(0), "label": 0},
+        {"vec_id": 1, "embedding": vec(1), "label": 1},
+        {"vec_id": 2, "embedding": vec(2), "label": 2},
+        {"vec_id": 3, "embedding": vec(3), "label": 3},
+        {"vec_id": 4, "embedding": vec(0), "label": 0},
+        {"vec_id": 5, "embedding": vec(1), "label": 1},
+        # orthogonal to every other vector: cosine 0 < τ — kept no
+        # matter which cluster it lands in
+        {"vec_id": 6, "embedding": vec(10), "label": 0},
+    ]
+    d = tmp_path_factory.mktemp("semdedup")
+    pd.DataFrame(rows).to_parquet(d / "embeddings.parquet")
+    return str(d)
+
+
+def test_semdedup_drops_exact_twins_keeps_orthogonal(spark, sem_dir):
+    got = {r["vec_id"]: r["kept"] for r in _q_semdedup(spark, sem_dir).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 1}
