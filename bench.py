@@ -234,6 +234,10 @@ PROBE_QUERIES = (
     # coverage grows linearly by construction; expect the minhash
     # class (~0.5-0.8, shuffle+window bound)
     "dedup_substring_spans",
+    # r11: the span kernel's consumer — adds the token-position
+    # fan-out join + reassembly agg on top of the span coverage;
+    # linear by the same construction
+    "text_clip_duplicated_spans",
     # r11: SemDeDup at FIXED k — cluster size grows with the corpus, so
     # within-cluster pairs grow ~quadratically: the expected exponent
     # is ~2, ON PURPOSE. This probe is the measured case for the

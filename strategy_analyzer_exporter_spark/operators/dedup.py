@@ -1820,3 +1820,111 @@ FROM isl2 GROUP BY doc_id, island"""
 register(
     "dedup_substring_spans", _q_dedup_substring_spans, _substring_spans_oracle()
 )
+
+
+def _q_text_clip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer of the span report: the corpus with every
+    duplicated run REMOVED — Lee et al.'s ExactSubstr cut applied
+    symmetrically (the reference implementation cuts every byte range
+    that appears ≥2 times, all occurrences; conservative for training
+    data). Output is the per-doc audit (token counts before/clipped +
+    md5 of the clipped text), not the text itself — the gate hashes
+    values, and the md5 pins the reconstruction byte-for-byte.
+
+    Plan: the gram/coverage stages are the span kernel's (one gh
+    shuffle); covered positions fan out via sequence-explode and
+    dedupe on (doc_id, pos); surviving tokens reassemble with an
+    order-pinned sort_array(collect_list(struct(pos, tok))) — one
+    doc_id-keyed aggregation, no window. Docs shorter than the gram
+    threshold can contain no duplicated run ≥ the threshold, so they
+    pass through unclipped by construction."""
+    k = SPAN_GRAM
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("t")
+    )
+    grams = toks.filter(F.size("t") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}), "
+                f"i -> md5(array_join(slice(t, i + 1, {k}), ' ')))"
+            )
+        ).alias("pos", "gh"),
+    )
+    from pyspark.sql import Window
+
+    covered = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
+        .filter(F.col("c") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("cut", F.lit(1))
+    )
+    tok_rows = toks.select(
+        "doc_id", F.size("t").alias("n_tokens"), F.posexplode("t").alias("pos", "tok")
+    )
+    kept = tok_rows.join(covered, ["doc_id", "pos"], "left")
+    return (
+        kept.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.sum(F.when(F.col("cut").isNotNull(), 1).otherwise(0)).alias("nc"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("cut").isNull(), F.struct("pos", "tok")
+                            )
+                        )
+                    ),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("clipped"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("nc").cast("long").alias("n_clipped"),
+            F.md5("clipped").alias("clipped_md5"),
+        )
+    )
+
+
+def _clip_spans_oracle() -> str:
+    k = SPAN_GRAM
+    return f"""WITH toks AS (
+    SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, u.i AS pos,
+           md5(array_to_string(t[u.i + 1 : u.i + {k}], ' ')) AS gh
+    FROM toks, UNNEST(generate_series(0, len(t) - {k})) AS u(i)
+    WHERE len(t) >= {k}
+),
+covered AS (
+    SELECT DISTINCT doc_id, v.p AS pos
+    FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS c FROM grams),
+         UNNEST(generate_series(pos, pos + {k - 1})) AS v(p)
+    WHERE c >= 2
+),
+tok_rows AS (
+    SELECT doc_id, len(t) AS n_tokens, u.i - 1 AS pos, t[u.i] AS tok
+    FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+)
+SELECT r.doc_id,
+       CAST(any_value(r.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(c.pos) AS BIGINT) AS n_clipped,
+       md5(coalesce(array_to_string(
+           list(CASE WHEN c.pos IS NULL THEN r.tok END ORDER BY r.pos)
+               FILTER (c.pos IS NULL), ' '), '')) AS clipped_md5
+FROM tok_rows r LEFT JOIN covered c ON r.doc_id = c.doc_id AND r.pos = c.pos
+GROUP BY r.doc_id"""
+
+
+register("text_clip_duplicated_spans", _q_text_clip_spans, _clip_spans_oracle())

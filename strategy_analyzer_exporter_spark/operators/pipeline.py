@@ -456,8 +456,9 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector has cosine ≥ τ. Plan: the memoized k-means assignment
     (collect-free reuse, see _q_kmeans) joins embeddings once, pairs
     come from the cid equi-join (cluster size bounds the quadratic),
-    and the dropped set — small by construction — comes back as a
-    broadcast-sized left join for the flag."""
+    and the dropped set — a data-dependent fraction of the corpus, so
+    NO forced broadcast (r06 house rule): AQE picks the join strategy
+    for the kept-flag left join at runtime."""
     from strategy_analyzer_exporter_spark.operators.similarity import _cosine
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -479,7 +480,7 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_dropped", F.lit(1))
     )
     return (
-        x.join(F.broadcast(dropped), "vec_id", "left")
+        x.join(dropped, "vec_id", "left")
         .select(
             "vec_id",
             "cid",

@@ -50,6 +50,9 @@ def span_dir(tmp_path_factory):
         # docs 5/6 share only a 7-token run — below SPAN_GRAM, invisible
         {"doc_id": 5, "text": f"{RUN_SHORT} {_words('f5x', 6)}"},
         {"doc_id": 6, "text": f"{_words('f6x', 6)} {RUN_SHORT}"},
+        # doc 7 is RUN_A twice back-to-back: every token duplicated —
+        # the clip consumer must empty it completely
+        {"doc_id": 7, "text": f"{RUN_A} {RUN_A}"},
     ]
     for r in rows:
         r["lang"], r["source"], r["n_chars"] = "en", "t", len(r["text"])
@@ -96,6 +99,29 @@ def test_span_plan_two_exchanges(spark, span_dir):
 
     q = _q_dedup_substring_spans(spark, span_dir)
     assert P.count_exchanges(q) == 2, P.physical_plan(q)
+
+
+def test_clip_removes_all_occurrences_and_passes_through(spark, span_dir):
+    """The ExactSubstr cut: doc 7 (a duplicated run twice, nothing
+    else) empties to md5(''); docs 5/6 (only a sub-threshold shared
+    run) pass through byte-identical; doc 4's two RUN_A occurrences
+    are BOTH removed, the filler survives."""
+    import hashlib
+
+    from strategy_analyzer_exporter_spark.operators.dedup import (
+        _q_text_clip_spans,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_clipped"], r["clipped_md5"])
+        for r in _q_text_clip_spans(spark, span_dir).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    k = SPAN_GRAM
+    assert got[7] == (2 * k, 2 * k, md5(""))
+    assert got[5] == (k - 1 + 6, 0, md5(f"{RUN_SHORT} {_words('f5x', 6)}"))
+    assert got[6] == (6 + k - 1, 0, md5(f"{_words('f6x', 6)} {RUN_SHORT}"))
+    assert got[4] == (2 * k + 9, 2 * k, md5(_words("f4x", 9)))
 
 
 # ---------------------------------------------------------------------------
