@@ -1014,3 +1014,106 @@ FROM tok GROUP BY token
 HAVING count(*) >= {POSTINGS_MIN_DF}"""
 
 register("text_inverted_index", _q_inverted_index, _INVERTED_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (Robertson/Spärck Jones Okapi BM25) — the retrieval
+# scorer a data pipeline uses for query-based corpus selection and
+# RAG-style retrieval eval; distinct from TF-IDF above by the two
+# things BM25 exists for: tf SATURATION (k1) and document-LENGTH
+# normalization (b). Query terms are data-derived — the BM25_QTERMS
+# highest-df tokens (ties by token) — so the query relation is
+# deterministic in both engines with no fixture vocabulary.
+#
+# Float parity: the idf factor is the house LINEAR idf (n_docs/df, one
+# correctly-rounded division — see the TF-IDF note above for why not
+# ln); every other term is +, ×, / over exact integers (tf, df, dl) or
+# the single exact-ratio avgdl = Σdl / n_docs, composed with IDENTICAL
+# parenthesization in both engines, so scores are bit-identical.
+#
+# Scale shape: tf/df are the inverted-index relations TF-IDF already
+# builds (one token shuffle); the query relation is fixed-k tiny; the
+# scored join fans out only the POSTING LISTS of the query terms —
+# which are the hottest tokens by construction, the classic posting
+# skew (AQE skew-join handles it; a production engine shards hot
+# postings). Per-term top-k is a k-row window over those lists.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 3
+BM25_QTERMS = 5
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    tok = toks.select("doc_id", F.explode("t").alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfd = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    qterms = dfd.orderBy(F.col("df").desc(), F.col("token").asc()).limit(
+        BM25_QTERMS
+    )
+    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    score = (F.col("n_docs") / F.col("df").cast("double")) * (
+        (tf_d * F.lit(BM25_K1 + 1.0))
+        / (
+            tf_d
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (dl_d / F.col("avgdl")))
+        )
+    )
+    scored = (
+        qterms.join(tf, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("token", "doc_id", "tf", "dl", score.alias("bm25"))
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= BM25_TOPK)
+        .select("token", "doc_id", "tf", "dl", "bm25", "rn")
+    )
+
+
+_BM25_ORACLE = f"""WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfd AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+qterms AS (SELECT token, df FROM dfd ORDER BY df DESC, token ASC LIMIT {BM25_QTERMS}),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+    FROM dl
+),
+scored AS (
+    SELECT q.token, t.doc_id, t.tf, d.dl,
+           (s.n_docs / CAST(q.df AS DOUBLE)) * (
+               (CAST(t.tf AS DOUBLE) * {BM25_K1 + 1.0!r})
+               / (CAST(t.tf AS DOUBLE)
+                  + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                                   + {BM25_B!r} * (CAST(d.dl AS DOUBLE) / s.avgdl)))
+           ) AS bm25
+    FROM qterms q JOIN tf t USING (token) JOIN dl d USING (doc_id)
+    CROSS JOIN stats s
+)
+SELECT token, doc_id, tf, dl, bm25, rn FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY token ORDER BY bm25 DESC, doc_id ASC) AS rn
+    FROM scored
+) WHERE rn <= {BM25_TOPK}"""
+
+register("text_bm25_topk", _q_bm25, _BM25_ORACLE)

@@ -156,3 +156,40 @@ def sem_dir(tmp_path_factory):
 def test_semdedup_drops_exact_twins_keeps_orthogonal(spark, sem_dir):
     got = {r["vec_id"]: r["kept"] for r in _q_semdedup(spark, sem_dir).collect()}
     assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 1}
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_length_normalization_and_saturation(spark, tmp_path_factory):
+    """The two properties BM25 adds over TF-IDF, on planted docs:
+    same tf in a SHORTER doc scores higher (b-normalization), and
+    score grows sublinearly in tf (k1-saturation: 10x the tf must buy
+    far less than 10x the score)."""
+    import pandas as pd
+
+    from strategy_analyzer_exporter_spark.operators.pipeline3 import _q_bm25
+
+    # "hot" is the highest-df token (4 docs) -> a query term; fillers
+    # are unique per doc so they never reach the query set
+    rows = [
+        {"doc_id": 1, "text": "hot " * 2 + " ".join(f"a{i}" for i in range(4))},
+        {"doc_id": 2, "text": "hot " * 2 + " ".join(f"b{i}" for i in range(40))},
+        {"doc_id": 3, "text": "hot " * 20 + " ".join(f"c{i}" for i in range(22))},
+        {"doc_id": 4, "text": "hot"},
+    ]
+    for r in rows:
+        r["lang"], r["source"], r["n_chars"] = "en", "t", len(r["text"])
+    d = tmp_path_factory.mktemp("bm25")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in _q_bm25(spark, str(d)).filter("token = 'hot'").collect()
+    }
+    # docs 1 and 2 carry identical tf (2) at lengths 6 vs 42: the
+    # shorter doc must make the top-3 cut and the longer one must NOT
+    # (doc 2 ranks last of the four under b-normalization)
+    assert 1 in got and 2 not in got
+    # doc 3 has 10x doc 1's tf in a 7x longer doc: saturation + length
+    # penalty must hold the ratio FAR below the tf ratio
+    assert got[3] / got[1] < 2.0
