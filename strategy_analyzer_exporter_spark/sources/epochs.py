@@ -321,3 +321,72 @@ def rewrite_compacted(d: str) -> None:
         with open(p, "w") as fh:
             json.dump(rec, fh)
     record_base([d])
+
+
+def recover_torn_epoch(dirs: list[str], pred: str) -> bool:
+    """Clean up THIS WRITER's own torn append attempt for ``pred`` —
+    the retry primitive a streaming ingest needs (a micro-batch that
+    crashed mid-append is re-delivered by the engine; the retry must
+    be able to clear its own wreckage and append cleanly instead of
+    poisoning the layout into a full rebuild).
+
+    For each directory: every surviving PENDING marker must record
+    ``pred`` — a PENDING carrying a DIFFERENT predicate is someone
+    else's tear and raises (that caller gets the rebuild treatment,
+    exactly as before this primitive existed). Matching markers are
+    removed along with every data file accounted for by neither the
+    base record nor any committed epoch — which is precisely the torn
+    attempt's partial output, BY CONSTRUCTION of the base-record
+    orphan contract (VERDICT r10 #3): committed state is always fully
+    recorded, so unrecorded files can only belong to the tear.
+
+    Safe ONLY under the protocol's single-writer contract (begin_epoch
+    claims markers with O_EXCL): the caller owns any tear that matches
+    its predicate. Returns True if anything was cleaned."""
+    cleaned = False
+    for d in dirs:
+        pendings = []
+        accounted: set[str] = set()
+        for f in os.listdir(d):
+            if _PENDING_RE.match(f):
+                pendings.append(f)
+            elif _OK_RE.match(f):
+                try:
+                    with open(os.path.join(d, f)) as fh:
+                        accounted.update(json.load(fh).get("files", {}))
+                except (OSError, ValueError):
+                    # unreadable OK record: treat its files as unknown —
+                    # refuse to guess what the tear owns
+                    raise RuntimeError(
+                        f"unreadable epoch record {f} in {d}; cannot "
+                        f"recover a tear over a poisoned chain"
+                    ) from None
+        if not pendings:
+            continue
+        if not os.path.exists(os.path.join(d, "_EPOCH_0000_OK")):
+            # without the base record, base data files are in no OK
+            # record and would be indistinguishable from the tear —
+            # deleting "unaccounted" files here would destroy the base
+            raise RuntimeError(
+                f"{d} has no base record (_EPOCH_0000_OK); tear "
+                f"recovery needs the orphan contract — rebuild instead"
+            )
+        for f in pendings:
+            try:
+                with open(os.path.join(d, f)) as fh:
+                    rec_pred = json.load(fh).get("pred")
+            except (OSError, ValueError):
+                rec_pred = "<unreadable>"
+            if rec_pred != pred:
+                raise RuntimeError(
+                    f"torn epoch {f} in {d} records predicate "
+                    f"{rec_pred!r}, not this writer's {pred!r} — "
+                    f"refusing to clean someone else's tear"
+                )
+        for rel in data_files(d):
+            if rel not in accounted:
+                os.remove(os.path.join(d, rel))
+        for f in pendings:
+            os.remove(os.path.join(d, f))
+        cleaned = True
+    return cleaned

@@ -203,3 +203,67 @@ def test_data_files_skips_hidden(tmp_path):
     with open(os.path.join(d, "_temporary", "part-2.bin"), "w") as f:
         f.write("x")
     assert list(epochs.data_files(d)) == ["part-1.bin"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_dirs=st.integers(1, 3),
+    n_epochs=st.integers(0, 3),
+    torn_files=st.integers(0, 3),
+    tear_all_dirs=st.booleans(),
+)
+def test_recover_torn_epoch_restores_chain_and_keeps_committed_files(
+    tmp_path_factory, n_dirs, n_epochs, torn_files, tear_all_dirs
+):
+    """After a random committed history + a random tear of the NEXT
+    epoch (PENDING in some or all dirs, 0..k partial data files),
+    recover_torn_epoch(pred) must: restore a VALID chain with the
+    committed predicates intact, delete every torn file, and keep
+    every committed file byte-for-byte — the exactly-once retry
+    contract under arbitrary crash points."""
+    tmp_path = tmp_path_factory.mktemp("recover")
+    dirs = _mk_group(tmp_path, n_dirs)
+    committed = {}
+    for n in range(1, n_epochs + 1):
+        committed.update(
+            {
+                (d, rel): sz
+                for d, rels in _commit(dirs, n, f"p{n}").items()
+                for rel, sz in rels.items()
+            }
+        )
+    epochs.record_base(dirs)  # recovery requires the orphan contract
+    pred = "p_torn"
+    torn_dirs = dirs if tear_all_dirs else dirs[:1]
+    epochs.begin_epoch(torn_dirs, n_epochs + 1, pred)
+    torn = []
+    for j in range(torn_files):
+        p = os.path.join(torn_dirs[j % len(torn_dirs)], f"torn-{j}.bin")
+        with open(p, "wb") as f:
+            f.write(b"t" * (7 + j))
+        torn.append(p)
+    assert not epochs.chain_state(dirs)[0]
+    assert epochs.recover_torn_epoch(dirs, pred) is True
+    ok, preds = epochs.chain_state(dirs)
+    assert ok and preds == [f"p{n}" for n in range(1, n_epochs + 1)]
+    for p in torn:
+        assert not os.path.exists(p)
+    for (d, rel), sz in committed.items():
+        assert os.stat(os.path.join(d, rel)).st_size == sz
+
+
+def test_recover_refuses_foreign_pred_and_missing_base(tmp_path):
+    dirs = _mk_group(tmp_path, 2)
+    _commit(dirs, 1, "p1")
+    epochs.record_base(dirs)
+    epochs.begin_epoch(dirs, 2, "mine")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="someone else's tear"):
+        epochs.recover_torn_epoch(dirs, "theirs")
+    # and without the base record the primitive must refuse outright
+    # (unaccounted files would be indistinguishable from the base)
+    for d in dirs:
+        os.remove(os.path.join(d, "_EPOCH_0000_OK"))
+    with pytest.raises(RuntimeError, match="no base record"):
+        epochs.recover_torn_epoch(dirs, "mine")
