@@ -241,6 +241,10 @@ PROBE_QUERIES = (
     # r11: BM25 — the tf/df relations are TF-IDF's, plus the fixed-k
     # query-term posting-list join; expect the tfidf re-explode class
     "text_bm25_topk",
+    # r11: containment — the ngram-jaccard candidate join shape over
+    # the CACHED gram relation; pairs scale linearly in the 10x corpus
+    # by construction (cross-copy grams never collide)
+    "dedup_ngram_containment",
     # r11: SemDeDup at FIXED k was probed ONCE and removed from the
     # recurring set — measured exponent 1.71 (t1 7.74 s, t10 396.85 s
     # at 50k vectors / 12.5k per cluster): the within-cluster pairwise

@@ -2122,3 +2122,82 @@ register(
     _q_streaming_index_ingest,
     _lifecycle_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# N-gram CONTAINMENT (Broder 1997's second resemblance measure):
+# |A∩B| / min(|A|, |B|) over distinct 5-gram shingle sets — the
+# doc-in-doc detector. Jaccard divides by the UNION, so a short doc
+# quoted verbatim inside a much longer one scores near zero and every
+# Jaccard-family op above misses it; containment divides by the
+# smaller set and scores it ~1.0. The training-data use is boilerplate
+# /quotation discovery and sub-document dedup triage.
+#
+# Same candidate shape as dedup_ngram_jaccard (inverted-index gram
+# equi-join over the CACHED gram relation, then exact verify by
+# counting shared grams per pair) and the same skew note: boilerplate
+# grams are the hot keys; production drops grams above a df cap from
+# CANDIDATE GENERATION (the classic stop-gram trick) and AQE splits
+# what remains. Containment = int/int, one division — bit-exact.
+
+CONTAIN_K = 5
+CONTAIN_T = 0.9
+
+
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _gram_rows(spark, sf_dir, k=CONTAIN_K)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("shared").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
+_CONTAIN_ORACLE = f"""WITH toks AS (
+    SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, {_shingles_sql('t', CONTAIN_K)} AS sh
+    FROM toks WHERE len(t) >= {CONTAIN_K}
+),
+inv AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+SELECT doc_a, doc_b,
+       CAST(shared AS BIGINT) AS shared,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       CAST(shared AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS containment
+FROM shared
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) >= {CONTAIN_T}"""
+
+
+register("dedup_ngram_containment", _q_dedup_containment, _CONTAIN_ORACLE)

@@ -193,3 +193,42 @@ def test_bm25_length_normalization_and_saturation(spark, tmp_path_factory):
     # doc 3 has 10x doc 1's tf in a 7x longer doc: saturation + length
     # penalty must hold the ratio FAR below the tf ratio
     assert got[3] / got[1] < 2.0
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(
+    spark, tmp_path_factory
+):
+    """The differentiator: a short doc quoted verbatim inside a much
+    longer one has containment 1.0 but Jaccard ~0.09 — the
+    containment query must report the pair, the Jaccard query must
+    not (it divides by the union)."""
+    import pandas as pd
+
+    from strategy_analyzer_exporter_spark.operators.dedup import (
+        _q_dedup_containment,
+        _q_dedup_ngram,
+    )
+
+    quoted = " ".join(f"q{i}" for i in range(10))
+    rows = [
+        {"doc_id": 1, "text": quoted},
+        {"doc_id": 2, "text": quoted + " " + " ".join(f"f{i}" for i in range(60))},
+        {"doc_id": 3, "text": " ".join(f"z{i}" for i in range(30))},
+    ]
+    for r in rows:
+        r["lang"], r["source"], r["n_chars"] = "en", "t", len(r["text"])
+    d = tmp_path_factory.mktemp("contain")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in _q_dedup_containment(spark, str(d)).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in _q_dedup_ngram(spark, str(d)).collect()
+    }
+    assert (1, 2) not in jac
