@@ -643,3 +643,65 @@ _WEIGHTED_ORACLE = f"""WITH scored AS (
 SELECT doc_id, lang, n_chars, keep_p FROM scored WHERE u < keep_p"""
 
 register("sample_weighted_length", _q_sample_weighted, _WEIGHTED_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Per-epoch training shuffle: the loader-facing op the static split
+# above deliberately does NOT provide. split_train_val_test pins a
+# document's split forever; a training run ALSO needs each epoch to
+# visit documents in a fresh pseudo-random order, sharded so that 1000
+# loader workers each read one shard sequentially. Derivation is pure
+# hashing — shard = md5("ep<e>:"+doc_id) (hex→int, mod S), position =
+# rank of md5("ord<e>:"+doc_id) within the shard — so the permutation
+# is reproducible from (epoch, doc_id) alone: any worker, any cluster
+# layout, any retry lands every document in the same place, and no
+# global sort or shuffle-the-whole-corpus pass exists anywhere. One
+# exchange on shard (the rank window); at 100 TB that is the write
+# path of the epoch's shard files and the window is per-shard local.
+
+SHUFFLE_SHARDS = 8
+SHUFFLE_EPOCH = 1
+
+
+def _q_train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = SHUFFLE_EPOCH
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"ep{e}:"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SHUFFLE_SHARDS
+    )
+    order_key = F.md5(
+        F.concat(F.lit(f"ord{e}:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        d.select("doc_id", shard.alias("shard"), order_key.alias("order_key"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "position")
+    )
+
+
+def _epoch_shuffle_oracle() -> str:
+    e, s = SHUFFLE_EPOCH, SHUFFLE_SHARDS
+    return f"""WITH keyed AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5('ep{e}:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                AS BIGINT) % {s} AS shard,
+           md5('ord{e}:' || CAST(doc_id AS VARCHAR)) AS order_key
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id)
+            AS BIGINT) AS position
+FROM keyed"""
+
+
+register("train_epoch_shuffle", _q_train_epoch_shuffle, _epoch_shuffle_oracle())

@@ -232,3 +232,36 @@ def test_containment_catches_doc_in_doc_that_jaccard_misses(
         for r in _q_dedup_ngram(spark, str(d)).collect()
     }
     assert (1, 2) not in jac
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_is_a_permutation_and_epochs_differ(spark):
+    """Every document appears exactly once with a contiguous 1..n_s
+    position within its shard, and a different epoch produces a
+    genuinely different permutation (the reshuffle the static split
+    can't give)."""
+    from strategy_analyzer_exporter_spark.operators import pipeline as PL
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["train_epoch_shuffle"](spark, sf).collect()
+    n = len({r["doc_id"] for r in rows})
+    assert n == len(rows)  # each doc exactly once
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), shard
+    # epoch 2: same docs, different placement for most of them
+    old = PL.SHUFFLE_EPOCH
+    try:
+        PL.SHUFFLE_EPOCH = 2
+        rows2 = PL._q_train_epoch_shuffle(spark, sf).collect()
+    finally:
+        PL.SHUFFLE_EPOCH = old
+    p1 = {r["doc_id"]: (r["shard"], r["position"]) for r in rows}
+    p2 = {r["doc_id"]: (r["shard"], r["position"]) for r in rows2}
+    moved = sum(1 for d in p1 if p1[d] != p2[d])
+    assert moved > 0.9 * len(p1)
