@@ -330,30 +330,58 @@ def recover_torn_epoch(dirs: list[str], pred: str) -> bool:
     be able to clear its own wreckage and append cleanly instead of
     poisoning the layout into a full rebuild).
 
-    For each directory: every surviving PENDING marker must record
-    ``pred`` — a PENDING carrying a DIFFERENT predicate is someone
-    else's tear and raises (that caller gets the rebuild treatment,
-    exactly as before this primitive existed). Matching markers are
-    removed along with every data file accounted for by neither the
-    base record nor any committed epoch — which is precisely the torn
-    attempt's partial output, BY CONSTRUCTION of the base-record
-    orphan contract (VERDICT r10 #3): committed state is always fully
-    recorded, so unrecorded files can only belong to the tear.
+    Every surviving PENDING marker must record ``pred`` — a PENDING
+    carrying a DIFFERENT predicate is someone else's tear and raises
+    (that caller gets the rebuild treatment, exactly as before this
+    primitive existed).
+
+    A crash can also land MID-``commit_epoch`` (ADVICE r11): the OK
+    record written in some group directories but not others, or all
+    OKs written with leftover PENDINGs. The recovery decision is
+    GROUP-WIDE per torn epoch, so the chain never ends up disagreeing
+    across directories:
+
+    * OK present in EVERY directory → the commit's decision point
+      passed; roll FORWARD by finishing ``commit_epoch``'s last loop
+      (remove the leftover PENDINGs, keep the data).
+    * OK missing somewhere → roll BACKWARD everywhere: delete this
+      writer's half-committed OK records (necessarily the chain head)
+      with their recorded files, then delete every data file accounted
+      for by neither the base record nor any committed epoch — which
+      is precisely the torn attempt's partial output, BY CONSTRUCTION
+      of the base-record orphan contract (VERDICT r10 #3): committed
+      state is always fully recorded, so unrecorded files can only
+      belong to the tear. (Roll-backward is always reachable here:
+      ``commit_epoch`` removes no PENDING until every OK is written,
+      so an OK missing anywhere implies every directory still holds
+      its PENDING claim.)
+
+    An OK for a torn epoch number whose predicate is NOT ``pred``
+    means a racer committed that slot after this writer's claim went
+    stale — not ours to roll back; raises.
 
     Safe ONLY under the protocol's single-writer contract (begin_epoch
     claims markers with O_EXCL): the caller owns any tear that matches
     its predicate. Returns True if anything was cleaned."""
-    cleaned = False
+    # pass 1: scan + validate; collect each dir's matching PENDINGs
+    # and the group-wide set of torn epoch numbers
+    pend: dict[str, list[str]] = {}
+    oks: dict[str, dict[int, dict]] = {}
+    torn_ids: set[int] = set()
     for d in dirs:
-        pendings = []
-        accounted: set[str] = set()
+        pend[d] = []
+        oks[d] = {}
         for f in os.listdir(d):
-            if _PENDING_RE.match(f):
-                pendings.append(f)
-            elif _OK_RE.match(f):
+            pm = _PENDING_RE.match(f)
+            if pm:
+                pend[d].append(f)
+                torn_ids.add(int(pm.group(1)))
+                continue
+            m = _OK_RE.match(f)
+            if m:
                 try:
                     with open(os.path.join(d, f)) as fh:
-                        accounted.update(json.load(fh).get("files", {}))
+                        oks[d][int(m.group(1))] = json.load(fh)
                 except (OSError, ValueError):
                     # unreadable OK record: treat its files as unknown —
                     # refuse to guess what the tear owns
@@ -361,17 +389,7 @@ def recover_torn_epoch(dirs: list[str], pred: str) -> bool:
                         f"unreadable epoch record {f} in {d}; cannot "
                         f"recover a tear over a poisoned chain"
                     ) from None
-        if not pendings:
-            continue
-        if not os.path.exists(os.path.join(d, "_EPOCH_0000_OK")):
-            # without the base record, base data files are in no OK
-            # record and would be indistinguishable from the tear —
-            # deleting "unaccounted" files here would destroy the base
-            raise RuntimeError(
-                f"{d} has no base record (_EPOCH_0000_OK); tear "
-                f"recovery needs the orphan contract — rebuild instead"
-            )
-        for f in pendings:
+        for f in pend[d]:
             try:
                 with open(os.path.join(d, f)) as fh:
                     rec_pred = json.load(fh).get("pred")
@@ -383,10 +401,63 @@ def recover_torn_epoch(dirs: list[str], pred: str) -> bool:
                     f"{rec_pred!r}, not this writer's {pred!r} — "
                     f"refusing to clean someone else's tear"
                 )
+    if not any(pend.values()):
+        return False
+    # pass 2: group-wide forward/backward decision per torn epoch
+    for n in sorted(torn_ids):
+        committed = [d for d in dirs if n in oks[d]]
+        for d in committed:
+            if oks[d][n].get("pred") != pred:
+                raise RuntimeError(
+                    f"epoch {n} in {d} is committed with predicate "
+                    f"{oks[d][n].get('pred')!r}, not this writer's "
+                    f"{pred!r} — a racer took the slot; rebuild instead"
+                )
+        if len(committed) == len(dirs):
+            # roll forward: the OK phase completed group-wide — only
+            # the PENDING-removal loop was cut short
+            for d in dirs:
+                p = os.path.join(d, f"_EPOCH_{n:04d}_PENDING")
+                if os.path.exists(p):
+                    os.remove(p)
+                pend[d] = [
+                    f for f in pend[d] if f != f"_EPOCH_{n:04d}_PENDING"
+                ]
+            continue
+        # roll backward: undo the half-written commit in the dirs it
+        # reached, so the unaccounted-file sweep below owns its data
+        for d in committed:
+            head = max(i for i in oks[d] if i >= 1)
+            if n != head:
+                raise RuntimeError(
+                    f"half-committed epoch {n} in {d} is not the chain "
+                    f"head ({head}) — cannot roll back; rebuild instead"
+                )
+            for rel in oks[d][n].get("files", {}):
+                p = os.path.join(d, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+            os.remove(os.path.join(d, f"_EPOCH_{n:04d}_OK"))
+            del oks[d][n]
+    # pass 3: per-dir sweep of the torn attempt's partial data
+    cleaned = True
+    for d in dirs:
+        if not pend[d]:
+            continue
+        if not os.path.exists(os.path.join(d, "_EPOCH_0000_OK")):
+            # without the base record, base data files are in no OK
+            # record and would be indistinguishable from the tear —
+            # deleting "unaccounted" files here would destroy the base
+            raise RuntimeError(
+                f"{d} has no base record (_EPOCH_0000_OK); tear "
+                f"recovery needs the orphan contract — rebuild instead"
+            )
+        accounted: set[str] = set()
+        for rec in oks[d].values():
+            accounted.update(rec.get("files", {}))
         for rel in data_files(d):
             if rel not in accounted:
                 os.remove(os.path.join(d, rel))
-        for f in pendings:
+        for f in pend[d]:
             os.remove(os.path.join(d, f))
-        cleaned = True
     return cleaned

@@ -252,6 +252,86 @@ def test_recover_torn_epoch_restores_chain_and_keeps_committed_files(
         assert os.stat(os.path.join(d, rel)).st_size == sz
 
 
+def _half_commit(dirs, committed_dirs, n, pred, files_per_dir=1):
+    """Append data in every dir but run ``commit_epoch`` only over
+    ``committed_dirs`` — the crash point mid the OK-writing loop —
+    then restore the PENDINGs commit_epoch removed in those dirs (the
+    real crash happens BEFORE the removal loop, which only starts once
+    every OK is written)."""
+    epochs.begin_epoch(dirs, n, pred)
+    added = {}
+    for d in dirs:
+        rel = {}
+        for j in range(files_per_dir):
+            name = f"part-{n:04d}-{j}.bin"
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(b"x" * (10 * n + j))
+            rel[name] = 10 * n + j
+        added[d] = rel
+    epochs.commit_epoch(committed_dirs, n, pred, added, "fp")
+    for d in committed_dirs:
+        with open(os.path.join(d, f"_EPOCH_{n:04d}_PENDING"), "x") as f:
+            json.dump({"pred": pred}, f)
+    return added
+
+
+def test_recover_mid_commit_rolls_backward_group_wide(tmp_path):
+    """ADVICE r11: a crash between per-dir OK writes used to leave the
+    committed OK alive in one dir while recovery deleted the data in
+    the others — a permanently disagreeing chain. Now the group rolls
+    BACKWARD together: the half-written OK and its files go too, and
+    the retry appends cleanly."""
+    dirs = _mk_group(tmp_path, 3)
+    _commit(dirs, 1, "p1")
+    epochs.record_base(dirs)
+    _half_commit(dirs, dirs[:1], 2, "mine")
+    assert not epochs.chain_state(dirs)[0]
+    assert epochs.recover_torn_epoch(dirs, "mine") is True
+    ok, preds = epochs.chain_state(dirs)
+    assert ok and preds == ["p1"]
+    for d in dirs:
+        assert not os.path.exists(os.path.join(d, "part-0002-0.bin"))
+        assert not os.path.exists(os.path.join(d, "_EPOCH_0002_OK"))
+    # the retry contract: the same predicate now appends cleanly
+    _commit(dirs, 2, "mine")
+    assert epochs.chain_state(dirs) == (True, ["p1", "mine"])
+
+
+def test_recover_mid_pending_removal_rolls_forward(tmp_path):
+    """Crash after every OK was written but before the PENDING-removal
+    loop finished: the commit's decision point passed, so recovery
+    FINISHES it — markers go, data and the committed epoch stay."""
+    dirs = _mk_group(tmp_path, 2)
+    _commit(dirs, 1, "p1")
+    epochs.record_base(dirs)
+    added = _commit(dirs, 2, "mine")
+    # resurrect dir 1's PENDING: the removal loop died halfway
+    with open(os.path.join(dirs[1], "_EPOCH_0002_PENDING"), "x") as f:
+        json.dump({"pred": "mine"}, f)
+    assert not epochs.chain_state(dirs)[0]
+    assert epochs.recover_torn_epoch(dirs, "mine") is True
+    ok, preds = epochs.chain_state(dirs)
+    assert ok and preds == ["p1", "mine"]
+    for d, rels in added.items():
+        for rel, sz in rels.items():
+            assert os.stat(os.path.join(d, rel)).st_size == sz
+
+
+def test_recover_refuses_racer_committed_slot(tmp_path):
+    """A stale PENDING claim on a slot a racer has since committed
+    with a DIFFERENT predicate is not ours to roll back — raises."""
+    dirs = _mk_group(tmp_path, 1)
+    _commit(dirs, 1, "p1")
+    epochs.record_base(dirs)
+    _commit(dirs, 2, "theirs")
+    with open(os.path.join(dirs[0], "_EPOCH_0002_PENDING"), "x") as f:
+        json.dump({"pred": "mine"}, f)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="racer took the slot"):
+        epochs.recover_torn_epoch(dirs, "mine")
+
+
 def test_recover_refuses_foreign_pred_and_missing_base(tmp_path):
     dirs = _mk_group(tmp_path, 2)
     _commit(dirs, 1, "p1")
