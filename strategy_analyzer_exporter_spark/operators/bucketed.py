@@ -439,3 +439,92 @@ def _register_tfidf_bucketed() -> None:
 
 
 register_deferred(_register_tfidf_bucketed, requires=("text_tfidf_topk",))
+
+
+# ---------------------------------------------------------------------------
+# BM25 over the at-rest token table (VERDICT r11 #5): the third
+# consumer of the bucketed layout. text_bm25_topk re-tokenizes the
+# corpus every run; this twin reads the staged token rows instead and
+# keeps the arithmetic IDENTICAL (same cast chain, same linear idf,
+# same parenthesization), so it hash-matches text_bm25_topk's DuckDB
+# oracle bit-for-bit (reused via register_deferred, never duplicated).
+#
+# What the layout buys (the tfidf_bucketed story, bucketed.py:370, on
+# the second production query shape):
+#   1. no tokenize+explode recompute — at 100 TB the dominant cost of
+#      every retrieval pass;
+#   2. tf = groupBy(doc_id, token) and dl = groupBy(doc_id) both ride
+#      the bucketed scan's hashpartitioning(doc_id) — exchange-free;
+#   3. what does shuffle (df on token, the query-term join, the
+#      per-term ranking window) only ever moves AGGREGATED relations
+#      (tf rows, the vocabulary, the 5-term posting lists).
+# avgdl parity: Σdl = the token-table row count and n_docs = the docs
+# table row count (zero-token docs included, matching the re-tokenize
+# twin's per-document rows) — both exact integers, so the single
+# division is the identical correctly-rounded double in both twins.
+
+BM25_K1 = 1.2  # = pipeline3.BM25_* (module-level sibling imports are
+BM25_B = 0.75  # forbidden — see the TFIDF_TOPK note above; the shared
+BM25_TOPK = 3  # oracle makes any drift a hash mismatch at the gate)
+BM25_QTERMS = 5
+
+
+def _q_bm25_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs_tbl, toks_tbl = bucketed_doc_tables(spark, sf_dir)
+    tok = spark.table(toks_tbl)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfd = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    qterms = dfd.orderBy(F.col("df").desc(), F.col("token").asc()).limit(
+        BM25_QTERMS
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    n_docs = spark.table(docs_tbl).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    sum_dl = tok.agg(F.count(F.lit(1)).cast("long").alias("sum_dl"))
+    stats = (
+        n_docs.crossJoin(sum_dl)
+        .select(
+            "n_docs",
+            (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+        )
+    )
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    score = (F.col("n_docs") / F.col("df").cast("double")) * (
+        (tf_d * F.lit(BM25_K1 + 1.0))
+        / (
+            tf_d
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (dl_d / F.col("avgdl")))
+        )
+    )
+    scored = (
+        qterms.join(tf, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("token", "doc_id", "tf", "dl", score.alias("bm25"))
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= BM25_TOPK)
+        .select("token", "doc_id", "tf", "dl", "bm25", "rn")
+    )
+
+
+def _register_bm25_bucketed() -> None:
+    from strategy_analyzer_exporter_spark.registry import ORACLES
+
+    register(
+        "text_bm25_topk_bucketed",
+        _q_bm25_bucketed,
+        ORACLES["text_bm25_topk"],
+    )
+
+
+register_deferred(_register_bm25_bucketed, requires=("text_bm25_topk",))

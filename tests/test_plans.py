@@ -428,6 +428,7 @@ BROADCAST_HINT_ALLOWLIST: dict[str, object] = {
     "text_tfidf_topk": 1,  # 1-row corpus doc count
     "text_tfidf_topk_bucketed": 1,  # same 1-row doc count, at-rest twin
     "text_bm25_topk": 1,  # 1-row (n_docs, avgdl) stats scalar
+    "text_bm25_topk_bucketed": 1,  # same 1-row stats scalar, at-rest twin
     # bounded-enum group keys: l_returnflag ≤ 3, event_type is a small
     # fixed vocabulary, p_brand = 25 "Brand#MN" values at every SF
     "agg_approx_percentile_bound": 1,

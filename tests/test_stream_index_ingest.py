@@ -124,3 +124,29 @@ def test_stream_rerun_is_idempotent_per_session(spark):
     assert _counts(spark, tables) == before
     ok, preds = epochs.chain_state(_idx_dirs(tables))
     assert ok and preds == preds_before
+
+
+def test_stream_stage_restages_on_fingerprint_mismatch(spark):
+    """ADVICE r11: _STAGED_OK carries a corpus+derivation fingerprint —
+    a stale or fingerprint-less flag (e.g. regenerated corpus at the
+    same path, or a pre-r12 stage) restages instead of silently
+    reusing the old batch files."""
+    from strategy_analyzer_exporter_spark.operators.dedup import (
+        _stream_docs_stage,
+    )
+
+    stage = _stream_docs_stage(spark, SF)
+    flag = os.path.join(stage, "_STAGED_OK")
+    with open(flag) as f:
+        fp = f.read().strip()
+    assert fp  # the flag is a fingerprint, not an empty touch-file
+    # valid flag → reuse: the batch files' mtimes survive
+    mt = os.stat(os.path.join(stage, "batch_0000")).st_mtime
+    assert _stream_docs_stage(spark, SF) == stage
+    assert os.stat(os.path.join(stage, "batch_0000")).st_mtime == mt
+    # stale fingerprint → full restage, fresh flag
+    with open(flag, "w") as f:
+        f.write("stale")
+    assert _stream_docs_stage(spark, SF) == stage
+    with open(flag) as f:
+        assert f.read().strip() == fp

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from strategy_analyzer_exporter_spark.operators.dedup import (
     SPAN_GRAM,
@@ -234,6 +235,72 @@ def test_containment_catches_doc_in_doc_that_jaccard_misses(
     assert (1, 2) not in jac
 
 
+def test_containment_df_cap_loses_no_true_pair_on_boilerplate(
+    spark, tmp_path_factory
+):
+    """The stop-gram hook (VERDICT r11 #3): with a boilerplate header
+    shared by every doc (gram df ≫ CONTAIN_DF_CAP), the capped run
+    must produce EXACTLY the uncapped output — candidates from cold
+    grams only, verify still counting every shared gram — while the
+    cap genuinely engages (hot grams exist above it)."""
+    import pandas as pd
+
+    from strategy_analyzer_exporter_spark.operators.dedup import (
+        CONTAIN_DF_CAP,
+        CONTAIN_K,
+        _gram_rows,
+        dedup_containment,
+    )
+
+    boiler = " ".join(f"lic{i}" for i in range(20))
+    rows = []
+    for d_id in range(CONTAIN_DF_CAP + 6):  # df(boiler grams) > cap
+        rows.append(
+            {
+                "doc_id": d_id,
+                "text": boiler
+                + " "
+                + " ".join(f"u{d_id}x{i}" for i in range(30)),
+            }
+        )
+    # the planted true pair: 9001's full text quoted inside 9002 —
+    # shared grams are cold (df = 2), so candidates survive the cap
+    quoted = " ".join(f"q{i}" for i in range(10))
+    rows.append({"doc_id": 9001, "text": quoted})
+    rows.append(
+        {
+            "doc_id": 9002,
+            "text": boiler + " " + quoted + " "
+            + " ".join(f"f{i}" for i in range(40)),
+        }
+    )
+    for r in rows:
+        r["lang"], r["source"], r["n_chars"] = "en", "t", len(r["text"])
+    d = tmp_path_factory.mktemp("stopgram")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+
+    # the cap must actually bite on this corpus
+    hot = (
+        _gram_rows(spark, str(d), k=CONTAIN_K)
+        .groupBy("gram")
+        .count()
+        .filter(F.col("count") > CONTAIN_DF_CAP)
+        .count()
+    )
+    assert hot > 0
+
+    def rows_of(df_cap):
+        return sorted(
+            tuple(r)
+            for r in dedup_containment(spark, str(d), df_cap=df_cap).collect()
+        )
+
+    uncapped = rows_of(None)
+    capped = rows_of(CONTAIN_DF_CAP)
+    assert capped == uncapped
+    assert any(r[0] == 9001 and r[1] == 9002 for r in uncapped)  # non-vacuous
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -265,3 +332,60 @@ def test_epoch_shuffle_is_a_permutation_and_epochs_differ(spark):
     p2 = {r["doc_id"]: (r["shard"], r["position"]) for r in rows2}
     moved = sum(1 for d in p1 if p1[d] != p2[d])
     assert moved > 0.9 * len(p1)
+
+
+def test_epoch_materialize_byte_identical_and_physically_ordered(
+    spark, tmp_path_factory
+):
+    """The loader contract (VERDICT r11 #6): two independent
+    materializations of the same epoch produce byte-identical shard
+    files (one data file per shard), and each file's PHYSICAL row
+    order — read driver-side with pyarrow, no Spark scan in the way —
+    is exactly position 1..n. Together with the registered round-trip
+    query's oracle (placement + payload), this is the end-to-end proof
+    that the no-global-sort write path emits the files a sequential
+    loader needs."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from strategy_analyzer_exporter_spark.operators.pipeline import (
+        write_epoch_shards,
+    )
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    outs = []
+    for run in ("a", "b"):
+        out = str(tmp_path_factory.mktemp(f"epoch_{run}") / "epoch")
+        write_epoch_shards(spark, sf, out)
+        outs.append(out)
+
+    def shard_files(out):
+        files = {}
+        for name in sorted(os.listdir(out)):
+            if not name.startswith("shard="):
+                continue
+            data = [
+                f
+                for f in sorted(os.listdir(os.path.join(out, name)))
+                if not f.startswith(("_", "."))
+            ]
+            assert len(data) == 1, (name, data)  # ONE file per shard
+            files[name] = os.path.join(out, name, data[0])
+        return files
+
+    fa, fb = shard_files(outs[0]), shard_files(outs[1])
+    assert set(fa) == set(fb) and fa  # same shard set, non-empty
+    for shard in fa:
+        with open(fa[shard], "rb") as f1, open(fb[shard], "rb") as f2:
+            assert f1.read() == f2.read(), f"{shard} bytes differ"
+
+    # physical order: the file's row order IS the position order
+    n_docs = 0
+    for shard, path in fa.items():
+        pos = papq.read_table(path, columns=["position"])["position"].to_pylist()
+        assert pos == list(range(1, len(pos) + 1)), shard
+        n_docs += len(pos)
+    placements = QUERIES["train_epoch_shuffle"](spark, sf).collect()
+    assert n_docs == len(placements)  # every doc landed exactly once
