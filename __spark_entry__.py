@@ -79,25 +79,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CHANGED_AS_OF_ROUND or later (so a query that missed one round's
 #: 50-slot sample keeps its priority until actually re-verified, and
 #: no hand-maintained cleanup is needed).
-#: r11: two net-new registrations (dedup_incremental_vacuumed +
-#: similarity_ivfpq_vacuumed — physical deletion end to end, VERDICT
-#: r10 #4) enter via the never-recorded band. Changed band:
-#: multimodal_source_binaryfile + multimodal_source_packed_shards ride
-#: the make_wav source-hash staging fingerprint (VERDICT r10 #5 —
-#: layouts restaged, identical bytes); dedup_incremental_tombstoned +
-#: similarity_ivfpq_tombstoned ride the tombstone-relation staging
-#: fingerprint now keyed on the index's committed epoch chain (ADVICE
-#: r10 — id lists restaged, identical ids at the registered chains).
-#: 2 + 4 priority slots leave 44 for the stalest-first tail — exactly
-#: the 44-query r07 record tail, which drains fully this round
-#: (VERDICT r10 #1; 2 + 4 + 44 = 50).
+#: r12 (VERDICT r11 #1): q11_important_parts + q22_idle_rich_customers
+#: were behavior-changed by the r11 vacuousness recalibration (commit
+#: 6903ecf) but NOT added to this band, so their latest driver rows are
+#: still the pre-change zero-row r09 records — they jump the rotation
+#: now. dedup_semdedup is re-registered this round with corpus-derived
+#: k (the paper's k ∝ n rule; VERDICT r11 #2), so its r11 fixed-k row
+#: is stale by construction. Net-new registrations held to 2
+#: (text_bm25_topk_bucketed + train_epoch_materialize), so 2 + 3
+#: priority slots leave 45 tail slots — the six r07-stale records
+#: (similarity_lsh_multitable, sort_global_topk, source_csv_roundtrip,
+#: source_jsonl_roundtrip, split_train_val_test, streaming_dedup) all
+#: drain this round.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "multimodal_source_binaryfile",
-    "multimodal_source_packed_shards",
-    "dedup_incremental_tombstoned",
-    "similarity_ivfpq_tombstoned",
+    "q11_important_parts",
+    "q22_idle_rich_customers",
+    "dedup_semdedup",
 )
-CHANGED_AS_OF_ROUND = 11  # a row from round ≥ 11 post-dates the change
+CHANGED_AS_OF_ROUND = 12  # a row from round ≥ 12 post-dates the change
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -250,9 +250,26 @@ PROBE_QUERIES = (
     # at 50k vectors / 12.5k per cluster): the within-cluster pairwise
     # cost grows ~quadratically when k stays fixed, which is exactly
     # the measured case for the paper's k ∝ n rule (cluster size, not
-    # corpus size, must be the bounded quantity). A ~400 s probe would
-    # dominate the per-round bench budget, so the number lives here
-    # and in docs/BENCH_NOTES.md §r11 instead of re-running each round.
+    # corpus size, must be the bounded quantity). That number stays on
+    # record in docs/BENCH_NOTES.md §r11 as the fixed-k contrast.
+    # r12 (VERDICT r11 #2): the registered query now DERIVES
+    # k = max(KM_K, ⌈n/SEMDEDUP_CLUSTER_CAP⌉), capping cluster size —
+    # the within-cluster pair count is ~n·CAP (linear) and the probe
+    # re-enters the recurring set to keep the exponent measured. The
+    # assign pass is n·k numpy flops (k ∝ n ⇒ ~n²/CAP), cheap per op
+    # but the expected steepener at the probe's top end — whatever the
+    # blend reads, it replaces the one-off 1.71.
+    "dedup_semdedup",
+    # r12: the BM25 at-rest twin — same staged-token-table shape as
+    # text_tfidf_topk_bucketed (ingest lands in the warm-up); expect
+    # at or under the tfidf_bucketed class (VERDICT r11 #5)
+    "text_bm25_topk_bucketed",
+    # r12: the epoch materializer — the one-time shard WRITE (one
+    # repartition-on-shard exchange + per-partition sort) lands in the
+    # warm-up under the staging-memo convention (the at-rest family
+    # pattern); the timed pass is the shard-file read-back, expect the
+    # flat at-rest class
+    "train_epoch_materialize",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute

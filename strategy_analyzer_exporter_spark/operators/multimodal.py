@@ -1,17 +1,25 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata (LLM-pipeline surface).
 
-The container has no image/audio libraries, so the *decode* step is a
-clearly-marked stub (deterministic fake behind an import-try, per the
-build contract) — but everything Spark-side is real and tested: binary
-columns, typed metadata structs, Arrow-batched ``mapInPandas`` decode
-plumbing with a declared output schema, deterministic frame sampling,
-and partition-size-aware batch shapes.
+The container has no image/audio libraries, so decoding is done by
+REAL byte-format parsers written against the public container specs —
+PPM and BMP (image), WAV (audio), Y4M (video) — each a vectorized
+Arrow-batch parser over genuine binary payloads, value-checked against
+DuckDB oracles that recompute the expected plane/sample statistics
+from the byte-construction formulas without ever seeing the bytes.
+Everything Spark-side is equally real: binary columns, typed metadata
+structs, ``mapInPandas`` decode plumbing with declared output schemas,
+deterministic frame sampling, partition-size-aware batch shapes, and
+the packed-shard manifest source (bytes never shuffle — the 100 TB
+layout). A generic third-party-codec hook remains a deterministic
+fake behind an import-try (unregistered library surface, unit-tested);
+everything registered decodes real bytes.
 
-The corpus has no binary table; a synthetic payload is derived by
-encoding ``documents.text`` as UTF-8 bytes, with fake media metadata
-from exact integer arithmetic (so the metadata query still has a full
-DuckDB oracle). The decode path is registered rows-only.
+The corpus has no binary table; payloads are synthesized
+deterministically (UTF-8 text bytes for the metadata ops; pixel/
+sample/plane constructions for the four format decoders) with media
+metadata from exact integer arithmetic, so every registered query has
+a full DuckDB oracle.
 """
 
 from __future__ import annotations
