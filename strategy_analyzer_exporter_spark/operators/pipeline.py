@@ -282,13 +282,24 @@ def kmeans_assign_stream(
     return emb.mapInPandas(gen, schema)
 
 
-def kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cid, dist): nearest centroid per vector. The centroid
-    side is k×dim — always broadcast, so assignment is a map-only scan
-    of the (arbitrarily large) embedding relation followed by one
+def kmeans_assign(
+    emb: DataFrame, cents: DataFrame, broadcast_cents: bool = True
+) -> DataFrame:
+    """(vec_id, cid, dist): nearest centroid per vector — a map-only
+    scan of the (arbitrarily large) embedding relation followed by one
     min-by-key aggregation on vec_id. Ties break to the lowest cid via
-    struct ordering (deterministic in both engines)."""
-    scored = emb.crossJoin(F.broadcast(cents)).select(
+    struct ordering (deterministic in both engines).
+
+    ``broadcast_cents``: hint the centroid side only when the CALLER's
+    k is scale-independent (kmeans_embeddings' fixed KM_K). SemDeDup's
+    corpus-derived k makes the centroid relation GROW with the data,
+    so its fold path passes False and lets AQE pick the strategy at
+    runtime — broadcast while genuinely small, never a forced OOM
+    (the r06 house rule; caught by the fold-kernel hint sweep in
+    r12 — the 3 hint nodes had been latent since the r11
+    registration)."""
+    cside = F.broadcast(cents) if broadcast_cents else cents
+    scored = emb.crossJoin(cside).select(
         "vec_id", "cid", _sqdist(F.col("v"), F.col("cv")).alias("dist")
     )
     return (
@@ -334,7 +345,10 @@ _KMEANS_CACHE: dict = {}
 
 
 def _q_kmeans(
-    spark: SparkSession, sf_dir: str, k: int = KM_K
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KM_K,
+    hint_cents: bool = True,
 ) -> DataFrame:
     """Lloyd's k-means, k centroids (default KM_K=4), 2 update rounds,
     init = the k lowest-id vectors (deterministic — no sampling). Each
@@ -362,11 +376,13 @@ def _q_kmeans(
 
     if vector.kernel() == "fold":
         for _ in range(KM_ITERS):
-            assigned = kmeans_assign(e, cents).select("vec_id", "cid")
+            assigned = kmeans_assign(e, cents, hint_cents).select(
+                "vec_id", "cid"
+            )
             # k rows only — eager materialization truncates the nested
             # per-iteration lineage (same pattern as graph.py PageRank)
             cents = kmeans_update(assigned, e).localCheckpoint()
-        return kmeans_assign(e, cents).select("vec_id", "cid")
+        return kmeans_assign(e, cents, hint_cents).select("vec_id", "cid")
     # production path: centroids live on the driver between rounds
     # (k×dim doubles — collect() returns exact binary doubles). The
     # converged assignment is memoized per (session, corpus, kernel)
@@ -508,7 +524,10 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     k = semdedup_k(emb.count())
-    x = _q_kmeans(spark, sf_dir, k=k).join(emb, "vec_id")
+    # hint_cents=False: k is corpus-derived here, so the centroid
+    # relation scales with the data — no forced broadcast (r06 house
+    # rule); AQE broadcasts at runtime while it is genuinely small
+    x = _q_kmeans(spark, sf_dir, k=k, hint_cents=False).join(emb, "vec_id")
     a = x.select(
         F.col("vec_id").alias("vec_a"), F.col("cid").alias("cid_a"),
         F.col("embedding").alias("va"),

@@ -352,6 +352,24 @@ def test_tfidf_bucketed_twin_cuts_the_token_shuffle(spark):
     assert plan.count("Bucketed: true") >= 1, plan
 
 
+def test_bm25_bucketed_twin_cuts_the_token_shuffle(spark):
+    """The BM25 at-rest twin (VERDICT r11 #5), same contract as the
+    TF-IDF twin above: strictly fewer exchanges than the re-tokenize
+    form AND within the r11 verdict's ≤ 2 budget — tf and dl both ride
+    the bucketed scan's hashpartitioning(doc_id); what shuffles is the
+    aggregated vocabulary and the 5-term posting lists."""
+    from strategy_analyzer_exporter_spark.registry import QUERIES
+
+    base = P.count_exchanges(QUERIES["text_bm25_topk"](spark, SF))
+    bucketed = P.count_exchanges(QUERIES["text_bm25_topk_bucketed"](spark, SF))
+    assert bucketed < base, (bucketed, base)
+    assert bucketed <= 2, P.physical_plan(
+        QUERIES["text_bm25_topk_bucketed"](spark, SF)
+    )
+    plan = P.physical_plan(QUERIES["text_bm25_topk_bucketed"](spark, SF))
+    assert plan.count("Bucketed: true") >= 1, plan
+
+
 def test_bucketed_staging_reattaches_without_rewrite(spark):
     """ADVICE r07: a session that finds a valid ``_STAGED_OK`` layout
     but no catalog entry (= a fresh process sharing SPARK_GRAFT_TMP_DIR)
