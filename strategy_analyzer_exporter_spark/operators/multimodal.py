@@ -83,7 +83,11 @@ FROM documents"""
 
 
 # ---------------------------------------------------------------------------
-# Decode / feature-extract via mapInPandas (rows-only: not SQL-expressible)
+# Generic third-party-codec decode hook via mapInPandas — UNREGISTERED
+# library surface since r04 (unverifiable fake output has no place in
+# the registry); the registered decoders are the four real byte
+# parsers below. Kept as the documented swap-in point for PIL/
+# soundfile/av, unit-tested in tests/test_pipeline_ops.py.
 
 _DECODE_SCHEMA = T.StructType(
     [
@@ -128,7 +132,8 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed decode/resize plumbing over binary payloads via
-    mapInPandas. Registered rows-only (imperative decode isn't SQL)."""
+    mapInPandas. Library-only (not registered — see the section
+    comment above)."""
     m = media_table(spark, sf_dir)
     return m.mapInPandas(_decode_batch, _DECODE_SCHEMA)
 
@@ -867,9 +872,9 @@ register("multimodal_decode_y4m", _q_y4m_decode, _y4m_oracle())
 
 
 # ---------------------------------------------------------------------------
-# Deterministic feature extraction (hash features). The decode-based
-# extractor above is necessarily rows-only (and stubbed — no media libs
-# in this container); this one is the oracle-checkable stand-in: a
+# Deterministic feature extraction (hash features). The generic codec
+# hook above is unregistered (stubbed — no media libs in this
+# container); this one is the oracle-checkable stand-in: a
 # 4-dim feature vector derived from the payload digest. Each dim is an
 # exact 32-bit integer (md5 hex → base-16 fold) divided by 2^32 — a
 # power-of-two division, so the doubles are bit-exact in both engines.
