@@ -85,12 +85,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: still the pre-change zero-row r09 records — they jump the rotation
 #: now. dedup_semdedup is re-registered this round with corpus-derived
 #: k (the paper's k ∝ n rule; VERDICT r11 #2), so its r11 fixed-k row
-#: is stale by construction. Net-new registrations held to 2
-#: (text_bm25_topk_bucketed + train_epoch_materialize), so 2 + 3
-#: priority slots leave 45 tail slots — the six r07-stale records
+#: is stale by construction. Net-new registrations: 3
+#: (text_bm25_topk_bucketed + train_epoch_materialize per the ≤2 plan,
+#: plus text_bpe_merges added late in the round), so 3 + 3 priority
+#: slots leave 44 tail slots — the six r07-stale records
 #: (similarity_lsh_multitable, sort_global_topk, source_csv_roundtrip,
-#: source_jsonl_roundtrip, split_train_val_test, streaming_dedup) all
-#: drain this round.
+#: source_jsonl_roundtrip, split_train_val_test, streaming_dedup) are
+#: the stalest-first HEAD of the tail and drain regardless.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "q11_important_parts",
     "q22_idle_rich_customers",

@@ -270,6 +270,12 @@ PROBE_QUERIES = (
     # pattern); the timed pass is the shard-file read-back, expect the
     # flat at-rest class
     "train_epoch_materialize",
+    # r12: BPE merge training — ONE corpus shuffle builds the weighted
+    # vocabulary, then every round runs on |vocab| rows; measured
+    # out-of-band at registration t1 1.49 / t10 1.39 (exp ≈ 0.0, the
+    # per-round fixed costs dominate the 10× vocab), kept recurring
+    # to hold that claim
+    "text_bpe_merges",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute

@@ -1117,3 +1117,173 @@ SELECT token, doc_id, tf, dl, bm25, rn FROM (
 ) WHERE rn <= {BM25_TOPK}"""
 
 register("text_bm25_topk", _q_bm25, _BM25_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge TRAINING (Sennrich et al. 2016, "Neural Machine Translation
+# of Rare Words with Subword Units") — the tokenizer-construction step a
+# training-data pipeline runs before tokenizing anything: learn the
+# first BPE_MERGES merge rules from the corpus. The classic trainer is
+# a driver loop over an in-memory vocabulary; the distributed form here
+# keeps the SAME mathematical recipe but runs every step relational:
+#
+#   1. ONE corpus-sized shuffle builds the weighted vocabulary
+#      (word, count) — from there on, every iteration operates on the
+#      VOCABULARY, never the corpus (the standard trainer trick: pair
+#      statistics are word-frequency-weighted, so the corpus is only
+#      needed once).
+#   2. per round: adjacent symbol pairs explode from each word's
+#      current segmentation, one hash aggregation sums their weighted
+#      counts (map-side combine), and the argmax pair — ties broken
+#      (count DESC, lhs ASC, rhs ASC), deterministic in both engines —
+#      becomes the round's merge rule.
+#   3. the merge applies as a MAP-ONLY string rewrite: segmentations
+#      are carried as " s1  s2  ...  sn " (double-space separators,
+#      single-space pad), so replace(s, ' L  R ', ' LR ') performs
+#      exactly BPE's leftmost non-overlapping merge pass — adjacent
+#      matches never share characters (the double space), and the
+#      single-space boundaries the replacement introduces are
+#      re-normalized by a regex re-split before the next round.
+#      Verified identical semantics in Spark and DuckDB (replace() is
+#      leftmost non-overlapping in both: " a  a  a  a " → " aa  aa ").
+#
+# No driver loop over data, no collect: the per-round argmax is a
+# 1-ROW relation consumed by a crossJoin, and per-round
+# localCheckpoint keeps the unrolled lineage flat (the kmeans/PageRank
+# eager-materialization pattern — it also keeps the returned plan free
+# of per-round join hints, which the repo-wide hint sweep enforces).
+# End-of-word markers are deliberately omitted (documented deviation:
+# merges never cross word boundaries here either way, because pairs
+# are generated within words only).
+#
+# 100 TB shape: step 1 is the only corpus-scale operation; rounds 2-3
+# touch |vocab| rows. A production trainer runs thousands of rounds —
+# each is one small shuffle + one map pass, and the argmax relation
+# (the only driver-adjacent state) is one row per round, the
+# irreducible minimum any BPE trainer carries.
+
+BPE_MERGES = 3
+
+
+def _bpe_pad(col):
+    """array<symbol> → ' s1  s2  ...  sn ' (the replace-safe form)."""
+    return F.concat(F.lit(" "), F.array_join(col, "  "), F.lit(" "))
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    state = vocab.select(
+        "wc", _bpe_pad(F.split("word", "")).alias("s")
+    ).localCheckpoint()
+    merges = None
+    for rank in range(1, BPE_MERGES + 1):
+        syms = state.select("wc", F.split(F.trim("s"), " +").alias("a"))
+        pairs = (
+            syms.filter(F.size("a") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(a) - 2), "
+                        "i -> struct(a[i] AS lhs, a[i + 1] AS rhs))"
+                    )
+                ).alias("p"),
+            )
+            .select("wc", "p.lhs", "p.rhs")
+        )
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("wc").cast("long").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("lhs").asc(),
+                F.col("rhs").asc(),
+            )
+            .limit(1)
+            .localCheckpoint()
+        )
+        row = best.select(
+            F.lit(rank).cast("int").alias("rank"),
+            "lhs",
+            "rhs",
+            F.concat("lhs", "rhs").alias("merged"),
+            "pair_count",
+        )
+        merges = row if merges is None else merges.unionByName(row)
+        if rank < BPE_MERGES:
+            merged_s = F.replace(
+                F.col("s"),
+                F.concat(
+                    F.lit(" "), F.col("lhs"), F.lit("  "), F.col("rhs"),
+                    F.lit(" "),
+                ),
+                F.concat(
+                    F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" ")
+                ),
+            )
+            state = (
+                state.crossJoin(best.select("lhs", "rhs"))
+                .select(
+                    "wc",
+                    _bpe_pad(F.split(F.trim(merged_s), " +")).alias("s"),
+                )
+                .localCheckpoint()
+            )
+    return merges
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        f"words AS (SELECT unnest({TOKENS_SQL}) AS word FROM documents)",
+        "vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM words GROUP BY word)",
+        (
+            "s0 AS (SELECT wc, ' ' || array_to_string(string_split(word, ''), '  ')"
+            " || ' ' AS s FROM vocab)"
+        ),
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+    SELECT string_split(pr, chr(1))[1] AS lhs,
+           string_split(pr, chr(1))[2] AS rhs, wc
+    FROM (
+        SELECT unnest(list_transform(range(1, len(a)),
+                      j -> a[j] || chr(1) || a[j + 1])) AS pr, wc
+        FROM (SELECT wc, regexp_split_to_array(trim(s), ' +') AS a
+              FROM {prev})
+    )
+)"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+    SELECT lhs, rhs, CAST(sum(wc) AS BIGINT) AS pair_count
+    FROM p{i} GROUP BY lhs, rhs
+    ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
+)"""
+        )
+        if i < BPE_MERGES:
+            ctes.append(
+                f"""s{i} AS (
+    SELECT wc,
+           ' ' || array_to_string(regexp_split_to_array(trim(
+               replace(s, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                          ' ' || b.lhs || b.rhs || ' ')), ' +'), '  ')
+           || ' ' AS s
+    FROM {prev}, b{i} b
+)"""
+            )
+    selects = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, lhs, rhs, "
+        f"lhs || rhs AS merged, pair_count FROM b{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+register("text_bpe_merges", _q_bpe_merges, _bpe_oracle())

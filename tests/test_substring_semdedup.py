@@ -389,3 +389,35 @@ def test_epoch_materialize_byte_identical_and_physically_ordered(
         n_docs += len(pos)
     placements = QUERIES["train_epoch_shuffle"](spark, sf).collect()
     assert n_docs == len(placements)  # every doc landed exactly once
+
+
+def test_bpe_merges_nonoverlap_tiebreak_and_weighting(spark, tmp_path_factory):
+    """Planted BPE semantics: (1) leftmost NON-OVERLAPPING merge —
+    'aaaa' becomes [aa, aa] after round 1, so round 2's best pair is
+    (aa, aa), which a naive overlapping replace would get wrong;
+    (2) word-frequency weighting — the (a, a) count is
+    occurrences-per-word × word count; (3) deterministic tie-break —
+    (x, y) beats (x, z) at equal counts by rhs ordering."""
+    import pandas as pd
+
+    from strategy_analyzer_exporter_spark.operators.pipeline3 import (
+        _q_bpe_merges,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "aaaa aaaa aaaa xy xz"},
+        {"doc_id": 2, "text": "aaaa aaaa xy xz"},
+    ]
+    for r in rows:
+        r["lang"], r["source"], r["n_chars"] = "en", "t", len(r["text"])
+    d = tmp_path_factory.mktemp("bpe")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in _q_bpe_merges(spark, str(d)).orderBy("rank").collect()
+    ]
+    assert got == [
+        (1, "a", "a", "aa", 15),
+        (2, "aa", "aa", "aaaa", 5),
+        (3, "x", "y", "xy", 2),
+    ]
