@@ -79,25 +79,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CHANGED_AS_OF_ROUND or later (so a query that missed one round's
 #: 50-slot sample keeps its priority until actually re-verified, and
 #: no hand-maintained cleanup is needed).
-#: r12 (VERDICT r11 #1): q11_important_parts + q22_idle_rich_customers
-#: were behavior-changed by the r11 vacuousness recalibration (commit
-#: 6903ecf) but NOT added to this band, so their latest driver rows are
-#: still the pre-change zero-row r09 records — they jump the rotation
-#: now. dedup_semdedup is re-registered this round with corpus-derived
-#: k (the paper's k ∝ n rule; VERDICT r11 #2), so its r11 fixed-k row
-#: is stale by construction. Net-new registrations: 3
-#: (text_bm25_topk_bucketed + train_epoch_materialize per the ≤2 plan,
-#: plus text_bpe_merges added late in the round), so 3 + 3 priority
-#: slots leave 44 tail slots — the six r07-stale records
-#: (similarity_lsh_multitable, sort_global_topk, source_csv_roundtrip,
-#: source_jsonl_roundtrip, split_train_val_test, streaming_dedup) are
-#: the stalest-first HEAD of the tail and drain regardless.
+#: r13 (VERDICT r12 #1): dedup_semdedup's assignment is re-shaped from
+#: the flat corpus-derived-k Lloyd assign (n·k distances — the one
+#: remaining scale-killer) to the TWO-LEVEL coarse-then-fine
+#: hierarchical assign (kc = ⌈√k⌉ cells × kf = ⌈k/kc⌉ fine centroids
+#: per cell, ~2n·√k total assignment work), so its r12 flat-k row is
+#: stale by construction. Net-new registrations: 1 (kmeans_two_level,
+#: the hierarchical assignment exposed as its own operator), so
+#: 1 fresh + 1 priority slot leave 48 tail slots — the two r08-stale
+#: records (streaming_dedup_watermarked, source_schema_evolution) are
+#: the stalest-first HEAD of the tail and drain first, followed by the
+#: r09 cohort (VERDICT r12 #4).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "q11_important_parts",
-    "q22_idle_rich_customers",
     "dedup_semdedup",
 )
-CHANGED_AS_OF_ROUND = 12  # a row from round ≥ 12 post-dates the change
+CHANGED_AS_OF_ROUND = 13  # a row from round ≥ 13 post-dates the change
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

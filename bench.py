@@ -259,7 +259,16 @@ PROBE_QUERIES = (
     # assign pass is n·k numpy flops (k ∝ n ⇒ ~n²/CAP), cheap per op
     # but the expected steepener at the probe's top end — whatever the
     # blend reads, it replaces the one-off 1.71.
+    # r13 (VERDICT r12 #1): the assign is now TWO-LEVEL (coarse kc =
+    # ⌈√k⌉ cells, then per-cell fine assign — ~2n·√k work, never n·k);
+    # semdedup joins the 100× tier below so the no-n·k-term claim is
+    # measured across two decades, and the ASSIGN stage itself is
+    # measured cache-cold out-of-band (BENCH_NOTES §r13 — the memoized
+    # in-probe timing alone would exclude the very term under test)
     "dedup_semdedup",
+    # r13: the two-level assignment exposed as its own operator —
+    # expect the semdedup class minus the pairwise stage
+    "kmeans_two_level",
     # r12: the BM25 at-rest twin — same staged-token-table shape as
     # text_tfidf_topk_bucketed (ingest lands in the warm-up); expect
     # at or under the tfidf_bucketed class (VERDICT r11 #5)
@@ -307,6 +316,16 @@ PROBE100_QUERIES = (
     "dedup_incremental_tombstoned",
     "similarity_ivfpq_tombstoned",
     "similarity_ivfpq_frozen_ingest",
+    # r13 (VERDICT r12 #1): the two-level SemDeDup's second decade —
+    # the claim "no term scales as n·k" needs the 100× point where the
+    # flat assign's n²/CAP would have dominated (200k vectors, k=2000:
+    # flat = 4×10^8 pair-distances; two-level = ~2×10^7)
+    "dedup_semdedup",
+    # r13 (VERDICT r12 #7): streaming's third decade — 100× distinct
+    # days through the MFPT=256 micro-batch machinery (the r07 curve
+    # was measured at 10×); settles whether per-batch fixed cost
+    # amortizes or compounds at the next decade
+    "streaming_features",
 )
 # min-of-3 (was 2): this host shows intermittent noisy-neighbor bursts
 # that inflate ISOLATED probe entries 2-4× even on an idle box (r07:
@@ -511,15 +530,18 @@ def _calibration(spark) -> dict:
 
 
 def _stage_100x(spark, sf_dir: str) -> str:
-    """100× documents + embeddings for the at-rest third decade
+    """100× documents + embeddings + events for the third decade
     (VERDICT r09 #5). Same copy-isomorphism invariant as _stage_10x
-    (per-copy vocabulary namespaces → candidate pairs scale linearly by
-    construction); only the two tables the PROBE100 queries read —
-    events/bars pipelines stay on the 1×/10× tiers."""
+    (per-copy vocabulary namespaces → candidate pairs scale linearly
+    by construction; per-copy disjoint id spaces and day ranges →
+    day-keyed pipelines see 100× DAYS). v2 adds the events table so
+    the streaming family can be probed at its third decade (VERDICT
+    r12 #7); the v1 cache (documents+embeddings only) is never reused
+    under the new name."""
     from pyspark.sql import functions as F
 
     out = os.path.join(
-        _probe_staging_root(), "scale100x_v1_" + sf_dir.strip("/").split("/")[-1]
+        _probe_staging_root(), "scale100x_v2_" + sf_dir.strip("/").split("/")[-1]
     )
     done_flag = os.path.join(out, "_STAGED_OK")
     if os.path.exists(done_flag):
@@ -579,6 +601,39 @@ def _stage_100x(spark, sf_dir: str) -> str:
     )
     emb100.repartition(int(CPUS)).write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet")
+    )
+
+    # events 100×: the _stage_10x v5 generator at 100 copies — disjoint
+    # id spaces, per-copy ts shifts derived from the corpus's real day
+    # span so day keys never collide across copies (100× distinct days)
+    from strategy_analyzer_exporter_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    max_eid, max_uid, ts_lo, ts_hi = ev.agg(
+        F.max("event_id"), F.max("user_id"), F.min("ts"), F.max("ts")
+    ).collect()[0]
+    if max_eid is None:
+        raise RuntimeError(
+            f"cannot stage 100x events: {sf_dir}/events.parquet is empty"
+        )
+    n_ev = max_eid + 1
+    n_users = max_uid + 1
+    span_days = (ts_hi - ts_lo).days + 1
+    shift_days = max(90, span_days + 1)
+    ev100 = ev.crossJoin(
+        spark.range(100).select(F.col("id").alias("copy"))
+    ).select(
+        (F.col("event_id") + F.col("copy") * n_ev).alias("event_id"),
+        F.expr(
+            f"timestampadd(DAY, CAST(copy * {shift_days} AS INT), ts)"
+        ).alias("ts"),
+        (F.col("user_id") + F.col("copy") * n_users).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    ev100.repartition(int(CPUS) * 4).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
     )
     open(done_flag, "w").close()
     return out
@@ -643,6 +698,37 @@ def _scale_probe(spark, queries) -> dict:
                 else:
                     os.environ[vector.PAIR_KERNEL_ENV] = prev
     return probe
+
+
+def full_record_path(here: str, run_kind: str) -> str:
+    """Where the full bench record lands. Refuses to DEMOTE record
+    quality (VERDICT r12 wrong #2: the driver's host-smeared re-run
+    silently clobbered the committed idle-comparable record in the
+    working tree): a host-smeared run never overwrites an existing
+    BENCH_FULL.json whose run_kind is idle-comparable — it is diverted
+    to BENCH_FULL.host-smeared.json instead, with a stderr note. An
+    idle-comparable run (same or better quality) always takes the
+    primary slot; SPARK_GRAFT_BENCH_FORCE=1 overrides the guard."""
+    primary = os.path.join(here, "BENCH_FULL.json")
+    if run_kind == "idle-comparable" or os.environ.get(
+        "SPARK_GRAFT_BENCH_FORCE"
+    ) == "1":
+        return primary
+    try:
+        with open(primary) as f:
+            existing_kind = json.load(f).get("run_kind")
+    except (OSError, ValueError):
+        return primary  # nothing to demote (absent/unreadable record)
+    if existing_kind != "idle-comparable":
+        return primary
+    diverted = os.path.join(here, "BENCH_FULL.host-smeared.json")
+    print(
+        "BENCH_FULL.json holds an idle-comparable record; this run is "
+        f"{run_kind} — writing {os.path.basename(diverted)} instead "
+        "(set SPARK_GRAFT_BENCH_FORCE=1 to overwrite)",
+        file=sys.stderr,
+    )
+    return diverted
 
 
 def main() -> None:
@@ -781,12 +867,13 @@ def main() -> None:
     print(json.dumps(compact), flush=True)
     # full record (probe, exchanges, notes) to a file the judge can read
     here = os.path.dirname(os.path.abspath(__file__))
+    target = full_record_path(here, extras["run_kind"])
     try:
-        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        with open(target, "w") as f:
             json.dump({**compact, **extras}, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError as e:
-        print(f"BENCH_FULL.json write failed: {e}", file=sys.stderr)
+        print(f"{os.path.basename(target)} write failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

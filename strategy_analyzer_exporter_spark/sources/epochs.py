@@ -403,9 +403,19 @@ def recover_torn_epoch(dirs: list[str], pred: str) -> bool:
                 )
     if not any(pend.values()):
         return False
-    # pass 2: group-wide forward/backward decision per torn epoch
+    # pass 2a: VALIDATE the whole group-wide forward/backward plan
+    # before touching anything (ADVICE r12: the old in-place loop
+    # deleted a half-committed OK record and its data files before a
+    # later dir's chain-head check or pass 3's base-record check could
+    # raise — a "rebuild instead" group was partially mutated first).
+    # Rollbacks change later head computations, so the validation
+    # SIMULATES them on a copy of the committed-epoch key sets; every
+    # raise below therefore fires with the on-disk state untouched.
+    sim = {d: set(oks[d]) for d in dirs}
+    plan: list[tuple[int, str, list[str]]] = []
+    forward_rolled: set[int] = set()
     for n in sorted(torn_ids):
-        committed = [d for d in dirs if n in oks[d]]
+        committed = [d for d in dirs if n in sim[d]]
         for d in committed:
             if oks[d][n].get("pred") != pred:
                 raise RuntimeError(
@@ -414,9 +424,38 @@ def recover_torn_epoch(dirs: list[str], pred: str) -> bool:
                     f"{pred!r} — a racer took the slot; rebuild instead"
                 )
         if len(committed) == len(dirs):
+            plan.append((n, "forward", list(dirs)))
+            forward_rolled.add(n)
+            continue
+        for d in committed:
+            head = max(i for i in sim[d] if i >= 1)
+            if n != head:
+                raise RuntimeError(
+                    f"half-committed epoch {n} in {d} is not the chain "
+                    f"head ({head}) — cannot roll back; rebuild instead"
+                )
+            sim[d].discard(n)
+        plan.append((n, "backward", committed))
+    # pass 3's base-record precondition, hoisted: any dir that will
+    # still hold a matching PENDING after the forward rolls needs the
+    # base record for the unaccounted-file sweep — raise NOW, before
+    # any mutation, not after pass 2 has executed
+    for d in dirs:
+        will_sweep = any(
+            int(_PENDING_RE.match(f).group(1)) not in forward_rolled
+            for f in pend[d]
+        )
+        if will_sweep and 0 not in oks[d]:
+            raise RuntimeError(
+                f"{d} has no base record (_EPOCH_0000_OK); tear "
+                f"recovery needs the orphan contract — rebuild instead"
+            )
+    # pass 2b: execute the validated plan (mutations only from here on)
+    for n, action, touched in plan:
+        if action == "forward":
             # roll forward: the OK phase completed group-wide — only
             # the PENDING-removal loop was cut short
-            for d in dirs:
+            for d in touched:
                 p = os.path.join(d, f"_EPOCH_{n:04d}_PENDING")
                 if os.path.exists(p):
                     os.remove(p)
@@ -426,13 +465,7 @@ def recover_torn_epoch(dirs: list[str], pred: str) -> bool:
             continue
         # roll backward: undo the half-written commit in the dirs it
         # reached, so the unaccounted-file sweep below owns its data
-        for d in committed:
-            head = max(i for i in oks[d] if i >= 1)
-            if n != head:
-                raise RuntimeError(
-                    f"half-committed epoch {n} in {d} is not the chain "
-                    f"head ({head}) — cannot roll back; rebuild instead"
-                )
+        for d in touched:
             for rel in oks[d][n].get("files", {}):
                 p = os.path.join(d, rel)
                 if os.path.exists(p):

@@ -347,3 +347,52 @@ def test_recover_refuses_foreign_pred_and_missing_base(tmp_path):
         os.remove(os.path.join(d, "_EPOCH_0000_OK"))
     with pytest.raises(RuntimeError, match="no base record"):
         epochs.recover_torn_epoch(dirs, "mine")
+
+
+def test_recover_validates_before_any_mutation_missing_base(tmp_path):
+    """ADVICE r12: a half-committed epoch in a group LACKING the base
+    record must raise with the on-disk state UNTOUCHED — the old code
+    rolled the half-commit back (deleting the OK record and its data
+    files) before pass 3's base-record check fired, leaving a state
+    different from the one the error message implies."""
+    import pytest
+
+    dirs = _mk_group(tmp_path, 2)
+    _commit(dirs, 1, "p1")
+    epochs.record_base(dirs)
+    _half_commit(dirs, dirs[:1], 2, "mine")
+    for d in dirs:  # no base record anywhere → must refuse outright
+        os.remove(os.path.join(d, "_EPOCH_0000_OK"))
+    with pytest.raises(RuntimeError, match="no base record"):
+        epochs.recover_torn_epoch(dirs, "mine")
+    # nothing was rolled back: the half-committed OK, its data file,
+    # and every PENDING marker are exactly where the tear left them
+    assert os.path.exists(os.path.join(dirs[0], "_EPOCH_0002_OK"))
+    assert os.path.exists(os.path.join(dirs[0], "part-0002-0.bin"))
+    for d in dirs:
+        assert os.path.exists(os.path.join(d, "_EPOCH_0002_PENDING"))
+
+
+def test_recover_validates_before_any_mutation_racer_after_forward(tmp_path):
+    """Second pre-mutation scenario: torn epoch 2 would roll FORWARD
+    (group-wide OK), but torn epoch 3's slot was committed by a racer
+    — the raise must leave epoch 2's PENDING markers in place (the old
+    per-epoch loop executed the forward roll first)."""
+    import pytest
+
+    dirs = _mk_group(tmp_path, 2)
+    _commit(dirs, 1, "p1")
+    epochs.record_base(dirs)
+    _commit(dirs, 2, "mine")
+    for d in dirs:  # mid-removal crash: every OK written, PENDINGs stay
+        with open(os.path.join(d, "_EPOCH_0002_PENDING"), "x") as f:
+            json.dump({"pred": "mine"}, f)
+    _commit(dirs, 3, "theirs")
+    for d in dirs:  # stale claim on the racer-committed slot
+        with open(os.path.join(d, "_EPOCH_0003_PENDING"), "x") as f:
+            json.dump({"pred": "mine"}, f)
+    with pytest.raises(RuntimeError, match="racer took the slot"):
+        epochs.recover_torn_epoch(dirs, "mine")
+    for d in dirs:
+        assert os.path.exists(os.path.join(d, "_EPOCH_0002_PENDING"))
+        assert os.path.exists(os.path.join(d, "_EPOCH_0003_PENDING"))
