@@ -84,12 +84,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: remaining scale-killer) to the TWO-LEVEL coarse-then-fine
 #: hierarchical assign (kc = ⌈√k⌉ cells × kf = ⌈k/kc⌉ fine centroids
 #: per cell, ~2n·√k total assignment work), so its r12 flat-k row is
-#: stale by construction. Net-new registrations: 1 (kmeans_two_level,
-#: the hierarchical assignment exposed as its own operator), so
-#: 1 fresh + 1 priority slot leave 48 tail slots — the two r08-stale
-#: records (streaming_dedup_watermarked, source_schema_evolution) are
-#: the stalest-first HEAD of the tail and drain first, followed by the
-#: r09 cohort (VERDICT r12 #4).
+#: stale by construction. Net-new registrations: 2 (kmeans_two_level,
+#: the hierarchical assignment exposed as its own operator;
+#: text_bpe_encode, the tokenizer-APPLY half of the r12 BPE trainer),
+#: so 2 fresh + 1 priority slot leave 47 tail slots — the two
+#: r08-stale records (streaming_dedup_watermarked,
+#: source_schema_evolution) are the stalest-first HEAD of the tail and
+#: drain first, followed by the r09 cohort (VERDICT r12 #4).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_semdedup",
 )

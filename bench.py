@@ -285,6 +285,10 @@ PROBE_QUERIES = (
     # per-round fixed costs dominate the 10× vocab), kept recurring
     # to hold that claim
     "text_bpe_merges",
+    # r13: the tokenizer-APPLY half — same one-corpus-shuffle shape
+    # plus the |vocab|-row encode explode/agg; expect the trainer's
+    # class (the corpus shuffle dominates both)
+    "text_bpe_encode",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute

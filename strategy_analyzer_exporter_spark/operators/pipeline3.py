@@ -1170,17 +1170,16 @@ def _bpe_pad(col):
     return F.concat(F.lit(" "), F.array_join(col, "  "), F.lit(" "))
 
 
-def _q_bpe_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
-) -> DataFrame:
-    """``n_merges`` parameterizes training depth (VERDICT r12 #3): the
-    REGISTERED query stays at BPE_MERGES=3 (bounded oracle cost — the
-    DuckDB side unrolls the same rounds), while the depth-≥8 planted
-    test (tests/test_substring_semdedup.py) and the out-of-band
-    rounds-vs-time curve (docs/BENCH_NOTES.md §r13) run deeper. The
-    per-round localCheckpoint keeps lineage flat at ANY depth — each
-    round's plan starts from the previous round's materialized state,
-    so depth never compounds plan size."""
+def _bpe_loop(
+    spark: SparkSession, sf_dir: str, n_merges: int, apply_last: bool
+) -> tuple[DataFrame, DataFrame]:
+    """(merges, state): the shared trainer loop. ``apply_last`` — the
+    trainer itself never consumes the last rule's rewrite, so it skips
+    it (one fewer vocab pass); the ENCODER needs the state with every
+    learned rule applied, because that state IS the encoding of each
+    distinct word (greedy rank-order BPE: applying the rules in the
+    order they were learned reproduces training-time segmentation
+    exactly — Sennrich et al. 2016 §3.2)."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -1225,7 +1224,7 @@ def _q_bpe_merges(
             "pair_count",
         )
         merges = row if merges is None else merges.unionByName(row)
-        if rank < n_merges:
+        if rank < n_merges or apply_last:
             merged_s = F.replace(
                 F.col("s"),
                 F.concat(
@@ -1244,10 +1243,55 @@ def _q_bpe_merges(
                 )
                 .localCheckpoint()
             )
-    return merges
+    return merges, state
 
 
-def _bpe_oracle() -> str:
+def _q_bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """``n_merges`` parameterizes training depth (VERDICT r12 #3): the
+    REGISTERED query stays at BPE_MERGES=3 (bounded oracle cost — the
+    DuckDB side unrolls the same rounds), while the depth-≥8 planted
+    test (tests/test_substring_semdedup.py) and the out-of-band
+    rounds-vs-time curve (docs/BENCH_NOTES.md §r13) run deeper. The
+    per-round localCheckpoint keeps lineage flat at ANY depth — each
+    round's plan starts from the previous round's materialized state,
+    so depth never compounds plan size."""
+    return _bpe_loop(spark, sf_dir, n_merges, apply_last=False)[0]
+
+
+def _q_bpe_encode(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """(token, token_count): the corpus token distribution under the
+    learned BPE tokenizer — train the first ``n_merges`` rules, apply
+    ALL of them to the weighted vocabulary, explode the final
+    segmentations weighted by word count. The tokenizer-APPLY half the
+    trainer implies: what a pipeline reads for vocab coverage /
+    tokens-per-word compression before committing to a tokenizer.
+
+    100 TB shape: identical to the trainer's — the corpus is touched
+    exactly once (the vocabulary shuffle); every later step, INCLUDING
+    the encode itself, runs on |vocab| rows. That is the production
+    point: BPE encoding is word-internal, so encoding a corpus reduces
+    to encoding the distinct-word relation, and (when the encoded
+    documents themselves are wanted) broadcast-joining the word →
+    segmentation map back onto the corpus as a map-only pass — never a
+    per-document merge loop. The aggregate here distributes over word
+    counts, so it never performs even that join."""
+    _, state = _bpe_loop(spark, sf_dir, n_merges, apply_last=True)
+    return (
+        state.select(
+            "wc", F.explode(F.split(F.trim("s"), " +")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.sum("wc").cast("long").alias("token_count"))
+    )
+
+
+def _bpe_ctes(apply_last: bool) -> list[str]:
+    """The unrolled trainer CTE chain; ``apply_last`` mirrors
+    :func:`_bpe_loop` (the encode oracle needs s{BPE_MERGES})."""
     ctes = [
         f"words AS (SELECT unnest({TOKENS_SQL}) AS word FROM documents)",
         "vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM words GROUP BY word)",
@@ -1277,7 +1321,7 @@ def _bpe_oracle() -> str:
     ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
 )"""
         )
-        if i < BPE_MERGES:
+        if i < BPE_MERGES or apply_last:
             ctes.append(
                 f"""s{i} AS (
     SELECT wc,
@@ -1288,12 +1332,31 @@ def _bpe_oracle() -> str:
     FROM {prev}, b{i} b
 )"""
             )
+    return ctes
+
+
+def _bpe_oracle() -> str:
     selects = "\nUNION ALL ".join(
         f"SELECT CAST({i} AS INTEGER) AS rank, lhs, rhs, "
         f"lhs || rhs AS merged, pair_count FROM b{i}"
         for i in range(1, BPE_MERGES + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    return "WITH " + ",\n".join(_bpe_ctes(apply_last=False)) + "\n" + selects
+
+
+def _bpe_encode_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(apply_last=True))
+        + f"""
+SELECT token, CAST(sum(wc) AS BIGINT) AS token_count
+FROM (
+    SELECT wc, unnest(regexp_split_to_array(trim(s), ' +')) AS token
+    FROM s{BPE_MERGES}
+)
+GROUP BY token"""
+    )
 
 
 register("text_bpe_merges", _q_bpe_merges, _bpe_oracle())
+register("text_bpe_encode", _q_bpe_encode, _bpe_encode_oracle())

@@ -572,11 +572,14 @@ def test_fine_assign_kernels_bit_identical(spark, tl_dir, monkeypatch):
 # BPE at production depth — r13 (VERDICT r12 #3)
 
 
-def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+def _ref_bpe(word_counts: dict[str, int], n_merges: int, state_out=None):
     """Pure-python reference BPE trainer with the registered query's
     exact semantics: pair counts weighted by word frequency over ALL
     adjacent positions, argmax tie-break (count DESC, lhs ASC, rhs
-    ASC), merge applied leftmost non-overlapping."""
+    ASC), merge applied leftmost non-overlapping. Pass a list as
+    ``state_out`` to also receive the final (symbols, count) states —
+    the reference ENCODING of each distinct word after all n merges
+    (what text_bpe_encode aggregates)."""
     state = [(list(w), c) for w, c in sorted(word_counts.items())]
     out = []
     for rank in range(1, n_merges + 1):
@@ -600,6 +603,8 @@ def _ref_bpe(word_counts: dict[str, int], n_merges: int):
                     i += 1
             nxt.append((res, c))
         state = nxt
+    if state_out is not None:
+        state_out.extend(state)
     return out
 
 
@@ -647,3 +652,54 @@ def test_bpe_depth_ten_matches_reference_trainer(spark, tmp_path_factory):
     assert got == _ref_bpe(words, 10)
     # every round learned a distinct rule (the corpus doesn't run dry)
     assert len({(lhs, rhs) for _, lhs, rhs, _, _ in got}) == 10
+
+
+def test_bpe_encode_matches_reference_tokenization(spark, tmp_path_factory):
+    """text_bpe_encode ≡ the reference trainer's final segmentation
+    state aggregated to (token, count) — on the same composition-rich
+    corpus as the depth-10 trainer test, at a depth (5) where merged
+    symbols have re-merged with neighbours, so the apply_last rewrite
+    and the rank-order encode-equals-train-state identity are both
+    exercised past the trivial first rounds."""
+    from strategy_analyzer_exporter_spark.operators.pipeline3 import (
+        _q_bpe_encode,
+    )
+
+    words = {
+        "aaaaaaaa": 5,
+        "banana": 4,
+        "bananas": 2,
+        "cabbage": 3,
+        "baggage": 3,
+        "abracadabra": 2,
+        "mississippi": 2,
+        "zzzz": 1,
+    }
+    text_parts = []
+    for w, c in words.items():
+        text_parts.extend([w] * c)
+    rows = [
+        {"doc_id": 1, "text": " ".join(text_parts[::2])},
+        {"doc_id": 2, "text": " ".join(text_parts[1::2])},
+    ]
+    for r in rows:
+        r["lang"], r["source"], r["n_chars"] = "en", "t", len(r["text"])
+    d = tmp_path_factory.mktemp("bpe_encode")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+
+    state: list = []
+    _ref_bpe(words, 5, state_out=state)
+    want: dict[str, int] = {}
+    for syms, c in state:
+        for s in syms:
+            want[s] = want.get(s, 0) + c
+    got = {
+        r["token"]: r["token_count"]
+        for r in _q_bpe_encode(spark, str(d), n_merges=5).collect()
+    }
+    assert got == want
+    # the encode genuinely compressed: some multi-char token exists and
+    # total token mass is below the raw character mass
+    assert any(len(t) > 1 for t in got)
+    raw_chars = sum(len(w) * c for w, c in words.items())
+    assert sum(got.values()) < raw_chars
