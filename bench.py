@@ -289,6 +289,17 @@ PROBE_QUERIES = (
     # plus the |vocab|-row encode explode/agg; expect the trainer's
     # class (the corpus shuffle dominates both)
     "text_bpe_encode",
+    # r13 wave 2: the per-DOCUMENT encode (word → segmentation join
+    # back onto the corpus word explode + per-doc agg) — the corpus is
+    # now touched twice (vocab build + explode-join), so expect a
+    # LINEAR-class exponent, unlike the trainer/encoder's vocab-bound
+    # flat class; that contrast is the point of measuring it
+    "text_bpe_tokenize_docs",
+    # r13 wave 2: CCNet-style LM bucketing — trigram explode, one
+    # (lang, trigram) agg over the reference slice, co-partitioned
+    # left join, per-doc agg, lang-window ntile; expect the
+    # token-explode linear class (text_quality_score's family)
+    "text_lm_likelihood_buckets",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute

@@ -1179,7 +1179,10 @@ def _bpe_loop(
     learned rule applied, because that state IS the encoding of each
     distinct word (greedy rank-order BPE: applying the rules in the
     order they were learned reproduces training-time segmentation
-    exactly — Sennrich et al. 2016 §3.2)."""
+    exactly — Sennrich et al. 2016 §3.2). The state carries ``word``
+    alongside (wc, s) so per-document consumers (text_bpe_tokenize_docs)
+    can join the word → segmentation map back onto the corpus; the
+    trainer/encoder ignore it (|vocab|-row string column, negligible)."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -1187,7 +1190,7 @@ def _bpe_loop(
         .agg(F.count(F.lit(1)).cast("long").alias("wc"))
     )
     state = vocab.select(
-        "wc", _bpe_pad(F.split("word", "")).alias("s")
+        "word", "wc", _bpe_pad(F.split("word", "")).alias("s")
     ).localCheckpoint()
     merges = None
     for rank in range(1, n_merges + 1):
@@ -1238,6 +1241,7 @@ def _bpe_loop(
             state = (
                 state.crossJoin(best.select("lhs", "rhs"))
                 .select(
+                    "word",
                     "wc",
                     _bpe_pad(F.split(F.trim(merged_s), " +")).alias("s"),
                 )
@@ -1296,7 +1300,8 @@ def _bpe_ctes(apply_last: bool) -> list[str]:
         f"words AS (SELECT unnest({TOKENS_SQL}) AS word FROM documents)",
         "vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM words GROUP BY word)",
         (
-            "s0 AS (SELECT wc, ' ' || array_to_string(string_split(word, ''), '  ')"
+            "s0 AS (SELECT word, wc,"
+            " ' ' || array_to_string(string_split(word, ''), '  ')"
             " || ' ' AS s FROM vocab)"
         ),
     ]
@@ -1324,7 +1329,7 @@ def _bpe_ctes(apply_last: bool) -> list[str]:
         if i < BPE_MERGES or apply_last:
             ctes.append(
                 f"""s{i} AS (
-    SELECT wc,
+    SELECT word, wc,
            ' ' || array_to_string(regexp_split_to_array(trim(
                replace(s, ' ' || b.lhs || '  ' || b.rhs || ' ',
                           ' ' || b.lhs || b.rhs || ' ')), ' +'), '  ')
@@ -1358,5 +1363,67 @@ GROUP BY token"""
     )
 
 
+def _q_bpe_tokenize_docs(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens, tokens_per_word): per-DOCUMENT token
+    counts under the learned BPE tokenizer — the bridge from the
+    trainer (text_bpe_merges) to the sequence packer (pack_sequences):
+    a loader budgets shards by post-tokenization length, not word
+    count. tokens_per_word is the per-doc compression ratio (one double
+    division of exact BIGINTs).
+
+    100 TB shape: the word → segmentation map is |vocab| rows, so the
+    per-document step is the corpus word-explode joined against it on
+    ``word`` — co-partitioned hash join (AQE broadcasts the vocab side
+    when it fits), then one per-doc hash-agg. BPE is word-internal
+    (Sennrich et al. 2016), so this join IS the whole encode: no
+    per-document merge loop ever runs."""
+    _, state = _bpe_loop(spark, sf_dir, n_merges, apply_last=True)
+    seg = state.select(
+        "word", F.size(F.split(F.trim("s"), " +")).cast("long").alias("wtoks")
+    )
+    dw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return (
+        dw.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("wtoks").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double") / F.col("n_words").cast("double")
+            ).alias("tokens_per_word"),
+        )
+    )
+
+
+def _bpe_tokenize_docs_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(apply_last=True))
+        + f""",
+seg AS (
+    SELECT word, CAST(len(regexp_split_to_array(trim(s), ' +')) AS BIGINT)
+           AS wtoks
+    FROM s{BPE_MERGES}
+),
+dw AS (SELECT doc_id, unnest({TOKENS_SQL}) AS word FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wtoks) AS BIGINT) AS n_tokens,
+       CAST(sum(wtoks) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS tokens_per_word
+FROM dw JOIN seg USING (word)
+GROUP BY doc_id"""
+    )
+
+
 register("text_bpe_merges", _q_bpe_merges, _bpe_oracle())
 register("text_bpe_encode", _q_bpe_encode, _bpe_encode_oracle())
+register("text_bpe_tokenize_docs", _q_bpe_tokenize_docs, _bpe_tokenize_docs_oracle())

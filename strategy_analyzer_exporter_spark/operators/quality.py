@@ -302,3 +302,136 @@ FROM agg WHERE rn <= {LM_TOPK}"""
 
 
 register("ngram_lm_trigrams", _q_ngram_lm, _NGRAM_LM_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality bucketing (Wenzek et al. 2020, "CCNet:
+# Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+# score every document by a per-language trigram LM trained on a
+# REFERENCE slice of the corpus (CCNet trains on Wikipedia; here the
+# deterministic stand-in is source = LM_REF_SOURCE), then split each
+# language into head / middle / tail thirds by score — the bucketing a
+# pre-training build uses to keep head+middle and drop tail.
+#
+# Documented deviation from the paper: CCNet ranks by PERPLEXITY
+# (geometric mean of trigram probabilities → a log-sum). ln() is not
+# correctly rounded in either engine (the tfidf/bm25 house rule), so
+# the score here is the ARITHMETIC mean trigram likelihood — and that
+# is exactly representable: every trigram of a doc shares the SAME
+# Laplace denominator D = n_total + vocab (its language's LM), so
+#     mean p = (Σ(c_i + 1)) / (D · n_tri) = (hits + n_tri) / (D · n_tri)
+# is one double division of two exact BIGINTs. Rank order differs from
+# perplexity's in general (mean vs geometric mean) but both order by
+# "how typical of the reference is this text", and the bucket
+# boundaries stay bit-deterministic cross-engine — the property every
+# other float in this repo holds.
+#
+# 100 TB shape: trigram explode → one (lang, trigram) hash-agg over the
+# reference slice (a fraction of the corpus), one co-partitioned
+# left join of the corpus trigrams against it (both sides shuffle on
+# the same key; AQE broadcasts the reference side when it is small),
+# one per-doc hash-agg, one ≤#langs-row stats join. The ntile window
+# shuffles once on lang — skewed at web scale (en dominates); the
+# production variant computes per-lang tertile THRESHOLDS first
+# (a two-pass sort-free quantile on the score histogram) and buckets
+# map-only, trading exact thirds for no big-key window sort. Docs
+# whose language has no reference LM, and docs with < 3 tokens, have
+# no defined score and are excluded (inner join / no trigram rows) —
+# CCNet likewise scores only languages it has an LM for.
+
+LM_REF_SOURCE = "src0"
+
+
+def _q_lm_likelihood_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        d.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.concat_ws(" ", "tok", "t1", "t2").alias("trigram"),
+        )
+    )
+    ref = (
+        tri.filter(F.col("source") == LM_REF_SOURCE)
+        .groupBy("lang", "trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lm_stats = ref.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    scored = (
+        tri.join(ref, ["lang", "trigram"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tri"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("hits"),
+        )
+        .join(lm_stats, "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tri",
+            "hits",
+            (
+                (F.col("hits") + F.col("n_tri")).cast("double")
+                / ((F.col("n_total") + F.col("vocab")) * F.col("n_tri")).cast(
+                    "double"
+                )
+            ).alias("mean_p"),
+        )
+    )
+    bw = Window.partitionBy("lang").orderBy(
+        F.col("mean_p").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("bucket", F.ntile(3).over(bw).cast("long")).select(
+        "doc_id", "lang", "n_tri", "hits", "mean_p", "bucket"
+    )
+
+
+_LM_BUCKETS_ORACLE = f"""WITH t AS (
+    SELECT doc_id, lang, source, {_TOKENS_SQL} AS toks FROM documents
+),
+tri AS (
+    SELECT doc_id, lang, source,
+           unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS trigram
+    FROM t
+),
+ref AS (
+    SELECT lang, trigram, CAST(count(*) AS BIGINT) AS c
+    FROM tri WHERE source = '{LM_REF_SOURCE}' GROUP BY lang, trigram
+),
+lm_stats AS (
+    SELECT lang, CAST(sum(c) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS vocab
+    FROM ref GROUP BY lang
+),
+scored AS (
+    SELECT d.doc_id, d.lang,
+           CAST(count(*) AS BIGINT) AS n_tri,
+           CAST(sum(COALESCE(r.c, 0)) AS BIGINT) AS hits
+    FROM tri d LEFT JOIN ref r USING (lang, trigram)
+    GROUP BY d.doc_id, d.lang
+)
+SELECT s.doc_id, s.lang, s.n_tri, s.hits,
+       CAST(s.hits + s.n_tri AS DOUBLE)
+         / CAST((m.n_total + m.vocab) * s.n_tri AS DOUBLE) AS mean_p,
+       CAST(ntile(3) OVER (PARTITION BY s.lang
+            ORDER BY CAST(s.hits + s.n_tri AS DOUBLE)
+                   / CAST((m.n_total + m.vocab) * s.n_tri AS DOUBLE) DESC,
+                     s.doc_id ASC) AS BIGINT) AS bucket
+FROM scored s JOIN lm_stats m USING (lang)"""
+
+
+register("text_lm_likelihood_buckets", _q_lm_likelihood_buckets, _LM_BUCKETS_ORACLE)

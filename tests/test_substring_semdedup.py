@@ -703,3 +703,91 @@ def test_bpe_encode_matches_reference_tokenization(spark, tmp_path_factory):
     assert any(len(t) > 1 for t in got)
     raw_chars = sum(len(w) * c for w, c in words.items())
     assert sum(got.values()) < raw_chars
+
+
+def test_bpe_tokenize_docs_matches_reference_segmentation(
+    spark, tmp_path_factory
+):
+    """text_bpe_tokenize_docs ≡ per-doc sums of the reference trainer's
+    final per-word segmentation lengths — the word → segmentation join
+    back onto the corpus, pinned on the composition-rich corpus at
+    depth 5 (merged symbols have re-merged, so per-word token counts
+    differ nontrivially across words)."""
+    from strategy_analyzer_exporter_spark.operators.pipeline3 import (
+        _q_bpe_tokenize_docs,
+    )
+
+    words = {
+        "aaaaaaaa": 5,
+        "banana": 4,
+        "bananas": 2,
+        "cabbage": 3,
+        "baggage": 3,
+        "abracadabra": 2,
+        "mississippi": 2,
+        "zzzz": 1,
+    }
+    text_parts = []
+    for w, c in words.items():
+        text_parts.extend([w] * c)
+    doc_words = {1: text_parts[::2], 2: text_parts[1::2]}
+    rows = [
+        {"doc_id": i, "text": " ".join(ws)} for i, ws in doc_words.items()
+    ]
+    for r in rows:
+        r["lang"], r["source"], r["n_chars"] = "en", "t", len(r["text"])
+    d = tmp_path_factory.mktemp("bpe_tok_docs")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+
+    state: list = []
+    _ref_bpe(words, 5, state_out=state)
+    wtoks = {w: len(syms) for w, (syms, _) in zip(sorted(words), state)}
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["tokens_per_word"])
+        for r in _q_bpe_tokenize_docs(spark, str(d), n_merges=5).collect()
+    }
+    want = {}
+    for i, ws in doc_words.items():
+        n_tok = sum(wtoks[w] for w in ws)
+        want[i] = (len(ws), n_tok, n_tok / len(ws))
+    assert got == want
+    # compression actually happened: fewer tokens than characters
+    for i, ws in doc_words.items():
+        assert got[i][1] < sum(len(w) for w in ws)
+
+
+def test_lm_likelihood_buckets_planted(spark, tmp_path_factory):
+    """Hand-derivable CCNet-style bucketing: reference slice = src0,
+    Laplace denominator D = n_total + vocab shared per language, score
+    = (hits + n_tri) / (D * n_tri) exact; docs with < 3 tokens and
+    languages with no reference LM are excluded; ntile thirds order by
+    (score DESC, doc_id)."""
+    from strategy_analyzer_exporter_spark.operators.quality import (
+        _q_lm_likelihood_buckets,
+    )
+
+    rows = [
+        # reference doc, lang xx: trigrams "a b c" x2, "b c a", "c a b"
+        # -> n_total=4, vocab=3, D=7
+        {"doc_id": 1, "text": "a b c a b c", "lang": "xx", "source": "src0"},
+        # scored only: hits = 2 ("a b c") + 0 + 0 + 0 = 2, n_tri=4
+        {"doc_id": 2, "text": "a b c x y z", "lang": "xx", "source": "src9"},
+        # < 3 tokens: no trigram rows -> excluded
+        {"doc_id": 3, "text": "q q", "lang": "xx", "source": "src9"},
+        # language with no src0 reference -> excluded
+        {"doc_id": 4, "text": "m n o p", "lang": "yy", "source": "src9"},
+    ]
+    for r in rows:
+        r["n_chars"] = len(r["text"])
+    d = tmp_path_factory.mktemp("lm_buckets")
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tri"], r["hits"], r["mean_p"], r["bucket"])
+        for r in _q_lm_likelihood_buckets(spark, str(d)).collect()
+    }
+    # doc 1 scores itself: hits = 2+1+1+2 = 6 -> (6+4)/(7*4)
+    assert got == {
+        1: ("xx", 4, 6, 10 / 28, 1),
+        2: ("xx", 4, 2, 6 / 28, 2),
+    }
