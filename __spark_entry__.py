@@ -84,15 +84,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #: remaining scale-killer) to the TWO-LEVEL coarse-then-fine
 #: hierarchical assign (kc = ⌈√k⌉ cells × kf = ⌈k/kc⌉ fine centroids
 #: per cell, ~2n·√k total assignment work), so its r12 flat-k row is
-#: stale by construction. Net-new registrations: 2 (kmeans_two_level,
+#: stale by construction. Net-new registrations (kmeans_two_level,
 #: the hierarchical assignment exposed as its own operator;
-#: text_bpe_encode, the tokenizer-APPLY half of the r12 BPE trainer),
-#: so 2 fresh + 1 priority slot leave 47 tail slots — the two
-#: r08-stale records (streaming_dedup_watermarked,
-#: source_schema_evolution) are the stalest-first HEAD of the tail and
-#: drain first, followed by the r09 cohort (VERDICT r12 #4).
+#: text_bpe_encode, the tokenizer-APPLY half of the r12 BPE trainer;
+#: wave 2: text_bpe_tokenize_docs, the per-document encode, and
+#: text_lm_likelihood_buckets, CCNet-style LM quality bucketing;
+#: wave 3: text_gopher_rules, the canonical Gopher §A1.1 per-document
+#: heuristic gate, and sample_temperature_mixture, α=0.5
+#: temperature-scaled source sampling with the enacted hash-bucket
+#: selection). Net-new registrations: 6, so 6 fresh + 2 changed-band
+#: slots leave 42 tail slots — the two r08-stale records
+#: (streaming_dedup_watermarked, source_schema_evolution) are the
+#: stalest-first HEAD of the tail and drain first, followed by the
+#: 19-query r09 cohort (VERDICT r12 #4: 2 + 19 ≤ 42, so the drain
+#: still completes with all three waves registered).
+#: text_bpe_merges joins: _bpe_loop now carries ``word`` through the
+#: state (for text_bpe_tokenize_docs), so its r12 row predates the
+#: current implementation even though the query's output is unchanged.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_semdedup",
+    "text_bpe_merges",
 )
 CHANGED_AS_OF_ROUND = 13  # a row from round ≥ 13 post-dates the change
 

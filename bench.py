@@ -300,6 +300,14 @@ PROBE_QUERIES = (
     # left join, per-doc agg, lang-window ntile; expect the
     # token-explode linear class (text_quality_score's family)
     "text_lm_likelihood_buckets",
+    # r13 wave 3: the Gopher rule gate — one token-explode hash-agg on
+    # doc_id, no window; expect text_quality_score's linear class
+    "text_gopher_rules",
+    # r13 wave 3: temperature mixture — two corpus passes (per-source
+    # counts, then the broadcast-plan bucket filter); the passes are
+    # scan+agg-bound, expect the flat sample/split class plus the
+    # second scan's linear term
+    "sample_temperature_mixture",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute

@@ -104,3 +104,136 @@ FROM j"""
 
 
 register("domain_mixture_plan", _q_domain_mixture, _MIXTURE_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (the multilingual-sampling rule of
+# Lample & Conneau 2019 / XLM §3.1, mT5's α-sampling): instead of
+# human-chosen weights, each source's sampling weight is its share
+# raised to a temperature, w_i = n_i^α with α = 0.5 — upweighting
+# scarce sources and flattening dominant ones. α is pinned at 0.5
+# because n^0.5 = sqrt(n) is an IEEE correctly-rounded primitive in
+# BOTH engines, while pow(x, α) for general α is not (the house ln/pow
+# rule) — the one α where temperature sampling is bit-deterministic
+# cross-engine.
+#
+# The operator emits the PLAN and the ENACTED sample in one relation:
+# per source — available docs, weight, normalized fraction (the Σw fold
+# runs over the source-sorted weight list in both engines, so the
+# double sum is order-pinned), the doc budget's floor target, the
+# capped sampling rate, the 16-bit hash-bucket threshold implementing
+# that rate, and the count ACTUALLY selected by the deterministic
+# md5-bucket predicate (the achieved count differs from target_k by
+# bucket granularity — reporting both is the point: the plan is what
+# you asked for, the selection is what the idempotent hash filter
+# yields).
+#
+# 100 TB shape: two corpus passes, irreducibly — the rate depends on
+# the per-source counts, so pass 1 is one hash-agg on source (~20
+# groups, map-side partials), pass 2 re-scans with the ≤20-row plan
+# BROADCAST joined on source and the bucket predicate applied map-side
+# (the per-doc md5 never shuffles; only the per-source selected counts
+# do). Membership is positional-state-free: a document's fate depends
+# only on (doc_id, its source's rate), so re-running over an updated
+# crawl keeps every surviving source-rate pair's members stable.
+
+TEMP_BUDGET_DEN = 2  # doc budget = total // 2
+TEMP_SALT = "tmix"
+
+
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("w", F.sqrt(F.col("n_docs").cast("double")))
+    )
+    totals = per_src.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "w"))),
+                lambda s: s["w"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("sum_w"),
+        F.sum("n_docs").alias("total_docs"),
+    )
+    j = per_src.crossJoin(F.broadcast(totals))
+    budget = F.floor(F.col("total_docs") / TEMP_BUDGET_DEN).cast("long")
+    frac = F.col("w") / F.col("sum_w")
+    target = F.floor(budget.cast("double") * frac).cast("long")
+    rate = F.least(
+        F.lit(1.0), target.cast("double") / F.col("n_docs").cast("double")
+    )
+    plan = j.select(
+        "source",
+        "n_docs",
+        F.col("w").alias("weight"),
+        frac.alias("frac"),
+        target.alias("target_k"),
+        rate.alias("rate"),
+        F.floor(rate * F.lit(65536.0)).cast("long").alias("bucket_thr"),
+    )
+    bucket_int = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(TEMP_SALT + ":"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sel = (
+        d.join(F.broadcast(plan.select("source", "bucket_thr")), "source")
+        .filter(bucket_int < F.col("bucket_thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
+    return (
+        plan.join(sel, "source", "left")
+        .withColumn("n_selected", F.coalesce("n_selected", F.lit(0)))
+    )
+
+
+_TEMP_MIX_ORACLE = f"""WITH d AS (
+    SELECT doc_id, source FROM documents
+),
+per_src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           sqrt(CAST(count(*) AS DOUBLE)) AS w
+    FROM d GROUP BY source
+),
+totals AS (
+    SELECT list_reduce([CAST(0.0 AS DOUBLE)] || list(w ORDER BY source),
+                       (a, x) -> a + x) AS sum_w,
+           CAST(sum(n_docs) AS BIGINT) AS total_docs
+    FROM per_src
+),
+plan AS (
+    SELECT p.source, p.n_docs, p.w AS weight, p.w / t.sum_w AS frac,
+           CAST(floor(CAST(CAST(floor(t.total_docs / {TEMP_BUDGET_DEN}) AS BIGINT)
+                           AS DOUBLE) * (p.w / t.sum_w)) AS BIGINT) AS target_k
+    FROM per_src p CROSS JOIN totals t
+),
+plan2 AS (
+    SELECT *,
+           least(1.0, CAST(target_k AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate,
+           CAST(floor(least(1.0, CAST(target_k AS DOUBLE)
+                                 / CAST(n_docs AS DOUBLE)) * 65536.0) AS BIGINT)
+               AS bucket_thr
+    FROM plan
+),
+sel AS (
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_selected
+    FROM d JOIN plan2 p USING (source)
+    WHERE CAST(concat('0x', substr(md5('{TEMP_SALT}:' || CAST(doc_id AS VARCHAR)),
+                                   1, 4)) AS BIGINT) < p.bucket_thr
+    GROUP BY d.source
+)
+SELECT p.source, p.n_docs, p.weight, p.frac, p.target_k, p.rate, p.bucket_thr,
+       COALESCE(s.n_selected, 0) AS n_selected
+FROM plan2 p LEFT JOIN sel s USING (source)"""
+
+
+register("sample_temperature_mixture", _q_temperature_mixture, _TEMP_MIX_ORACLE)

@@ -435,3 +435,149 @@ FROM scored s JOIN lm_stats m USING (lang)"""
 
 
 register("text_lm_likelihood_buckets", _q_lm_likelihood_buckets, _LM_BUCKETS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-set filter (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1): the
+# canonical per-document heuristic gate every web-scale pre-training
+# build runs BEFORE dedup — word-count bounds, mean-word-length sanity,
+# symbol-to-word ratio (hashtags/ellipses), alphabetic-word fraction,
+# and the ≥2-of-8 stopword requirement. Emitted as one row per document
+# with PER-RULE verdicts (not just the composite), because the rollup a
+# data-quality review actually reads is "which rule rejected how much".
+#
+# Deviations from the paper, forced by this corpus being single-line
+# word text: the line-level rules (bullet-start ratio, ellipsis-end
+# ratio, duplicate-line fraction) degenerate at one line per doc and
+# are owned by text_repetition_signals / dedup_substring_spans; the
+# symbol rule counts TOKENS containing '#' or '...' rather than raw
+# character occurrences (same intent, token-exact arithmetic).
+#
+# Exactness: every fraction is ONE double division of two exact BIGINT
+# counts (the house rule), so all five verdicts and the composite match
+# the DuckDB oracle bit-for-bit. NULL means (zero-token docs) fail
+# their rules via COALESCE(..., FALSE) — an empty document is filtered,
+# as in the paper.
+#
+# 100 TB shape: posexplode_outer → ONE hash aggregation on doc_id with
+# map-side partials (the stopword distinct-count is over an 8-value
+# domain, so the partial state is bounded); no window, no join — the
+# per-doc relation then joins documents only to carry lang, broadcast
+# or co-partitioned by AQE. A pure filter on `keep` pushes down to
+# consumers; nothing here grows super-linearly.
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_FRAC = 0.10
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode_outer(_tokens(F.col("text"))).alias("tok")
+    )
+    # distinct-stopword count over the fixed 8-word domain as a sum of
+    # per-word presence flags — countDistinct(CASE ...) would rewrite
+    # into a two-phase aggregate (the expression joins the grouping
+    # key) and double the exchange count; 8 max() flags keep the whole
+    # thing ONE hash aggregation
+    stop_flags = [
+        F.max(F.when(F.lower(F.col("tok")) == s, 1).otherwise(0)).alias(f"stop_{i}")
+        for i, s in enumerate(GOPHER_STOPWORDS)
+    ]
+    per_doc = d.groupBy("doc_id", "lang").agg(
+        F.count("tok").alias("n_words"),
+        F.sum(F.length("tok")).alias("n_chars"),
+        F.sum(F.col("tok").rlike("[A-Za-z]").cast("long")).alias("n_alpha"),
+        F.sum(
+            (F.col("tok").contains("#") | F.col("tok").contains("...")).cast("long")
+        ).alias("n_symbol"),
+        *stop_flags,
+    )
+    n_stop = F.lit(0)
+    for i in range(len(GOPHER_STOPWORDS)):
+        n_stop = n_stop + F.col(f"stop_{i}")
+    per_doc = per_doc.withColumn("n_stop_distinct", n_stop.cast("long")).drop(
+        *[f"stop_{i}" for i in range(len(GOPHER_STOPWORDS))]
+    )
+    mean_len = F.col("n_chars").cast("double") / F.col("n_words").cast("double")
+    alpha_frac = F.col("n_alpha").cast("double") / F.col("n_words").cast("double")
+    symbol_frac = F.col("n_symbol").cast("double") / F.col("n_words").cast("double")
+    rules = {
+        "rule_word_count": (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS),
+        "rule_mean_len": F.coalesce(
+            (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN),
+            F.lit(False),
+        ),
+        "rule_symbol": F.coalesce(symbol_frac <= GOPHER_MAX_SYMBOL_FRAC, F.lit(False)),
+        "rule_alpha": F.coalesce(alpha_frac >= GOPHER_MIN_ALPHA_FRAC, F.lit(False)),
+        "rule_stopwords": F.col("n_stop_distinct") >= GOPHER_MIN_STOPWORDS,
+    }
+    out = per_doc.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_frac.alias("symbol_frac"),
+        "n_stop_distinct",
+        *[c.alias(n) for n, c in rules.items()],
+    )
+    keep = None
+    for n in rules:
+        keep = F.col(n) if keep is None else keep & F.col(n)
+    return out.withColumn("keep", keep)
+
+
+_GOPHER_ORACLE = f"""WITH u AS (
+    SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS tok FROM documents
+    UNION ALL
+    SELECT doc_id, lang, NULL AS tok FROM documents
+    WHERE len({_TOKENS_SQL}) = 0
+),
+per_doc AS (
+    SELECT doc_id, lang,
+           CAST(count(tok) AS BIGINT) AS n_words,
+           CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+           CAST(sum(CASE WHEN regexp_matches(tok, '[A-Za-z]')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+           CAST(sum(CASE WHEN contains(tok, '#') OR contains(tok, '...')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol,
+           CAST({" + ".join(
+               f"max(CASE WHEN lower(tok) = '{s}' THEN 1 ELSE 0 END)"
+               for s in GOPHER_STOPWORDS
+           )} AS BIGINT) AS n_stop_distinct
+    FROM u GROUP BY doc_id, lang
+),
+flags AS (
+    SELECT doc_id, lang, n_words,
+           CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac,
+           CAST(n_symbol AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_frac,
+           n_stop_distinct,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+               AS rule_word_count,
+           COALESCE(CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+                        >= {GOPHER_MIN_MEAN_LEN}
+                    AND CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+                        <= {GOPHER_MAX_MEAN_LEN}, FALSE) AS rule_mean_len,
+           COALESCE(CAST(n_symbol AS DOUBLE) / CAST(n_words AS DOUBLE)
+                        <= {GOPHER_MAX_SYMBOL_FRAC}, FALSE) AS rule_symbol,
+           COALESCE(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+                        >= {GOPHER_MIN_ALPHA_FRAC}, FALSE) AS rule_alpha,
+           (n_stop_distinct >= {GOPHER_MIN_STOPWORDS}) AS rule_stopwords
+    FROM per_doc
+)
+SELECT *,
+       (rule_word_count AND rule_mean_len AND rule_symbol AND rule_alpha
+        AND rule_stopwords) AS keep
+FROM flags"""
+
+
+register("text_gopher_rules", _q_gopher_rules, _GOPHER_ORACLE)

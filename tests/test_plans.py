@@ -439,6 +439,12 @@ BROADCAST_HINT_ALLOWLIST: dict[str, object] = {
     "agg_revenue_concentration": 1,
     "cdc_merge_upsert": 1,
     "domain_mixture_plan": 1,
+    # 1-row totals (appears in BOTH the plan subtree and the selection
+    # subtree's copy of it = 2 hint nodes) + the ≤#sources-row plan
+    # side of the pass-2 bucket join — source is a bounded domain
+    # vocabulary (the mixture table a human reviews), never corpus-
+    # scaling; the corpus side is plain scan+filter
+    "sample_temperature_mixture": 3,
     "feature_warmup_global": 1,  # 1-row (day,time) warm-up threshold
     "q11_important_parts": 1,
     "q15_top_revenue_supplier": 1,
