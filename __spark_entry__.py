@@ -92,12 +92,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: wave 3: text_gopher_rules, the canonical Gopher §A1.1 per-document
 #: heuristic gate, and sample_temperature_mixture, α=0.5
 #: temperature-scaled source sampling with the enacted hash-bucket
-#: selection). Net-new registrations: 6, so 6 fresh + 2 changed-band
-#: slots leave 42 tail slots — the two r08-stale records
-#: (streaming_dedup_watermarked, source_schema_evolution) are the
-#: stalest-first HEAD of the tail and drain first, followed by the
-#: 19-query r09 cohort (VERDICT r12 #4: 2 + 19 ≤ 42, so the drain
-#: still completes with all three waves registered).
+#: selection; wave 4: text_paragraph_dedup, C4/RefinedWeb-style
+#: corpus-wide first-occurrence paragraph dedup with document
+#: reconstruction). Net-new registrations: 7, so 7 fresh +
+#: 2 changed-band slots leave 41 tail slots — the two r08-stale
+#: records (streaming_dedup_watermarked, source_schema_evolution) are
+#: the stalest-first HEAD of the tail and drain first, followed by the
+#: 19-query r09 cohort (VERDICT r12 #4: 2 + 19 ≤ 41, so the drain
+#: still completes with all four waves registered).
 #: text_bpe_merges joins: _bpe_loop now carries ``word`` through the
 #: state (for text_bpe_tokenize_docs), so its r12 row predates the
 #: current implementation even though the query's output is unchanged.

@@ -308,6 +308,11 @@ PROBE_QUERIES = (
     # scan+agg-bound, expect the flat sample/split class plus the
     # second scan's linear term
     "sample_temperature_mixture",
+    # r13 wave 4: C4-style corpus-wide paragraph dedup + doc rebuild —
+    # block explode (1/16 token volume), hash(para) first-occurrence
+    # window, doc_id rebuild agg; expect the decontaminate_paragraphs
+    # class (same explode) plus the window/rebuild linear term
+    "text_paragraph_dedup",
     # streaming at 10× days: 300 day-files at the MFPT=256 default
     # (r07) → 2 micro-batches, so the exponent (~0.7) is trigger-cycle
     # growth, not state growth — rows/s IMPROVES at t10 (state compute

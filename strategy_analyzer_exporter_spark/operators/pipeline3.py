@@ -368,6 +368,113 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# Corpus-wide paragraph dedup with document reconstruction (the C4 /
+# RefinedWeb intra-corpus pass: Raffel et al. 2020 drop repeated
+# three-sentence spans CORPUS-wide keeping one occurrence; RefinedWeb
+# §3.3 dedups at paragraph granularity before MinHash). Unit = the
+# same deterministic PARA_TOKENS-token blocks as
+# decontaminate_paragraphs (the expressions are intentionally
+# identical — kept separate so registering this op does not re-enter
+# the decontamination query's changed band). A paragraph SURVIVES only
+# in its first occurrence — smallest (doc_id, para_idx) corpus-wide —
+# and every document is re-emitted as the ordered concatenation of its
+# surviving paragraphs (possibly '', e.g. an exact duplicate of an
+# earlier doc loses every block).
+#
+# 100 TB shape: one block explode (n_tokens/PARA_TOKENS rows — 16×
+# fewer than the token explode), ONE hash(para) shuffle for the
+# first-occurrence window (at web scale: para runs hot on boilerplate
+# — the df_cap/stop-gram treatment from dedup_containment applies, and
+# the window can be replaced by a min-(doc_id,para_idx) hash-agg +
+# self-join when a single hot paragraph would skew a sort window), one
+# hash(doc_id) aggregation to rebuild documents, and a co-partitioned
+# left join back to documents so empty/fully-deduped docs stay
+# visible. Nothing is pairwise; volume never exceeds the block
+# explode.
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n = F.size(tk)
+    nblocks = F.floor((n + F.lit(PARA_TOKENS - 1)) / F.lit(PARA_TOKENS))
+    blocks = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(0), (nblocks - 1).cast("int")),
+            lambda i: F.concat_ws(
+                " ", F.slice(tk, i * PARA_TOKENS + 1, PARA_TOKENS)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = d.select(
+        "doc_id", F.posexplode(blocks).alias("para_idx", "para")
+    ).withColumn("para_idx", F.col("para_idx").cast("long"))
+    w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
+    ranked = rows.withColumn("kept", F.row_number().over(w) == 1)
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("para_idx", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
+_PARA_DEDUP_ORACLE = f"""WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+),
+paras AS (
+    SELECT doc_id,
+           unnest(range(0, (len(tk) + {PARA_TOKENS - 1}) // {PARA_TOKENS}))
+               AS para_idx,
+           unnest(list_transform(
+               range(0, (len(tk) + {PARA_TOKENS - 1}) // {PARA_TOKENS}),
+               i -> array_to_string(
+                   tk[i * {PARA_TOKENS} + 1 : (i + 1) * {PARA_TOKENS}], ' ')))
+               AS para
+    FROM toks
+),
+ranked AS (
+    SELECT doc_id, para_idx, para,
+           row_number() OVER (PARTITION BY para
+                              ORDER BY doc_id, para_idx) = 1 AS kept
+    FROM paras
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(array_to_string(
+               list(para ORDER BY para_idx) FILTER (WHERE kept), ' '), '')
+               AS kept_text
+    FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_paras, 0) AS n_paras,
+       COALESCE(p.n_kept, 0) AS n_kept,
+       COALESCE(p.kept_text, '') AS kept_text
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+register("text_paragraph_dedup", _q_paragraph_dedup, _PARA_DEDUP_ORACLE)
+
+
+# ---------------------------------------------------------------------------
 # Misra–Gries heavy hitters (r08): the one mergeable-sketch family the
 # engine didn't cover (HLL → agg_approx_distinct, quantile sketch →
 # agg_approx_percentile_bound; this adds frequent items). Per input

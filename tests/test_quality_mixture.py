@@ -179,6 +179,69 @@ def test_temperature_mixture_matches_reference_plan_and_selection(
     assert 0 < got["src0"]["rate"] < 1.0
 
 
+def test_paragraph_dedup_first_occurrence_and_reconstruction(
+    spark, tmp_path_factory
+):
+    """Corpus-wide paragraph dedup on planted 16-token blocks: doc 1
+    owns A+B; doc 2 (A+C) loses A to doc 1; doc 3 (exact copy of
+    doc 1) loses everything; doc 4 is empty; doc 5 carries a duplicate
+    B plus a unique trailing PARTIAL block that must survive (partial
+    blocks are paragraphs too). Reconstruction preserves original
+    paragraph order."""
+    from strategy_analyzer_exporter_spark.operators.pipeline3 import (
+        PARA_TOKENS,
+        _q_paragraph_dedup,
+    )
+
+    def block(prefix):
+        return " ".join(f"{prefix}{i}" for i in range(PARA_TOKENS))
+
+    A, B, C = block("a"), block("b"), block("c")
+    partial = " ".join(f"d{i}" for i in range(5))
+    texts = {
+        1: f"{A} {B}",
+        2: f"{A} {C}",
+        3: f"{A} {B}",
+        4: "",
+        5: f"{B} {partial}",
+    }
+    sf = _write_docs(
+        tmp_path_factory,
+        "paradedup",
+        [{"doc_id": k, "text": v} for k, v in texts.items()],
+    )
+    got = {r["doc_id"]: r.asDict() for r in _q_paragraph_dedup(spark, sf).collect()}
+    assert set(got) == set(texts)
+    want = {
+        1: (2, 2, f"{A} {B}"),
+        2: (2, 1, C),
+        3: (2, 0, ""),
+        4: (0, 0, ""),
+        5: (2, 1, partial),
+    }
+    for doc_id, (n_paras, n_kept, kept_text) in want.items():
+        g = got[doc_id]
+        assert (g["n_paras"], g["n_kept"], g["kept_text"]) == (
+            n_paras,
+            n_kept,
+            kept_text,
+        ), (doc_id, g)
+
+
+def test_paragraph_dedup_plan_shape(spark):
+    """One block-explode window on para + one doc rebuild + the
+    co-partitioned documents join — nothing pairwise, bounded exchange
+    budget, exactly one Window."""
+    from strategy_analyzer_exporter_spark.operators.pipeline3 import (
+        _q_paragraph_dedup,
+    )
+
+    q = _q_paragraph_dedup(spark, SF)
+    plan = P.physical_plan(q)
+    assert P.count_exchanges(q) <= 4, plan
+    assert plan.count("Window") >= 1
+
+
 def test_temperature_mixture_broadcasts_plan_not_corpus(spark):
     """The second corpus pass joins against the ≤#sources-row plan —
     that side must broadcast (the corpus never shuffles on source), and
