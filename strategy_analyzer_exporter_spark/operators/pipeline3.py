@@ -385,15 +385,28 @@ register(
 # fewer than the token explode), ONE hash(para) shuffle for the
 # first-occurrence window (at web scale: para runs hot on boilerplate
 # — the df_cap/stop-gram treatment from dedup_containment applies, and
-# the window can be replaced by a min-(doc_id,para_idx) hash-agg +
-# self-join when a single hot paragraph would skew a sort window), one
+# ``skew_safe=True`` swaps the window for a min-struct hash-agg +
+# co-partitioned join whose map-side partial min keeps hot-key state
+# constant — implemented, output-identical, twin-tested), one
 # hash(doc_id) aggregation to rebuild documents, and a co-partitioned
 # left join back to documents so empty/fully-deduped docs stay
 # visible. Nothing is pairwise; volume never exceeds the block
 # explode.
 
 
-def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_paragraph_dedup(
+    spark: SparkSession, sf_dir: str, skew_safe: bool = False
+) -> DataFrame:
+    """``skew_safe=True`` swaps the first-occurrence WINDOW for a
+    min-struct aggregation + co-partitioned join: a web-scale hot
+    paragraph (boilerplate shared by millions of docs) lands its whole
+    key in one task either way, but the aggregation path reduces it
+    with map-side partial min() (constant state per task) instead of
+    materializing and sorting the key's full row list in one window
+    partition. Output is IDENTICAL (lexicographic struct min ≡
+    row_number over the same order — pinned by the planted twin test);
+    the registered query keeps the window default, which is cheaper at
+    probe scale where no paragraph is hot."""
     d = load_table(spark, sf_dir, "documents")
     tk = tokens(F.col("text"))
     n = F.size(tk)
@@ -410,8 +423,18 @@ def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = d.select(
         "doc_id", F.posexplode(blocks).alias("para_idx", "para")
     ).withColumn("para_idx", F.col("para_idx").cast("long"))
-    w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
-    ranked = rows.withColumn("kept", F.row_number().over(w) == 1)
+    if skew_safe:
+        first = rows.groupBy("para").agg(
+            F.min(F.struct("doc_id", "para_idx")).alias("first")
+        )
+        ranked = rows.join(first, "para").withColumn(
+            "kept",
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("para_idx") == F.col("first.para_idx")),
+        )
+    else:
+        w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
+        ranked = rows.withColumn("kept", F.row_number().over(w) == 1)
     per_doc = ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_paras"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),

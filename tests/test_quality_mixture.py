@@ -242,6 +242,39 @@ def test_paragraph_dedup_plan_shape(spark):
     assert plan.count("Window") >= 1
 
 
+def test_paragraph_dedup_skew_safe_twin_is_identical(spark, tmp_path_factory):
+    """The skew_safe min-struct-agg path must produce EXACTLY the
+    window path's output — on the planted corpus (where ties between
+    (doc_id, para_idx) orderings are exercised: the same block appears
+    at different positions in different docs) AND on the real sf0.001
+    corpus; and its plan must contain no Window."""
+    from strategy_analyzer_exporter_spark.operators.pipeline3 import (
+        PARA_TOKENS,
+        _q_paragraph_dedup,
+    )
+
+    def block(prefix):
+        return " ".join(f"{prefix}{i}" for i in range(PARA_TOKENS))
+
+    A, B = block("a"), block("b")
+    rows = [
+        {"doc_id": 1, "text": f"{B} {A}"},  # A at idx 1 in the earliest doc
+        {"doc_id": 2, "text": f"{A} {B}"},  # A at idx 0 in a later doc
+        {"doc_id": 3, "text": f"{A}"},
+    ]
+    sf = _write_docs(tmp_path_factory, "paraskew", rows)
+    for d in (sf, SF):
+        win = sorted(
+            map(tuple, _q_paragraph_dedup(spark, d).collect())
+        )
+        agg = sorted(
+            map(tuple, _q_paragraph_dedup(spark, d, skew_safe=True).collect())
+        )
+        assert win == agg
+    plan = P.physical_plan(_q_paragraph_dedup(spark, SF, skew_safe=True))
+    assert "Window" not in plan, plan
+
+
 def test_temperature_mixture_broadcasts_plan_not_corpus(spark):
     """The second corpus pass joins against the ≤#sources-row plan —
     that side must broadcast (the corpus never shuffles on source), and
