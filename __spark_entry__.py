@@ -100,14 +100,41 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the stalest-first HEAD of the tail and drain first, followed by the
 #: 19-query r09 cohort (VERDICT r12 #4: 2 + 19 ≤ 41, so the drain
 #: still completes with all four waves registered).
-#: text_bpe_merges joins: _bpe_loop now carries ``word`` through the
-#: state (for text_bpe_tokenize_docs), so its r12 row predates the
-#: current implementation even though the query's output is unchanged.
+#: r14 (optimization round, VERDICT r13 #1): text_paragraph_dedup's
+#: registered default moved from the window shape to the hash-keyed
+#: metadata decision (xxhash64(para) shuffle + exact collision
+#: resolution + map-side doc rebuild) — output-identical by
+#: construction and twin-tested, but the implementation its r13 row
+#: verified is no longer the one registered.
+#: Also r14: similarity_pq_adc's registered default moved from the
+#: all-pairs scored window to the cell-decision shape (candidates
+#: sharing a code word collapse onto distinct cells; per-query work
+#: bounded by PQ_K^PQ_M), and similarity_ivfpq_topk now restricts
+#: candidates BEFORE the ADC chain instead of joining the restriction
+#: into an all-pairs intermediate. Both output-identical (twin tests +
+#: oracle) but the implementations their r09/r13 rows verified are no
+#: longer the ones registered.
+#: And dedup_simhash: the band self-join now carries 4 small-int band
+#: keys derived straight from the vote columns instead of the 64-char
+#: fingerprint string (narrower shuffle, int XOR/popcount verify) —
+#: same pairs, same hamming, twin-tested against the string shape.
+#: And text_repetition_signals / quality_gate_rollup (shared _signals
+#: core): bigrams built array-side instead of lead()-over-window, and
+#: the two top-gram row_number windows became min(struct(-cnt, gram))
+#: aggregations — same rows, twin-tested.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "dedup_semdedup",
-    "text_bpe_merges",
+    "text_paragraph_dedup",
+    "similarity_pq_adc",
+    "similarity_ivfpq_topk",
+    "dedup_simhash",
+    "text_repetition_signals",
+    "quality_gate_rollup",
+    #: spread_scan (input-skew remedy, conditional no-op at scale) on
+    #: the single-split lineitem scan; exact-decimal aggs, identical
+    #: values
+    "agg_pricing_summary",
 )
-CHANGED_AS_OF_ROUND = 13  # a row from round ≥ 13 post-dates the change
+CHANGED_AS_OF_ROUND = 14  # a row from round ≥ 14 post-dates the change
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

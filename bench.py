@@ -354,6 +354,12 @@ PROBE100_QUERIES = (
     # was measured at 10×); settles whether per-batch fixed cost
     # amortizes or compounds at the next decade
     "streaming_features",
+    # r14 (VERDICT r13 #1): the paragraph family's second decade — the
+    # hash-keyed metadata decision's whole point is that the decision
+    # shuffle stays 24 B/row while text crosses once; the 100× point
+    # measures that claim where the block explode's fixed costs stop
+    # dominating
+    "text_paragraph_dedup",
 )
 # min-of-3 (was 2): this host shows intermittent noisy-neighbor bursts
 # that inflate ISOLATED probe entries 2-4× even on an idle box (r07:

@@ -477,8 +477,8 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.6"""
 # SimHash
 
 
-def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sim) — 64-bit SimHash as a '0'/'1' string, column-form.
+def _simhash_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, v0..v63) — the 64 SimHash bit votes, column-form.
 
     Per token *occurrence*, md5's first 16 hex chars are its 64 feature
     bits; each bit position votes ±1; the sign of the vote is the
@@ -511,7 +511,14 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             digits[p // 4].bitwiseAND(F.lit(mask)) != 0, F.lit(1)
         ).otherwise(F.lit(-1))
         aggs.append(F.sum(v).alias(f"v{p}"))
-    votes = hx.groupBy("doc_id").agg(*aggs)
+    return hx.groupBy("doc_id").agg(*aggs)
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sim) — the fingerprint as a '0'/'1' string (the oracle's
+    representation; kept as the bits-mode twin of the registered
+    integer-key query)."""
+    votes = _simhash_votes(spark, sf_dir)
     sim = F.concat(
         *[
             F.when(F.col(f"v{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
@@ -519,6 +526,49 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return votes.select("doc_id", sim.alias("sim"))
+
+
+_SIMKEY_CACHE: dict = {}
+_SIMKEY_CACHE_MAX = 4
+
+
+def _simhash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, k0..k{SIMHASH_BANDS-1}) — the fingerprint as one int per
+    16-bit band, straight from the votes (r14, guide §2.3 narrower
+    types): k_b carries bit p=16b+j at weight 1<<(15−j), exactly the
+    base-2 reading of the string form's band substring, so band-key
+    equality and per-band XOR popcounts are unchanged while the band
+    self-join shuffles 4 ints per row instead of the 64-char string.
+
+    Persisted like _sig_rows (VERDICT r04 #4 exchange diet, the same
+    reasoning): the band self-join consumes this relation on BOTH
+    sides, and without the persist each side re-runs the whole
+    scan→explode→md5→64-column vote aggregation (measured: the votes
+    subtree is ~0.3 s of the query's ~0.8 s at sf0.1, paid twice). The
+    cached relation is ~1 row/doc of 5 ints — the corpus summary, not
+    the corpus."""
+    import os
+
+    key = os.path.abspath(sf_dir)
+    cached = _SIMKEY_CACHE.get(key)
+    if cached is not None:
+        return cached
+    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    votes = _simhash_votes(spark, sf_dir)
+    keys = []
+    for b in range(SIMHASH_BANDS):
+        k = F.lit(0)
+        for j in range(band_w):
+            p = b * band_w + j
+            k = k + F.when(
+                F.col(f"v{p}") > 0, F.lit(1 << (band_w - 1 - j))
+            ).otherwise(F.lit(0))
+        keys.append(k.cast("int").alias(f"k{b}"))
+    out = votes.select("doc_id", *keys).persist()
+    if len(_SIMKEY_CACHE) >= _SIMKEY_CACHE_MAX:
+        _SIMKEY_CACHE.popitem()[1].unpersist()
+    _SIMKEY_CACHE[key] = out
+    return out
 
 
 _SIMHASH_CTE = f"""toks AS (
@@ -545,29 +595,113 @@ sims AS (
 )"""
 
 
-def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_dedup_simhash(
+    spark: SparkSession, sf_dir: str, mode: str = "keys"
+) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, banded into 4×16-bit
     keys, exact Hamming ≤ 6 verify on band-collision candidates. By
     pigeonhole, recall is guaranteed for pairs with Hamming ≤ 3; pairs at
     4-6 are kept when they happen to collide on a band (standard banded
-    SimHash trade-off — more bands for more recall)."""
-    docs = _simhash_df(spark, sf_dir)
+    SimHash trade-off — more bands for more recall).
+
+    ``mode="keys"`` (registered default, r14 — guide §2.3 narrower
+    types): the fingerprint enters the band self-join as 4 SMALL INTS
+    straight from the vote columns; each banded row shuffles
+    (doc_id, band, key int, 4 key ints) ≈ 30 B instead of the pre-r14
+    (doc_id, 64-char sim string, 16-char key) ≈ 100 B, and the Hamming
+    verify is 4 codegen'd int XOR+popcounts with no conv/substring
+    re-parsing per candidate pair. ``mode="bits"`` keeps the string
+    shape (twin-tested output-identical)."""
     band_w = SIMHASH_BITS // SIMHASH_BANDS
+    if mode == "bits":
+        docs = _simhash_df(spark, sf_dir)
+        bands = docs.select(
+            "doc_id",
+            "sim",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.substring(
+                                "sim", 1 + b * band_w, band_w
+                            ).alias("key"),
+                        )
+                        for b in range(SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            "doc_id",
+            "sim",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sim").alias("sim_a"),
+                F.col("b.sim").alias("sim_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        # Hamming via per-band integer XOR + popcount (codegen'd
+        # builtins), not a position-by-position HOF: F.aggregate never
+        # enters whole-stage codegen (same pitfall the shingle path
+        # documents), so the old 64-step fold paid 128 interpreted
+        # substring calls per candidate pair — measured 1.77 s -> 0.59 s
+        # at sf0.1 (t10 5.2 -> 2.1 s), identical pairs at both gates.
+        parts = [
+            F.bit_count(
+                F.conv(F.substring("sim_a", 1 + b * band_w, band_w), 2, 10)
+                .cast("long")
+                .bitwiseXOR(
+                    F.conv(
+                        F.substring("sim_b", 1 + b * band_w, band_w), 2, 10
+                    ).cast("long")
+                )
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+        hamming = parts[0]
+        for part in parts[1:]:
+            hamming = hamming + part
+        return (
+            cand.withColumn("hamming", hamming.cast("long"))
+            .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+            .select("doc_a", "doc_b", "hamming")
+        )
+    if mode != "keys":
+        raise ValueError(f"unknown simhash mode: {mode!r}")
+    docs = _simhash_keys(spark, sf_dir)
+    kcols = [f"k{b}" for b in range(SIMHASH_BANDS)]
     bands = docs.select(
         "doc_id",
-        "sim",
+        *kcols,
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.substring("sim", 1 + b * band_w, band_w).alias("key"),
+                        F.lit(b).alias("band"), F.col(f"k{b}").alias("key")
                     )
                     for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        "doc_id",
+        *kcols,
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -579,27 +713,14 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
+            *[F.col(f"a.k{m}").alias(f"ka{m}") for m in range(SIMHASH_BANDS)],
+            *[F.col(f"b.k{m}").alias(f"kb{m}") for m in range(SIMHASH_BANDS)],
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Hamming via per-band integer XOR + popcount (codegen'd builtins),
-    # not a position-by-position HOF: F.aggregate never enters
-    # whole-stage codegen (same pitfall the shingle path documents), so
-    # the old 64-step fold paid 128 interpreted substring calls per
-    # candidate pair — measured 1.77 s -> 0.59 s at sf0.1 (t10 5.2 ->
-    # 2.1 s), identical pairs at both gates.
     parts = [
-        F.bit_count(
-            F.conv(F.substring("sim_a", 1 + b * band_w, band_w), 2, 10)
-            .cast("long")
-            .bitwiseXOR(
-                F.conv(F.substring("sim_b", 1 + b * band_w, band_w), 2, 10)
-                .cast("long")
-            )
-        )
-        for b in range(SIMHASH_BANDS)
+        F.bit_count(F.col(f"ka{m}").bitwiseXOR(F.col(f"kb{m}")))
+        for m in range(SIMHASH_BANDS)
     ]
     hamming = parts[0]
     for part in parts[1:]:

@@ -466,6 +466,12 @@ def features_df(
     sess = bars.filter(
         (F.col("time") >= cfg.time_start) & (F.col("time") <= cfg.time_end)
     )
+    # r14 (guide §4.1 — pass only what the boundary needs): event_id /
+    # user_id exist only to derive high/low/volume inside bars_df and
+    # never reach the export projection, but applyInPandas is opaque to
+    # column pruning, so without this drop they cross the Python
+    # boundary both ways (2 of 9 input columns) for nothing.
+    sess = sess.drop("event_id", "user_id")
     w_day = Window.partitionBy("day").orderBy("time")
     if ema_impl == "pandas":
         ma = _with_ema_and_lag_products(sess, cfg)

@@ -381,37 +381,32 @@ register(
 # surviving paragraphs (possibly '', e.g. an exact duplicate of an
 # earlier doc loses every block).
 #
-# 100 TB shape: one block explode (n_tokens/PARA_TOKENS rows — 16×
-# fewer than the token explode), ONE hash(para) shuffle for the
-# first-occurrence window (at web scale: para runs hot on boilerplate
-# — the df_cap/stop-gram treatment from dedup_containment applies, and
-# ``skew_safe=True`` swaps the window for a min-struct hash-agg +
-# co-partitioned join whose map-side partial min keeps hot-key state
-# constant — implemented, output-identical, twin-tested), one
-# hash(doc_id) aggregation to rebuild documents, and a co-partitioned
-# left join back to documents so empty/fully-deduped docs stay
-# visible. Nothing is pairwise; volume never exceeds the block
-# explode.
+# 100 TB shape (r14, guide §2.3/§2.5/§8 — decide with small rows, move
+# payloads once): the registered default is the HASH-KEYED metadata
+# decision. The first-occurrence decision depends only on
+# (xxhash64(para), doc_id, para_idx) — 24 bytes/row — so that is ALL
+# the decision pass shuffles: one hash(ph) aggregation with map-side
+# partial min/count (constant per-task state even when one boilerplate
+# paragraph owns millions of rows — no window ever materializes a hot
+# key's row list, no exchange ever carries paragraph text keyed by
+# para). Hash-singleton groups (cnt=1) are proven unique without ever
+# comparing text; only rows of COLLIDING hashes (true duplicates +
+# astronomically rare 64-bit collisions) are re-derived WITH text and
+# resolved exactly per (ph, para) — so the output is exactly the
+# window form's, not probabilistically so. Documents are rebuilt
+# MAP-SIDE from each doc's own text at the kept block indices (the
+# winner list is metadata), so document text crosses exactly one
+# exchange in the whole query: the final doc_id join. The r13 window
+# and min-struct shapes remain as twins (mode="window"/"agg"),
+# output-identical and pinned by the planted twin test.
 
 
-def _q_paragraph_dedup(
-    spark: SparkSession, sf_dir: str, skew_safe: bool = False
-) -> DataFrame:
-    """``skew_safe=True`` swaps the first-occurrence WINDOW for a
-    min-struct aggregation + co-partitioned join: a web-scale hot
-    paragraph (boilerplate shared by millions of docs) lands its whole
-    key in one task either way, but the aggregation path reduces it
-    with map-side partial min() (constant state per task) instead of
-    materializing and sorting the key's full row list in one window
-    partition. Output is IDENTICAL (lexicographic struct min ≡
-    row_number over the same order — pinned by the planted twin test);
-    the registered query keeps the window default, which is cheaper at
-    probe scale where no paragraph is hot."""
-    d = load_table(spark, sf_dir, "documents")
-    tk = tokens(F.col("text"))
+def _para_blocks(tk: F.Column) -> F.Column:
+    """Deterministic PARA_TOKENS-token blocks of a token array (the
+    'paragraph' unit shared with decontaminate_paragraphs)."""
     n = F.size(tk)
     nblocks = F.floor((n + F.lit(PARA_TOKENS - 1)) / F.lit(PARA_TOKENS))
-    blocks = F.when(
+    return F.when(
         n >= 1,
         F.transform(
             F.sequence(F.lit(0), (nblocks - 1).cast("int")),
@@ -420,41 +415,149 @@ def _q_paragraph_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    rows = d.select(
-        "doc_id", F.posexplode(blocks).alias("para_idx", "para")
-    ).withColumn("para_idx", F.col("para_idx").cast("long"))
-    if skew_safe:
-        first = rows.groupBy("para").agg(
-            F.min(F.struct("doc_id", "para_idx")).alias("first")
-        )
-        ranked = rows.join(first, "para").withColumn(
-            "kept",
-            (F.col("doc_id") == F.col("first.doc_id"))
-            & (F.col("para_idx") == F.col("first.para_idx")),
-        )
-    else:
-        w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
-        ranked = rows.withColumn("kept", F.row_number().over(w) == 1)
-    per_doc = ranked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_paras"),
-        F.sum(F.col("kept").cast("long")).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("kept"), F.struct("para_idx", "para"))
-                    )
+
+
+def _q_paragraph_dedup(
+    spark: SparkSession, sf_dir: str, mode: str = "hash"
+) -> DataFrame:
+    """Corpus-wide first-occurrence paragraph dedup + doc rebuild.
+
+    ``mode``:
+    - ``"hash"`` (registered default, r14): metadata-only decision —
+      the explode emits (ph=xxhash64(para), doc_id, para_idx) and the
+      para string is dropped before anything shuffles. ONE hash(ph)
+      aggregation (map-side partial min+count) finds each hash's first
+      occurrence and its row count; cnt=1 hashes are unique paragraphs
+      by construction, cnt>1 hashes (duplicate mass + any 64-bit
+      collisions) are re-derived with text and resolved EXACTLY per
+      (ph, para) — collisions cannot change the output. Winners are
+      pure metadata (doc_id, para_idx); kept_text is re-sliced from the
+      document's own text map-side, so text crosses exactly one
+      exchange (the final doc_id join).
+    - ``"window"``: the r13 shape — row_number() over
+      partitionBy(para): materializes+sorts each para's full row list
+      in one window task (hot-boilerplate skew at web scale) and
+      shuffles full paragraph text twice.
+    - ``"agg"``: the r13 skew-safe twin — min-struct aggregation keyed
+      on the para STRING + a join back; map-side partial min bounds
+      hot-key state but full text still crosses the exchanges.
+
+    All three are output-IDENTICAL (lexicographic struct min ≡
+    row_number over the same order; pinned by the planted twin test
+    and the sf0.001 corpus equality in tests/test_quality_mixture.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    blocks = _para_blocks(tokens(F.col("text")))
+    if mode in ("window", "agg"):
+        rows = d.select(
+            "doc_id", F.posexplode(blocks).alias("para_idx", "para")
+        ).withColumn("para_idx", F.col("para_idx").cast("long"))
+        if mode == "agg":
+            first = rows.groupBy("para").agg(
+                F.min(F.struct("doc_id", "para_idx")).alias("first")
+            )
+            ranked = rows.join(first, "para").withColumn(
+                "kept",
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("para_idx") == F.col("first.para_idx")),
+            )
+        else:
+            w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
+            ranked = rows.withColumn("kept", F.row_number().over(w) == 1)
+        per_doc = ranked.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("para_idx", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
                 ),
-                lambda s: s["para"],
-            ),
-            " ",
-        ).alias("kept_text"),
-    )
-    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+                " ",
+            ).alias("kept_text"),
+        )
+        return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    if mode != "hash":
+        raise ValueError(f"unknown paragraph-dedup mode: {mode!r}")
+    # --- decision pass: 24-byte metadata rows only -------------------
+    rows_k = d.select(
+        "doc_id", F.posexplode(blocks).alias("para_idx", "para")
+    ).select(
         "doc_id",
-        F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        F.col("para_idx").cast("long").alias("para_idx"),
+        F.xxhash64("para").alias("ph"),
+    )
+    g = rows_k.groupBy("ph").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "para_idx")).alias("w"),
+    )
+    win_single = g.filter(F.col("cnt") == 1).select(
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.para_idx").alias("para_idx"),
+    )
+    # --- exact resolution of colliding hashes (duplicate mass only) --
+    multi = g.filter(F.col("cnt") > 1).select("ph")
+    rows_m = (
+        d.select("doc_id", F.posexplode(blocks).alias("para_idx", "para"))
+        .select(
+            "doc_id",
+            F.col("para_idx").cast("long").alias("para_idx"),
+            "para",
+            F.xxhash64("para").alias("ph"),
+        )
+        .join(multi, "ph", "semi")
+    )
+    win_multi = (
+        rows_m.groupBy("ph", "para")
+        .agg(F.min(F.struct("doc_id", "para_idx")).alias("w"))
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.para_idx").alias("para_idx"),
+        )
+    )
+    winners = win_single.unionByName(win_multi)
+    per_doc = winners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_sort(F.collect_list("para_idx")).alias("kept_idx"),
+    )
+    # --- rebuild: kept_text re-sliced from the doc's own text --------
+    tk2 = tokens(F.col("text"))
+    n2 = F.size(tk2)
+    nblocks2 = F.floor((n2 + F.lit(PARA_TOKENS - 1)) / F.lit(PARA_TOKENS))
+    return (
+        d.select("doc_id", "text")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(n2 >= 1, nblocks2).otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        "kept_idx",
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.slice(
+                                tk2,
+                                (i * PARA_TOKENS + 1).cast("int"),
+                                PARA_TOKENS,
+                            ),
+                        ),
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
     )
 
 

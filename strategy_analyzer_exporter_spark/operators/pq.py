@@ -157,8 +157,104 @@ def _adc_topk(scored: DataFrame) -> DataFrame:
     )
 
 
-def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _adc_topk(_adc_scored(spark, sf_dir))
+def _q_pq_adc(
+    spark: SparkSession, sf_dir: str, mode: str = "cells"
+) -> DataFrame:
+    """Flat-PQ ADC top-k.
+
+    ``mode="cells"`` (registered default, r14 — guide §8 "decide with
+    small rows"): every candidate sharing a code word (code0..code3)
+    has the SAME adc_dist for a given query, so the per-candidate
+    decision collapses onto DISTINCT CELLS. One hash aggregation over
+    the codes relation builds (cell → 4 smallest member vec_ids); the
+    per-query ADC chain then scores ≤ min(n, 16⁴) cell rows instead of
+    n candidates, and the final ordering runs over ≤ PQ_TOPK·(PQ_TOPK+1)
+    rows per query. Per-query work is bounded by PQ_K^PQ_M = 65,536
+    cells FOREVER — the only O(n) step left is the single metadata
+    aggregation (doc: vec_ids are 8-byte longs; nothing vector-sized
+    shuffles). Keeping the (PQ_TOPK+1)=4 smallest ids per cell is
+    sufficient: the self-match exclusion removes at most one of them,
+    and a candidate in the global top-k is at worst the k-th eligible
+    of its own cell; a cell holding a global top-k candidate is itself
+    within the top-k cells ordered by (adc_dist, first-eligible-id) —
+    if c cells rank strictly before it, their first eligibles plus the
+    candidate's own cell-local predecessors all precede it globally,
+    so c + (rank within cell) ≤ PQ_TOPK. Output is EXACTLY the pairs
+    form's (twin-tested and oracle-checked): adc_dist is the identical
+    left-associated qd0+qd1+qd2+qd3 over the identical codes.
+
+    ``mode="pairs"``: the pre-r14 shape — score all n×N_QUERIES pairs
+    through the broadcast chain, then row_number over N_QUERIES window
+    partitions (each sorting n rows: measured exp 1.26 at the 1×→10×
+    probe, with 10 window tasks on 32 cores)."""
+    if mode == "pairs":
+        return _adc_topk(_adc_scored(spark, sf_dir))
+    if mode != "cells":
+        raise ValueError(f"unknown pq-adc mode: {mode!r}")
+    from strategy_analyzer_exporter_spark.functions import vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, cbs = _pq_index(spark, sf_dir)
+    qds = []
+    for m in range(PQ_M):
+        sub = _subspace(emb, m)
+        q_sub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        qds.append(
+            q_sub.crossJoin(F.broadcast(cbs[m])).select(
+                "query_id",
+                F.col("cid").alias(f"qcid{m}"),
+                vector.sqdist(F.col("qv"), F.col("cv")).alias(f"qd{m}"),
+            )
+        )
+    cell_cols = [f"code{m}" for m in range(PQ_M)]
+    # (cell → 4 smallest member ids): ONE hash agg over 8-byte ids.
+    # collect_list's partial state per (task, cell) is bounded by the
+    # task's input split; at a scale where that matters, add a
+    # pmod(vec_id, B) bucket level (two-level top-k, guide §2.5) —
+    # at every probed tier the single level measures flat.
+    cells = codes.groupBy(*cell_cols).agg(
+        F.slice(F.array_sort(F.collect_list("vec_id")), 1, PQ_TOPK + 1)
+        .alias("m4")
+    )
+    scored = cells
+    for m in range(PQ_M):
+        on = [scored[f"code{m}"] == qds[m][f"qcid{m}"]]
+        if m > 0:
+            on.append(scored["query_id"] == qds[m]["query_id"])
+        scored = scored.join(F.broadcast(qds[m]), on).drop(f"qcid{m}")
+        if m > 0:
+            scored = scored.drop(qds[m]["query_id"])
+    adc = (
+        F.col("qd0") + F.col("qd1") + F.col("qd2") + F.col("qd3")
+    ).alias("adc_dist")
+    qcells = scored.select(
+        "query_id",
+        adc,
+        F.filter("m4", lambda x: x != F.col("query_id")).alias("cands"),
+    ).filter(F.size("cands") > 0)
+    # top-PQ_TOPK cells per query: bounded-state aggregation (≤ 16⁴
+    # structs per group), no n-row window partition anywhere. The sort
+    # key (adc_dist, cands) is a total order: cells are disjoint, so
+    # equal-distance cells differ in their first eligible id.
+    top = qcells.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("adc_dist", "cands"))),
+            1,
+            PQ_TOPK,
+        ).alias("tc")
+    )
+    ex = (
+        top.select("query_id", F.explode("tc").alias("c"))
+        .select(
+            "query_id",
+            F.col("c.adc_dist").alias("adc_dist"),
+            F.explode("c.cands").alias("cand_id"),
+        )
+        .select("query_id", "cand_id", "adc_dist")
+    )
+    return _adc_topk(ex)
 
 
 def _pq_sql_parts(train_pred: str | None = None) -> tuple[list, str, str, str]:
@@ -334,8 +430,9 @@ def _q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strategy_analyzer_exporter_spark.functions import vector
 
     cells, cents = _coarse_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
     fq = (
-        _fullv(load_table(spark, sf_dir, "embeddings"))
+        _fullv(emb)
         .filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     )
@@ -351,7 +448,41 @@ def _q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_cand = probe.join(
         cells.withColumnRenamed("vec_id", "cand_id"), "cell"
     ).select("query_id", "cand_id")
-    scored = _adc_scored(spark, sf_dir).join(ivf_cand, ["query_id", "cand_id"])
+    # r14 (guide §3/§8): restrict THEN score — attach codes to the IVF
+    # candidate pairs and run the per-subspace lookup joins with
+    # query_id bound (the _at_rest_topk chain), instead of scoring all
+    # n×N_QUERIES pairs and joining the restriction in afterwards.
+    # Candidate volume through the ADC chain drops from n·N_QUERIES to
+    # n·nprobe/cells·N_QUERIES; output rows are the identical set with
+    # the identical adc_dist arithmetic (pre-r14 shape: _adc_scored
+    # joined on (query_id, cand_id) — an n×10-row intermediate).
+    pq_codes, cbs = _pq_index(spark, sf_dir)
+    restricted = ivf_cand.join(
+        pq_codes.withColumnRenamed("vec_id", "cand_id"), "cand_id"
+    )
+    scored = restricted
+    for m in range(PQ_M):
+        sub = _subspace(emb, m)
+        q_sub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        qd_m = q_sub.crossJoin(F.broadcast(cbs[m])).select(
+            F.col("query_id").alias("qid"),
+            F.col("cid").alias(f"qcid{m}"),
+            vector.sqdist(F.col("qv"), F.col("cv")).alias(f"qd{m}"),
+        )
+        scored = scored.join(
+            F.broadcast(qd_m),
+            (scored[f"code{m}"] == qd_m[f"qcid{m}"])
+            & (scored["query_id"] == qd_m["qid"]),
+        ).drop(f"qcid{m}", "qid")
+    scored = scored.filter(F.col("cand_id") != F.col("query_id")).select(
+        "query_id",
+        "cand_id",
+        (F.col("qd0") + F.col("qd1") + F.col("qd2") + F.col("qd3")).alias(
+            "adc_dist"
+        ),
+    )
     # adc_dist stays INTERNAL (the _q_kmeans convention): the coarse
     # centroids carry the engines' sub-ulp decimal-mean drift, and the
     # IVF-restricted top-k happens to select a drift-affected pair at

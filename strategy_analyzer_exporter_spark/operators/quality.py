@@ -41,20 +41,57 @@ TOP_WORD_MAX = 0.30
 MIN_TOKENS = 10
 
 
-def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _signals(
+    spark: SparkSession, sf_dir: str, mode: str = "agg"
+) -> DataFrame:
+    """``mode="agg"`` (registered default, r14 — guide §2.4 remove
+    shuffles / §2.3 aggregate-before-shuffle): bigrams are built
+    ARRAY-side (the oracle's own list_transform shape) instead of
+    `lead() over (doc_id, pos)` — the window that shuffled and sorted
+    EVERY token row by doc_id exists only to peek one row ahead, and
+    the token array already has that neighbor. And each "top gram"
+    row_number window becomes a `min(struct(-cnt, gram))` aggregation
+    — identical (cnt DESC, gram ASC) tie-break, but map-side partials
+    replace a per-doc sort and the per-group state is one struct.
+    ``mode="window"`` is the pre-r14 shape, twin-tested identical."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    uni = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.posexplode_outer(_tokens(F.col("text"))).alias("pos", "tok"))
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bi = uni.withColumn("nxt", F.lead("tok").over(w)).select(
-        "doc_id",
-        F.when(
-            F.col("tok").isNotNull() & F.col("nxt").isNotNull(),
-            F.concat_ws(" ", "tok", "nxt"),
-        ).alias("bigram"),
-    )
+    if mode == "window":
+        uni = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.posexplode_outer(_tokens(F.col("text"))).alias("pos", "tok"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        bi = uni.withColumn("nxt", F.lead("tok").over(w)).select(
+            "doc_id",
+            F.when(
+                F.col("tok").isNotNull() & F.col("nxt").isNotNull(),
+                F.concat_ws(" ", "tok", "nxt"),
+            ).alias("bigram"),
+        )
+        uni = uni.drop("pos")
+    elif mode == "agg":
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", _tokens(F.col("text")).alias("toks")
+        )
+        uni = docs.select("doc_id", F.explode_outer("toks").alias("tok"))
+        bi = docs.select(
+            "doc_id",
+            F.explode_outer(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.get(F.col("toks"), i - 1),
+                            F.get(F.col("toks"), i),
+                        ),
+                    ),
+                )
+            ).alias("bigram"),
+        )
+    else:
+        raise ValueError(f"unknown signals mode: {mode!r}")
 
     # unigram stats
     wc = (
@@ -62,17 +99,38 @@ def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.length("tok")).alias("chars"))
     )
-    ww = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok"))
-    word_stats = (
-        wc.withColumn("rn", F.row_number().over(ww))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_tokens"),
-            F.sum("chars").alias("n_chars_tok"),
-            F.max(F.when(F.col("rn") == 1, F.col("tok"))).alias("top_word"),
-            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("top_word_n"),
+    if mode == "agg":
+        word_stats = (
+            wc.groupBy("doc_id")
+            .agg(
+                F.sum("cnt").alias("n_tokens"),
+                F.sum("chars").alias("n_chars_tok"),
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("tok"))
+                ).alias("_top"),
+            )
+            .select(
+                "doc_id",
+                "n_tokens",
+                "n_chars_tok",
+                F.col("_top.tok").alias("top_word"),
+                (-F.col("_top.nc")).alias("top_word_n"),
+            )
         )
-    )
+    else:
+        ww = Window.partitionBy("doc_id").orderBy(
+            F.col("cnt").desc(), F.col("tok")
+        )
+        word_stats = (
+            wc.withColumn("rn", F.row_number().over(ww))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("cnt").alias("n_tokens"),
+                F.sum("chars").alias("n_chars_tok"),
+                F.max(F.when(F.col("rn") == 1, F.col("tok"))).alias("top_word"),
+                F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("top_word_n"),
+            )
+        )
 
     # bigram stats
     bc = (
@@ -80,17 +138,38 @@ def _signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    bw = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("bigram"))
-    bigram_stats = (
-        bc.withColumn("rn", F.row_number().over(bw))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_bigrams"),
-            F.count(F.lit(1)).alias("n_distinct_bigrams"),
-            F.max(F.when(F.col("rn") == 1, F.col("bigram"))).alias("top_bigram"),
-            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("top_bigram_n"),
+    if mode == "agg":
+        bigram_stats = (
+            bc.groupBy("doc_id")
+            .agg(
+                F.sum("cnt").alias("n_bigrams"),
+                F.count(F.lit(1)).alias("n_distinct_bigrams"),
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("bigram"))
+                ).alias("_top"),
+            )
+            .select(
+                "doc_id",
+                "n_bigrams",
+                "n_distinct_bigrams",
+                F.col("_top.bigram").alias("top_bigram"),
+                (-F.col("_top.nc")).alias("top_bigram_n"),
+            )
         )
-    )
+    else:
+        bw = Window.partitionBy("doc_id").orderBy(
+            F.col("cnt").desc(), F.col("bigram")
+        )
+        bigram_stats = (
+            bc.withColumn("rn", F.row_number().over(bw))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("cnt").alias("n_bigrams"),
+                F.count(F.lit(1)).alias("n_distinct_bigrams"),
+                F.max(F.when(F.col("rn") == 1, F.col("bigram"))).alias("top_bigram"),
+                F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("top_bigram_n"),
+            )
+        )
 
     out = (
         d.join(word_stats, "doc_id", "left")
@@ -452,7 +531,13 @@ register("text_lm_likelihood_buckets", _q_lm_likelihood_buckets, _LM_BUCKETS_ORA
 # ratio, duplicate-line fraction) degenerate at one line per doc and
 # are owned by text_repetition_signals / dedup_substring_spans; the
 # symbol rule counts TOKENS containing '#' or '...' rather than raw
-# character occurrences (same intent, token-exact arithmetic).
+# character occurrences (same intent, token-exact arithmetic); and
+# GOPHER_MIN_WORDS is 10 where the paper filters docs outside
+# 50-100,000 words — the fixture/probe corpora are short-doc synthetic
+# text whose median is far below 50 words, and a 50-word floor would
+# make the word-count rule reject nearly everything, drowning the
+# other rules' verdicts (ADVICE r13: deviation now documented here
+# alongside the others).
 #
 # Exactness: every fraction is ONE double division of two exact BIGINT
 # counts (the house rule), so all five verdicts and the composite match

@@ -52,3 +52,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for the SQL API)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Input-skew remedy (optimization guide §2.5: "one huge
+    unsplittable file ... repartition immediately after the read"): the
+    test corpus tables are single-row-group parquet files, so a scan is
+    ONE split and everything Catalyst collapses into the scan stage —
+    map-side partial aggregation, broadcast-join probes — runs on one
+    core. When the scan yields fewer partitions than the session's
+    parallelism, repartition (round-robin, or hash on ``keys`` when a
+    downstream op can reuse that clustering); when the input already
+    yields at least that many splits — any real multi-file table, and
+    every production layout — this is a NO-OP and the extra exchange
+    never enters the plan. Callers must be order-independent (exact
+    decimal/integer aggregates, windows with explicit ordering).
+
+    Same conditional as similarity._spread / dedup._gram_rows, hoisted
+    for the relational operators (r14)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys]) if keys \
+        else df.repartition(target)

@@ -143,3 +143,22 @@ def test_incremental_dedup_equals_full_pairs_cross_side(spark):
         (c, bt) for c, bt, _ in _q_dedup_incremental(spark, sf).collect()
     }
     assert incr == full and len(incr) > 0
+
+
+def test_simhash_int_keys_equal_bits_twin(spark):
+    """r14 optimization: the registered integer-band-key SimHash must
+    produce EXACTLY the string-fingerprint twin's pairs+hamming on the
+    real corpora — the int key k_b is the base-2 reading of the string
+    band substring by construction, so any divergence is a bug in the
+    bit packing."""
+    from strategy_analyzer_exporter_spark.operators.dedup import (
+        _q_dedup_simhash,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        keys = sorted(tuple(r) for r in _q_dedup_simhash(spark, sf).collect())
+        bits = sorted(
+            tuple(r)
+            for r in _q_dedup_simhash(spark, sf, mode="bits").collect()
+        )
+        assert keys == bits, (sf, len(keys), len(bits))

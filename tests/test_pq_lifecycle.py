@@ -306,3 +306,21 @@ def test_ivfpq_tombstones_never_surface(spark):
     assert scans and all("PartitionFilters: [cell" in ln for ln in scans)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert P.count_exchanges(tomb) <= P.count_exchanges(base), plan
+
+
+def test_pq_adc_cell_decision_equals_pairs_twin(spark):
+    """r14 optimization: the registered cell-decision ADC (decide on
+    distinct code cells, ≤ PQ_K^PQ_M rows per query) must produce
+    EXACTLY the all-pairs window shape's rows — including adc_dist,
+    which the oracle hashes — on sf0.001 AND sf0.01 (the latter has
+    query-cell collisions and self-match exclusions in play). The
+    registered plan must contain no per-candidate window: the only
+    row_number runs over the ≤ PQ_TOPK·(PQ_TOPK+1)-row exploded cells."""
+    from strategy_analyzer_exporter_spark.operators.pq import _q_pq_adc
+
+    for sf in (SF, "/root/testdata/sf0.01"):
+        cells = sorted(tuple(r) for r in _q_pq_adc(spark, sf).collect())
+        pairs = sorted(
+            tuple(r) for r in _q_pq_adc(spark, sf, mode="pairs").collect()
+        )
+        assert cells == pairs

@@ -6,6 +6,7 @@ drift in either engine-side expression shows up here before the oracle
 gate."""
 
 import hashlib
+import re
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -76,7 +77,8 @@ def test_gopher_rules_each_rule_rejects_its_planted_doc(spark, tmp_path_factory)
     pure-python reference of the documented arithmetic."""
     texts = {
         1: "the cat sat to think of warm milk and naps today",  # passes all
-        2: "tiny doc here now",  # too short
+        2: "the tiny doc of here now",  # too short (has 2 stopwords, so
+        #    rule_word_count is the SOLE rejector — ADVICE r13)
         3: "cats dogs birds fish lions tigers bears wolves foxes deer elk moose",
         4: "#one #two three four five six seven eight nine ten the of",  # symbols
         5: " ".join(["abcdefghijkl"] * 8 + ["the", "of"]),  # mean len > 10
@@ -104,6 +106,8 @@ def test_gopher_rules_each_rule_rejects_its_planted_doc(spark, tmp_path_factory)
         doc_id: [c for c in rule_cols if not got[doc_id][c]]
         for doc_id in (2, 3, 4, 5, 6)
     }
+    assert sole_rejectors[2] == ["rule_word_count"]
+    assert sole_rejectors[3] == ["rule_stopwords"]
     assert sole_rejectors[4] == ["rule_symbol"]
     assert sole_rejectors[5] == ["rule_mean_len"]
     assert sole_rejectors[6] == ["rule_alpha"]
@@ -229,25 +233,33 @@ def test_paragraph_dedup_first_occurrence_and_reconstruction(
 
 
 def test_paragraph_dedup_plan_shape(spark):
-    """One block-explode window on para + one doc rebuild + the
-    co-partitioned documents join — nothing pairwise, bounded exchange
-    budget, exactly one Window."""
+    """Registered default = the r14 hash-keyed metadata decision: NO
+    window anywhere (a hot boilerplate paragraph never materializes its
+    row list in one task), the decision shuffle is keyed on
+    xxhash64(para) — the para STRING must not flow into the ph
+    aggregation's exchange — and document text crosses exactly one
+    exchange (the final doc_id join), within a bounded budget."""
     from strategy_analyzer_exporter_spark.operators.pipeline3 import (
         _q_paragraph_dedup,
     )
 
     q = _q_paragraph_dedup(spark, SF)
     plan = P.physical_plan(q)
-    assert P.count_exchanges(q) <= 4, plan
-    assert plan.count("Window") >= 1
+    assert "Window" not in plan, plan
+    assert "xxhash64" in plan, plan
+    assert P.count_exchanges(q) <= 7, plan
+    # the decision aggregate reduces to (ph, cnt, min-struct): its
+    # partial_min carries (doc_id, para_idx) — never the para string
+    assert re.search(r"partial_min\(struct\(doc_id[^)]*para_idx", plan), plan
 
 
-def test_paragraph_dedup_skew_safe_twin_is_identical(spark, tmp_path_factory):
-    """The skew_safe min-struct-agg path must produce EXACTLY the
-    window path's output — on the planted corpus (where ties between
-    (doc_id, para_idx) orderings are exercised: the same block appears
-    at different positions in different docs) AND on the real sf0.001
-    corpus; and its plan must contain no Window."""
+def test_paragraph_dedup_twins_are_identical(spark, tmp_path_factory):
+    """All three shapes — hash (registered default), window, min-struct
+    agg — must produce EXACTLY the same output on the planted corpus
+    (where ties between (doc_id, para_idx) orderings are exercised: the
+    same block appears at different positions in different docs, plus
+    an in-doc duplicate block) AND on the real sf0.001 corpus; the agg
+    twin's plan must contain no Window."""
     from strategy_analyzer_exporter_spark.operators.pipeline3 import (
         PARA_TOKENS,
         _q_paragraph_dedup,
@@ -261,17 +273,20 @@ def test_paragraph_dedup_skew_safe_twin_is_identical(spark, tmp_path_factory):
         {"doc_id": 1, "text": f"{B} {A}"},  # A at idx 1 in the earliest doc
         {"doc_id": 2, "text": f"{A} {B}"},  # A at idx 0 in a later doc
         {"doc_id": 3, "text": f"{A}"},
+        {"doc_id": 4, "text": f"{B} {B}"},  # in-doc duplicate block
     ]
     sf = _write_docs(tmp_path_factory, "paraskew", rows)
     for d in (sf, SF):
         win = sorted(
-            map(tuple, _q_paragraph_dedup(spark, d).collect())
+            map(tuple, _q_paragraph_dedup(spark, d, mode="window").collect())
         )
         agg = sorted(
-            map(tuple, _q_paragraph_dedup(spark, d, skew_safe=True).collect())
+            map(tuple, _q_paragraph_dedup(spark, d, mode="agg").collect())
         )
+        hsh = sorted(map(tuple, _q_paragraph_dedup(spark, d).collect()))
         assert win == agg
-    plan = P.physical_plan(_q_paragraph_dedup(spark, SF, skew_safe=True))
+        assert win == hsh
+    plan = P.physical_plan(_q_paragraph_dedup(spark, SF, mode="agg"))
     assert "Window" not in plan, plan
 
 
@@ -283,3 +298,21 @@ def test_temperature_mixture_broadcasts_plan_not_corpus(spark):
     plan = P.physical_plan(q)
     assert "BroadcastHashJoin" in plan, plan
     assert P.count_exchanges(q) <= 5, plan
+
+
+def test_repetition_signals_agg_equals_window_twin(spark):
+    """r14 optimization: the registered window-free _signals (array-side
+    bigrams + min-struct top-gram aggregation) must produce EXACTLY the
+    pre-r14 lead()/row_number shape's rows on the real corpora — the
+    (cnt DESC, gram ASC) tie-break is encoded as min(struct(-cnt, gram))
+    and any packing slip shows up here before the oracle gate. The
+    registered plan must be window-free."""
+    from strategy_analyzer_exporter_spark.operators.quality import _signals
+
+    for sf in (SF, "/root/testdata/sf0.01"):
+        agg = sorted(tuple(r) for r in _signals(spark, sf).collect())
+        win = sorted(
+            tuple(r) for r in _signals(spark, sf, mode="window").collect()
+        )
+        assert agg == win
+    assert "Window" not in P.physical_plan(_signals(spark, SF))
