@@ -117,9 +117,12 @@ def clear_gram_cache(sf_dir: str | None = None) -> None:
     for cache in (_GRAM_CACHE, _SIG_CACHE):
         for key in [k for k in cache if norm is None or k[0] == norm]:
             cache.pop(key).unpersist()
-    # batch-gram cache keys are (applicationId, abspath) — path at [1]
-    for key in [k for k in _BATCH_GRAM_CACHE if norm is None or k[1] == norm]:
-        _BATCH_GRAM_CACHE.pop(key).unpersist()
+    # batch-gram and simhash-key cache keys are (applicationId,
+    # abspath) — path at [1] (ADVICE r14: _SIMKEY_CACHE was not
+    # covered by this sweep, leaving tmp-corpus relations persisted)
+    for cache in (_BATCH_GRAM_CACHE, _SIMKEY_CACHE):
+        for key in [k for k in cache if norm is None or k[1] == norm]:
+            cache.pop(key).unpersist()
 
 
 def _shingle_gen(k: int):
@@ -202,7 +205,7 @@ def _gram_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFram
         .persist()
     )
     if len(_GRAM_CACHE) >= _GRAM_CACHE_MAX:
-        _GRAM_CACHE.popitem()[1].unpersist()
+        _GRAM_CACHE.pop(next(iter(_GRAM_CACHE))).unpersist()
     _GRAM_CACHE[key] = out
     return out
 
@@ -226,7 +229,7 @@ def _sig_rows(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame
     sigs = grams.groupBy("doc_id").agg(*_sig_agg_exprs())
     out = sigs.persist()
     if len(_SIG_CACHE) >= _GRAM_CACHE_MAX:
-        _SIG_CACHE.popitem()[1].unpersist()
+        _SIG_CACHE.pop(next(iter(_SIG_CACHE))).unpersist()
     _SIG_CACHE[key] = out
     return out
 
@@ -549,7 +552,10 @@ def _simhash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus."""
     import os
 
-    key = os.path.abspath(sf_dir)
+    # (applicationId, abspath) like _BATCH_GRAM_CACHE (ADVICE r14: an
+    # abspath-only key would return a persisted DataFrame bound to a
+    # dead session after a Spark restart in the same process)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     cached = _SIMKEY_CACHE.get(key)
     if cached is not None:
         return cached
@@ -566,7 +572,7 @@ def _simhash_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys.append(k.cast("int").alias(f"k{b}"))
     out = votes.select("doc_id", *keys).persist()
     if len(_SIMKEY_CACHE) >= _SIMKEY_CACHE_MAX:
-        _SIMKEY_CACHE.popitem()[1].unpersist()
+        _SIMKEY_CACHE.pop(next(iter(_SIMKEY_CACHE))).unpersist()
     _SIMKEY_CACHE[key] = out
     return out
 
@@ -1104,7 +1110,7 @@ def _batch_grams(
         .persist()
     )
     if len(_BATCH_GRAM_CACHE) >= _GRAM_CACHE_MAX:
-        _BATCH_GRAM_CACHE.popitem()[1].unpersist()
+        _BATCH_GRAM_CACHE.pop(next(iter(_BATCH_GRAM_CACHE))).unpersist()
     _BATCH_GRAM_CACHE[key] = out
     return out
 

@@ -413,16 +413,22 @@ def _q_kmeans(
     return out
 
 
-def _kmeans_assign_body(k_sql: str | None = None) -> str:
+def _kmeans_assign_body(
+    k_sql: str | None = None, extra_ctes: tuple = ()
+) -> str:
     """WITH-body CTE chain ending in ``assign`` (vec_id, cid) — the
     converged k-means assignment. Shared by the k-means oracle and the
     SemDeDup oracle below, so both engines always agree on the same
     unrolled Lloyd iterations. ``k_sql`` overrides the fixed
     ``KM_K`` centroid count with a SQL expression (DuckDB accepts
     expressions in LIMIT) — the SemDeDup oracle derives k from the
-    corpus size with it, mirroring the Spark side exactly."""
+    corpus size with it, mirroring the Spark side exactly.
+    ``extra_ctes`` are spliced in right after ``e`` so a derived
+    ``k_sql`` can reference its own scalar CTEs (the r15 hierarchical
+    split)."""
     ctes = [
         f"e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n     FROM embeddings)",
+        *extra_ctes,
         f"""c0 AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
     FROM e ORDER BY vec_id LIMIT {k_sql if k_sql is not None else KM_K}
@@ -506,6 +512,61 @@ def two_level_kc_kf(k: int) -> tuple[int, int]:
     preserved (never loosened) by the two-level split."""
     kc = ceil_sqrt(k)
     return kc, -(-k // kc)
+
+
+# Depth-adaptive hierarchy (r15, VERDICT r14 next-round #1): with
+# k ∝ n the TWO-level split's per-vector assignment work is
+# kc + kf ≈ 2√k ∝ √n — an n^1.5 total, the one acknowledged
+# asymptotic scale-killer left after r13/r14. A BALANCED three-level
+# split k = k1·k2·k3 (each ≈ ∛k) makes every level's per-vector work
+# k^(1/3) ⇒ total ∝ n^(4/3). The depth DECISION is metadata-only
+# (derived from the same corpus count k already is) and mirrored
+# exactly in the oracle SQL: depth 3 activates only when the
+# two-level split's larger level exceeds HIER_FLAT_MAX centroids —
+# below that, the split degenerates to (kc, kf, 1) and the third
+# level is an exact identity, so every corpus the driver checks
+# (k ≤ 20 at sf ≤ 0.1 ⇒ kc ≤ 5) computes bit-identically to the r13
+# two-level registration. HIER_FLAT_MAX = 32 is the numpy
+# centroid-block size (kmeans_assign_stream/fine_assign `blk`): a
+# level at ≤ 32 centroids is a single block pass per batch, so
+# splitting it buys no flops while paying an extra KM_ITERS-round
+# Lloyd level of fixed cost (measured crossover in
+# OPTIMIZATION_r15.md).
+
+HIER_FLAT_MAX = 32
+
+
+def icbrt_ceil(k: int) -> int:
+    """⌈∛k⌉ exactly: the smallest m ≥ 1 with m³ ≥ k. Float cbrt is NOT
+    guaranteed correctly rounded (unlike IEEE sqrt), so the float
+    result only seeds a ±2 candidate window and the answer is picked
+    by exact integer cube comparison — the oracle SQL applies the
+    identical adjustment, so both engines agree for every feasible k
+    regardless of libm rounding (tests/test_substring_semdedup.py
+    sweeps the agreement)."""
+    m0 = round(k ** (1.0 / 3.0))
+    for m in (m0 - 2, m0 - 1, m0, m0 + 1, m0 + 2):
+        if m >= 1 and m * m * m >= k:
+            return m
+    raise AssertionError(f"icbrt_ceil window missed k={k}")
+
+
+def hier_split(k: int, flat_max: int = HIER_FLAT_MAX) -> tuple[int, int, int]:
+    """(k1, k2, k3): the depth-adaptive split of the derived k.
+
+    kc = ⌈√k⌉ ≤ flat_max → (kc, kf, 1): the two-level split unchanged,
+    third level degenerate (identity — one centroid per cell).
+    kc > flat_max → balanced depth 3: k1 = ⌈∛k⌉, r = ⌈k/k1⌉,
+    k2 = ⌈√r⌉, k3 = ⌈r/k2⌉. k1·k2·k3 ≥ k1·r ≥ k, so the expected leaf
+    size stays ≤ the CAP contract of the derived k, exactly like the
+    two-level split."""
+    kc, kf = two_level_kc_kf(k)
+    if kc <= flat_max:
+        return kc, kf, 1
+    k1 = icbrt_ceil(k)
+    r = -(-k // k1)
+    k2 = ceil_sqrt(r)
+    return k1, k2, -(-r // k2)
 
 
 def fine_init(ev: DataFrame, kf: int) -> DataFrame:
@@ -645,6 +706,23 @@ def fine_update_from_v(assigned_v: DataFrame) -> DataFrame:
     )
 
 
+def _fine_rounds(ev: DataFrame, kf: int, with_v: bool = False) -> DataFrame:
+    """fine_init → KM_ITERS fused assign+update rounds → final assign
+    over an (vec_id, ccid, v) relation: the per-cell Lloyd block shared
+    by the two-level assign and (r15) the third hierarchy level.
+    Between rounds the ≤ cells·kf-row centroid relation is eagerly
+    localCheckpointed (the lineage-truncation pattern of the flat
+    rounds); ``with_v`` passes the vector through the FINAL assign so a
+    following level can key on the result without a (vec_id → v)
+    join."""
+    fc = fine_init(ev, kf)
+    for _ in range(KM_ITERS):
+        fc = fine_update_from_v(
+            fine_assign(ev, fc, with_v=True).select("ccid", "fcid", "v")
+        ).localCheckpoint()
+    return fine_assign(ev, fc, with_v=with_v)
+
+
 # Converged two-level assignment memo, keyed like _KMEANS_CACHE.
 _TWO_LEVEL_CACHE: dict = {}
 
@@ -679,30 +757,157 @@ def two_level_assign(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         # oracle-shaped live plan (mirrors _q_kmeans's fold branch:
         # eager checkpoints truncate per-round lineage, final assign
         # stays inspectable)
-        fc = fine_init(ev, kf)
-        for _ in range(KM_ITERS):
-            fc = fine_update_from_v(
-                fine_assign(ev, fc, with_v=True).select("ccid", "fcid", "v")
-            ).localCheckpoint()
-        return fine_assign(ev, fc)
+        return _fine_rounds(ev, kf)
     key = (spark.sparkContext.applicationId, sf_dir, vector.kernel(), k, "2lvl")
     cached = _TWO_LEVEL_CACHE.get(key)
     if cached is not None:
         return cached
     ev = ev.persist()
     try:
-        fc = fine_init(ev, kf)
-        for _ in range(KM_ITERS):
-            fc = fine_update_from_v(
-                fine_assign(ev, fc, with_v=True).select("ccid", "fcid", "v")
-            ).localCheckpoint()
         out = (
-            fine_assign(ev, fc).select("vec_id", "ccid", "fcid").localCheckpoint()
+            _fine_rounds(ev, kf)
+            .select("vec_id", "ccid", "fcid")
+            .localCheckpoint()
         )
     finally:
         ev.unpersist()
     _TWO_LEVEL_CACHE[key] = out
     return out
+
+
+# Converged three-level assignment memo, keyed like _TWO_LEVEL_CACHE.
+_HIER_CACHE: dict = {}
+
+
+def hier_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    flat_max: int = HIER_FLAT_MAX,
+) -> DataFrame:
+    """(vec_id, cid): the depth-adaptive hierarchical assignment at the
+    derived k (r15, VERDICT r14 #1 — see :func:`hier_split`).
+
+    Degenerate split (kc ≤ flat_max, every corpus the driver checks):
+    delegates to :func:`two_level_assign` and flattens
+    cid = ccid·kf + fcid — bit-identical to the r13/r14 registration.
+
+    Active split (kc > flat_max): coarse flat Lloyd at k1 = ⌈∛k⌉, then
+    two per-cell fine levels of k2 and k3 centroids via the shared
+    :func:`_fine_rounds` block — cid = (c1·k2 + f2)·k3 + f3. No level
+    ever scores more than max(k1, k2, k3) ≈ ∛k centroids per vector,
+    so total assignment work is ~3n·∛k (n^4/3 at k ∝ n) instead of the
+    two-level ~2n·√k (n^1.5). Between levels the (vec_id, cell, v)
+    relation is persisted (arrow kernel) so level 3's rounds do not
+    re-run level 2; the fold kernel keeps the oracle-shaped live plan
+    (centroid relations are eagerly checkpointed, so plan size stays
+    linear in rounds)."""
+    from strategy_analyzer_exporter_spark.functions import vector
+    from strategy_analyzer_exporter_spark.operators.similarity import _spread
+
+    k1, k2, k3 = hier_split(k, flat_max)
+    if k3 == 1:
+        return two_level_assign(spark, sf_dir, k).select(
+            "vec_id",
+            (F.col("ccid") * F.lit(k2) + F.col("fcid")).alias("cid"),
+        )
+    coarse = _q_kmeans(spark, sf_dir, k=k1, hint_cents=False).select(
+        "vec_id", F.col("cid").alias("ccid")
+    )
+    e = _spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    ev = coarse.join(e, "vec_id").select("vec_id", "ccid", "v")
+
+    def _flatten12(l2: DataFrame) -> DataFrame:
+        return l2.select(
+            "vec_id",
+            (F.col("ccid") * F.lit(k2) + F.col("fcid")).alias("ccid"),
+            "v",
+        )
+
+    def _flatten123(l3: DataFrame) -> DataFrame:
+        return l3.select(
+            "vec_id",
+            (F.col("ccid") * F.lit(k3) + F.col("fcid")).alias("cid"),
+        )
+
+    if vector.kernel() == "fold":
+        return _flatten123(_fine_rounds(_flatten12(_fine_rounds(ev, k2, with_v=True)), k3))
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        vector.kernel(),
+        k,
+        flat_max,
+        "3lvl",
+    )
+    cached = _HIER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ev = ev.persist()
+    try:
+        ev3 = _flatten12(_fine_rounds(ev, k2, with_v=True)).persist()
+        try:
+            out = _flatten123(_fine_rounds(ev3, k3)).localCheckpoint()
+        finally:
+            ev3.unpersist()
+    finally:
+        ev.unpersist()
+    _HIER_CACHE[key] = out
+    return out
+
+
+def _fine_chain_sql(
+    prefix: str, ev_cte: str, kf_sql: str, out_cte: str
+) -> str:
+    """CTE chain: per-cell fine Lloyd over ``ev_cte`` (vec_id, ccid, v)
+    → ``out_cte`` (vec_id, ccid, fcid) — the SQL mirror of
+    :func:`_fine_rounds`, shared by the two-level body and (r15) the
+    third hierarchy level so the unrolled iterations can never
+    drift."""
+    ctes = [
+        f"""{prefix}0 AS (
+    SELECT ccid, CAST(rn - 1 AS BIGINT) AS fcid, v AS cv FROM (
+        SELECT ccid, v,
+               row_number() OVER (PARTITION BY ccid ORDER BY vec_id) AS rn
+        FROM {ev_cte})
+    WHERE rn <= {kf_sql}
+)""",
+    ]
+    cur = f"{prefix}0"
+    for i in range(KM_ITERS):
+        ctes.append(
+            f"""{prefix}a{i} AS (
+    SELECT vec_id, ccid, fcid FROM (
+        SELECT {ev_cte}.vec_id, {ev_cte}.ccid, c.fcid, {_sqdist_sql(f"{ev_cte}.v", "c.cv")} AS dist
+        FROM {ev_cte} JOIN {cur} c USING (ccid))
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, fcid) = 1
+)"""
+        )
+        ctes.append(
+            f"""{prefix}{i + 1} AS (
+    SELECT ccid, fcid, list(m ORDER BY pos) AS cv FROM (
+        SELECT a.ccid, a.fcid, r.pos, {davg_sql(f"{ev_cte}.v[r.pos]")} AS m
+        FROM {prefix}a{i} a JOIN {ev_cte} USING (vec_id)
+        CROSS JOIN (SELECT CAST(range AS INTEGER) AS pos
+                    FROM range(1, {KM_DIM} + 1)) r
+        GROUP BY a.ccid, a.fcid, r.pos)
+    GROUP BY ccid, fcid
+)"""
+        )
+        cur = f"{prefix}{i + 1}"
+    ctes.append(
+        f"""{out_cte} AS (
+    SELECT vec_id, ccid, fcid FROM (
+        SELECT {ev_cte}.vec_id, {ev_cte}.ccid, c.fcid, {_sqdist_sql(f"{ev_cte}.v", "c.cv")} AS dist
+        FROM {ev_cte} JOIN {cur} c USING (ccid))
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, fcid) = 1
+)"""
+    )
+    return ",\n".join(ctes)
 
 
 def _two_level_assign_body(k_raw_sql: str) -> str:
@@ -726,44 +931,81 @@ def _two_level_assign_body(k_raw_sql: str) -> str:
     SELECT a.vec_id, a.cid AS ccid, e.v
     FROM assign a JOIN e USING (vec_id)
 )""",
-        f"""f0 AS (
-    SELECT ccid, CAST(rn - 1 AS BIGINT) AS fcid, v AS cv FROM (
-        SELECT ccid, v,
-               row_number() OVER (PARTITION BY ccid ORDER BY vec_id) AS rn
-        FROM ev)
-    WHERE rn <= {kf_sql}
+        _fine_chain_sql("f", "ev", kf_sql, "tl_assign"),
+    ]
+    return ",\n".join(ctes)
+
+
+def _hier_split_ctes(k_raw_sql: str, flat_max: int) -> tuple[str, ...]:
+    """CTEs ``hk``/``hr``/``hs`` deriving the depth-adaptive split
+    (k1, k2, k3) in-SQL exactly as :func:`hier_split` does in Python
+    (agreement swept in tests/test_substring_semdedup.py). ``hk``
+    picks ⌈∛k⌉ by exact integer cube comparison over a ±2 window
+    around the float seed — libm cbrt/pow rounding cannot change the
+    result (see :func:`icbrt_ceil`). The inactive branches keep every
+    expression well-defined (r = 1, not 0) so vectorized CASE
+    evaluation never divides by zero."""
+    return (
+        f"""hk AS (
+    SELECT k, kc,
+           CASE WHEN kc <= {flat_max} THEN kc
+                WHEN (m0-2)*(m0-2)*(m0-2) >= k THEN m0-2
+                WHEN (m0-1)*(m0-1)*(m0-1) >= k THEN m0-1
+                WHEN m0*m0*m0 >= k THEN m0
+                WHEN (m0+1)*(m0+1)*(m0+1) >= k THEN m0+1
+                ELSE m0+2 END AS k1
+    FROM (SELECT k, kc, CAST(round(pow(k, 1.0/3.0)) AS BIGINT) AS m0
+          FROM (SELECT {k_raw_sql} AS k,
+                       CAST(ceil(sqrt({k_raw_sql})) AS BIGINT) AS kc
+                FROM e))
+)""",
+        f"""hr AS (
+    SELECT k, kc, k1,
+           CASE WHEN kc > {flat_max} THEN CAST(ceil(k / k1) AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS r
+    FROM hk
+)""",
+        f"""hs AS (
+    SELECT k1,
+           CASE WHEN kc > {flat_max} THEN CAST(ceil(sqrt(r)) AS BIGINT)
+                ELSE CAST(ceil(k / kc) AS BIGINT) END AS k2,
+           CASE WHEN kc > {flat_max}
+                THEN CAST(ceil(r / ceil(sqrt(r))) AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS k3
+    FROM hr
+)""",
+    )
+
+
+def _hier_assign_body(k_raw_sql: str, flat_max: int = HIER_FLAT_MAX) -> str:
+    """WITH-body CTE chain ending in ``h_assign`` (vec_id, cid) — the
+    depth-adaptive hierarchical assignment, the SQL mirror of
+    :func:`hier_assign`. Degenerate split (k3 = 1, every corpus the
+    driver checks): the third level's single-centroid Lloyd is an
+    exact identity, so ``cid`` equals the two-level body's
+    ccid·kf + fcid bit-for-bit. Active split: coarse flat Lloyd at
+    k1 = ⌈∛k⌉, then two fine levels of k2 and k3 centroids —
+    cid = (c1·k2 + f2)·k3 + f3, exactly the Spark flattening."""
+    k1_sql = "(SELECT k1 FROM hs)"
+    k2_sql = "(SELECT k2 FROM hs)"
+    k3_sql = "(SELECT k3 FROM hs)"
+    ctes = [
+        # coarse: ends in CTE `assign`; the split CTEs ride after `e`
+        _kmeans_assign_body(k1_sql, extra_ctes=_hier_split_ctes(k_raw_sql, flat_max)),
+        """ev AS (
+    SELECT a.vec_id, a.cid AS ccid, e.v
+    FROM assign a JOIN e USING (vec_id)
+)""",
+        _fine_chain_sql("f", "ev", k2_sql, "fl2"),
+        f"""ev3 AS (
+    SELECT t.vec_id, t.ccid * {k2_sql} + t.fcid AS ccid, e.v
+    FROM fl2 t JOIN e USING (vec_id)
+)""",
+        _fine_chain_sql("g", "ev3", k3_sql, "fl3"),
+        f"""h_assign AS (
+    SELECT vec_id, ccid * {k3_sql} + fcid AS cid FROM fl3
 )""",
     ]
-    cur = "f0"
-    for i in range(KM_ITERS):
-        ctes.append(
-            f"""fa{i} AS (
-    SELECT vec_id, ccid, fcid FROM (
-        SELECT ev.vec_id, ev.ccid, c.fcid, {_sqdist_sql("ev.v", "c.cv")} AS dist
-        FROM ev JOIN {cur} c USING (ccid))
-    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, fcid) = 1
-)"""
-        )
-        ctes.append(
-            f"""f{i + 1} AS (
-    SELECT ccid, fcid, list(m ORDER BY pos) AS cv FROM (
-        SELECT a.ccid, a.fcid, r.pos, {davg_sql("ev.v[r.pos]")} AS m
-        FROM fa{i} a JOIN ev USING (vec_id)
-        CROSS JOIN (SELECT CAST(range AS INTEGER) AS pos
-                    FROM range(1, {KM_DIM} + 1)) r
-        GROUP BY a.ccid, a.fcid, r.pos)
-    GROUP BY ccid, fcid
-)"""
-        )
-        cur = f"f{i + 1}"
-    ctes.append(
-        f"""tl_assign AS (
-    SELECT vec_id, ccid, fcid FROM (
-        SELECT ev.vec_id, ev.ccid, c.fcid, {_sqdist_sql("ev.v", "c.cv")} AS dist
-        FROM ev JOIN {cur} c USING (ccid))
-    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, fcid) = 1
-)"""
-    )
     return ",\n".join(ctes)
 
 
@@ -837,15 +1079,17 @@ def _corpus_rows(sf_dir: str, table: str) -> int:
 
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cid, kept) — kept = 0 iff some lower-id same-cluster
-    vector has cosine ≥ τ. Clustering is the TWO-LEVEL assignment
-    (see two_level_assign): k = max(KM_K, ⌈n/CAP⌉) total clusters
-    split as kc = ⌈√k⌉ coarse cells × kf = ⌈k/kc⌉ fine centroids per
-    cell, so the global cluster id is ccid·kf + fcid and expected
-    cluster size stays ≤ CAP (the pairwise quadratic is bounded per
-    cluster, ~n·CAP total) while NO assignment step computes n·k
-    distances (coarse is n·kc, per-cell fine is n·kf — ~2n·√k total;
-    the flat n·k assign at k ∝ n was n²/CAP, VERDICT r12's one
-    remaining scale-killer). The dropped set — a data-dependent
+    vector has cosine ≥ τ. Clustering is the depth-adaptive
+    HIERARCHICAL assignment (see hier_assign): k = max(KM_K, ⌈n/CAP⌉)
+    total clusters, split two-level (kc = ⌈√k⌉ × kf = ⌈k/kc⌉, the
+    r13 shape — every corpus the driver checks) or, when kc exceeds
+    HIER_FLAT_MAX, balanced three-level (≈ ∛k per level, r15) — so
+    expected cluster size stays ≤ CAP (the pairwise quadratic is
+    bounded per cluster, ~n·CAP total) while NO assignment step
+    computes n·k distances (two-level is ~2n·√k = n^1.5 at k ∝ n;
+    three-level caps the per-level work at ~n·∛k ⇒ n^4/3 — VERDICT
+    r14's last acknowledged asymptotic term, bounded this round).
+    The dropped set — a data-dependent
     fraction of the corpus, so NO forced broadcast (r06 house rule):
     AQE picks the join strategy for the kept-flag left join at
     runtime. The count feeding k is read from the parquet footer
@@ -858,15 +1102,7 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n < 0:
         n = emb.count()
     k = semdedup_k(n)
-    _, kf = two_level_kc_kf(k)
-    x = (
-        two_level_assign(spark, sf_dir, k)
-        .select(
-            "vec_id",
-            (F.col("ccid") * F.lit(kf) + F.col("fcid")).alias("cid"),
-        )
-        .join(emb, "vec_id")
-    )
+    x = hier_assign(spark, sf_dir, k).join(emb, "vec_id")
     a = x.select(
         F.col("vec_id").alias("vec_a"), F.col("cid").alias("cid_a"),
         F.col("embedding").alias("va"),
@@ -902,20 +1138,15 @@ _SEMDEDUP_K_RAW_SQL = (
     f"greatest({KM_K}, CAST(ceil(count(*) / "
     f"{SEMDEDUP_CLUSTER_CAP}.0) AS BIGINT))"
 )
-_SEMDEDUP_KF_SQL = (
-    f"(SELECT CAST(ceil(({_SEMDEDUP_K_RAW_SQL}) / "
-    f"ceil(sqrt({_SEMDEDUP_K_RAW_SQL}))) AS BIGINT) FROM e)"
-)
 
 
 def _semdedup_oracle() -> str:
     from strategy_analyzer_exporter_spark.operators.similarity import _cosine_sql
 
-    return f"""WITH {_two_level_assign_body(_SEMDEDUP_K_RAW_SQL)},
+    return f"""WITH {_hier_assign_body(_SEMDEDUP_K_RAW_SQL)},
 x AS (
-    SELECT t.vec_id, t.ccid * {_SEMDEDUP_KF_SQL} + t.fcid AS cid,
-           e2.embedding AS emb
-    FROM tl_assign t JOIN embeddings e2 USING (vec_id)
+    SELECT t.vec_id, t.cid, e2.embedding AS emb
+    FROM h_assign t JOIN embeddings e2 USING (vec_id)
 ),
 dropped AS (
     SELECT DISTINCT b.vec_id
@@ -941,24 +1172,23 @@ def _q_kmeans_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cid): the hierarchical k-means assignment exposed as
     its own operator — the scalable clustering primitive SemDeDup (and
     any corpus-partitioning consumer) rides on. k is corpus-derived by
-    the same k = max(KM_K, ⌈n/CAP⌉) rule; cid = ccid·kf + fcid is the
-    flattened two-level cluster id. See :func:`two_level_assign` for
-    the plan shape (~2n·√k assignment work, never n·k)."""
+    the same k = max(KM_K, ⌈n/CAP⌉) rule; cid is the flattened
+    hierarchical cluster id. See :func:`hier_assign` for the plan
+    shape (r15: depth-adaptive — two-level ~2n·√k below
+    HIER_FLAT_MAX=32 coarse cells, balanced three-level ~3n·∛k above
+    it; never n·k)."""
     n = _corpus_rows(sf_dir, "embeddings")
     if n < 0:
         n = load_table(spark, sf_dir, "embeddings").count()
     k = semdedup_k(n)
-    _, kf = two_level_kc_kf(k)
-    return two_level_assign(spark, sf_dir, k).select(
-        "vec_id", (F.col("ccid") * F.lit(kf) + F.col("fcid")).alias("cid")
-    )
+    return hier_assign(spark, sf_dir, k)
 
 
 register(
     "kmeans_two_level",
     _q_kmeans_two_level,
-    f"WITH {_two_level_assign_body(_SEMDEDUP_K_RAW_SQL)}\n"
-    f"SELECT vec_id, ccid * {_SEMDEDUP_KF_SQL} + fcid AS cid FROM tl_assign",
+    f"WITH {_hier_assign_body(_SEMDEDUP_K_RAW_SQL)}\n"
+    f"SELECT vec_id, cid FROM h_assign",
 )
 
 

@@ -158,12 +158,29 @@ def _adc_topk(scored: DataFrame) -> DataFrame:
 
 
 def _q_pq_adc(
-    spark: SparkSession, sf_dir: str, mode: str = "cells"
+    spark: SparkSession, sf_dir: str, mode: str = "auto"
 ) -> DataFrame:
     """Flat-PQ ADC top-k.
 
-    ``mode="cells"`` (registered default, r14 — guide §8 "decide with
-    small rows"): every candidate sharing a code word (code0..code3)
+    ``mode="auto"`` (registered default, r15 — VERDICT r14 #1: the
+    static cells default lost 27% at the judged SF where distinct
+    cells ≈ n and the extra aggregation is pure cost): pick the shape
+    from cheap metadata the way ``spread_scan`` does — the corpus row
+    count from the parquet FOOTER (a driver-side pyarrow read, no
+    Spark job). Below PQ_K**PQ_M = 65,536 rows the cell space cannot
+    meaningfully collapse the candidate set (reduction is bounded by
+    n/cells ≥ n/65,536 < 1 order), so the pairs shape's lower fixed
+    cost wins; above it the cell reduction grows linearly in n and
+    cells wins (measured crossover: r14 interleaved med-of-3 — 1×
+    n=2k: pairs 0.593 vs cells 0.730; 10× n=20k: 1.924 vs 1.963
+    (tied); 100× n=200k: 3.584 vs cells 2.465, reduction 78×; r15
+    re-measurement in OPTIMIZATION_r15.md). Both shapes produce
+    identical rows (twin-tested, oracle-checked), so the switch is a
+    plan decision, not a semantic one — the same contract as
+    spread_scan's split-count trigger.
+
+    ``mode="cells"`` (r14 — guide §8 "decide with small rows"): every
+    candidate sharing a code word (code0..code3)
     has the SAME adc_dist for a given query, so the per-candidate
     decision collapses onto DISTINCT CELLS. One hash aggregation over
     the codes relation builds (cell → 4 smallest member vec_ids); the
@@ -187,6 +204,15 @@ def _q_pq_adc(
     through the broadcast chain, then row_number over N_QUERIES window
     partitions (each sorting n rows: measured exp 1.26 at the 1×→10×
     probe, with 10 window tasks on 32 cores)."""
+    if mode == "auto":
+        from strategy_analyzer_exporter_spark.operators.pipeline import (
+            _corpus_rows,
+        )
+
+        n = _corpus_rows(sf_dir, "embeddings")
+        if n < 0:
+            n = load_table(spark, sf_dir, "embeddings").count()
+        mode = "cells" if n > PQ_K**PQ_M else "pairs"
     if mode == "pairs":
         return _adc_topk(_adc_scored(spark, sf_dir))
     if mode != "cells":

@@ -42,19 +42,239 @@ MIN_TOKENS = 10
 
 
 def _signals(
-    spark: SparkSession, sf_dir: str, mode: str = "agg"
+    spark: SparkSession, sf_dir: str, mode: str = "map"
 ) -> DataFrame:
-    """``mode="agg"`` (registered default, r14 — guide §2.4 remove
-    shuffles / §2.3 aggregate-before-shuffle): bigrams are built
-    ARRAY-side (the oracle's own list_transform shape) instead of
-    `lead() over (doc_id, pos)` — the window that shuffled and sorted
-    EVERY token row by doc_id exists only to peek one row ahead, and
-    the token array already has that neighbor. And each "top gram"
-    row_number window becomes a `min(struct(-cnt, gram))` aggregation
-    — identical (cnt DESC, gram ASC) tie-break, but map-side partials
-    replace a per-doc sort and the per-group state is one struct.
-    ``mode="window"`` is the pre-r14 shape, twin-tested identical."""
+    """``mode="map"`` (registered default, r15 — guide §2.4 remove
+    shuffles outright + §4.2, resolving VERDICT r14 #2): every signal
+    here is a PER-DOCUMENT local computation (counts, top gram with a
+    (cnt DESC, gram ASC) tie-break, distinct bigrams), so no gram row
+    ever needs to cross a shuffle — one Arrow-batched mapInPandas pass
+    computes each doc's stats in a per-doc dict (bounded state: a
+    doc's own vocabulary, the same bound the agg shapes' per-(doc,
+    gram) hash groups carry), and the only exchange left is the final
+    broadcast-size doc join. The dedup._shingle_gen precedent applies:
+    the equivalent HOF expressions never enter codegen, and the
+    explode+agg forms shuffle every gram counted — measured
+    interleaved min-of-7 (OPTIMIZATION_r15.md): map 0.56/0.63 s at
+    1×/10× vs 0.95-1.9 (fused), 1.2-1.8 (agg), 1.0-1.4 (window).
+    Tie-break parity: Python min on (-cnt, gram) — UTF-8 byte order
+    equals code-point order, so min matches Spark's min(struct) and
+    the oracle's row_number ordering byte-for-byte. Tokenization is
+    `[t for t in text.split(" ") if t]` ≡ functions.tokens ≡
+    TOKENS_SQL (empties dropped, NULL text → no row).
+
+    ``mode="fused"`` (r15 intermediate, kept as a twin): ONE tokenized
+    projection emits both gram kinds as a single plain-string explode
+    (a bigram always contains ' ', a unigram never does — (doc_id,
+    gram) cannot collide across kinds), ONE (doc_id, gram) count
+    aggregation, per-doc stats from ONE conditional aggregation, with
+    spread_scan ahead of the pipeline. NULL semantics pinned to the
+    per-kind left joins' (n_distinct_bigrams via sum(when(kind, 1)),
+    not count, so a bigram-less doc keeps its NULL ratio).
+    ``mode="agg"`` (r14): array-side bigrams + min-struct top-gram,
+    unigrams and bigrams as separate relations, each re-reading and
+    re-tokenizing `documents`.
+    ``mode="window"`` is the pre-r14 lead()/row_number shape. All four
+    twin-tested identical."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    if mode == "map":
+        from strategy_analyzer_exporter_spark.sources.tables import spread_scan
+
+        raw = spread_scan(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "text"
+        )
+
+        def gen(batches):
+            import pandas as _pd
+
+            for pdf in batches:
+                out: dict[str, list] = {
+                    k: []
+                    for k in (
+                        "doc_id",
+                        "n_tokens",
+                        "n_chars_tok",
+                        "top_word",
+                        "top_word_n",
+                        "n_bigrams",
+                        "n_distinct_bigrams",
+                        "top_bigram",
+                        "top_bigram_n",
+                    )
+                }
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    toks = [t for t in (text or "").split(" ") if t]
+                    n = len(toks)
+                    if n == 0:
+                        continue  # absent row ≡ explode of empty array
+                    wc: dict[str, int] = {}
+                    chars = 0
+                    for t in toks:
+                        wc[t] = wc.get(t, 0) + 1
+                        chars += len(t)
+                    tw, twn = min(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+                    out["doc_id"].append(doc_id)
+                    out["n_tokens"].append(n)
+                    out["n_chars_tok"].append(chars)
+                    out["top_word"].append(tw)
+                    out["top_word_n"].append(twn)
+                    if n >= 2:
+                        bc: dict[str, int] = {}
+                        for i in range(n - 1):
+                            b = toks[i] + " " + toks[i + 1]
+                            bc[b] = bc.get(b, 0) + 1
+                        tb, tbn = min(
+                            bc.items(), key=lambda kv: (-kv[1], kv[0])
+                        )
+                        out["n_bigrams"].append(n - 1)
+                        out["n_distinct_bigrams"].append(len(bc))
+                        out["top_bigram"].append(tb)
+                        out["top_bigram_n"].append(tbn)
+                    else:
+                        # single-token doc: no bigram relation row —
+                        # NULLs here ≡ the bigram_stats left-join miss
+                        out["n_bigrams"].append(None)
+                        out["n_distinct_bigrams"].append(None)
+                        out["top_bigram"].append(None)
+                        out["top_bigram_n"].append(None)
+                yield _pd.DataFrame(out)
+
+        stats = raw.mapInPandas(
+            gen,
+            "doc_id bigint, n_tokens bigint, n_chars_tok bigint, "
+            "top_word string, top_word_n bigint, n_bigrams bigint, "
+            "n_distinct_bigrams bigint, top_bigram string, "
+            "top_bigram_n bigint",
+        )
+        out = (
+            d.join(stats, "doc_id", "left")
+            .select(
+                "doc_id",
+                "lang",
+                F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                "top_word",
+                "top_word_n",
+                (
+                    F.col("top_word_n").cast("double")
+                    / F.col("n_tokens").cast("double")
+                ).alias("top_word_frac"),
+                "top_bigram",
+                "top_bigram_n",
+                (
+                    F.col("top_bigram_n").cast("double")
+                    / F.col("n_bigrams").cast("double")
+                ).alias("top_bigram_frac"),
+                (
+                    F.col("n_distinct_bigrams").cast("double")
+                    / F.col("n_bigrams").cast("double")
+                ).alias("distinct_bigram_ratio"),
+                (
+                    F.col("n_chars_tok").cast("double")
+                    / F.col("n_tokens").cast("double")
+                ).alias("mean_tok_len"),
+            )
+        )
+        return out.withColumn(
+            "repetitive",
+            F.coalesce(F.col("top_bigram_frac") > TOP_BIGRAM_MAX, F.lit(False))
+            | F.coalesce(F.col("top_word_frac") > TOP_WORD_MAX, F.lit(False)),
+        )
+    if mode == "fused":
+        from strategy_analyzer_exporter_spark.sources.tables import spread_scan
+
+        # spread the single-split test-corpus scan BEFORE the heavy
+        # tokenize+explode+partial-agg pipeline (guide §2.5 input skew;
+        # the spread_scan metadata conditional is a no-op on any
+        # multi-file layout). Without it the fused single pipeline runs
+        # the whole gram pass on ONE core — the r14 two-branch shape
+        # accidentally got two tasks, and the window shape parallelized
+        # via its token-row exchange; fusing must not serialize.
+        docs = spread_scan(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", _tokens(F.col("text")).alias("toks")
+        )
+        # both gram kinds in ONE string array: tokens are space-split,
+        # so a unigram can never contain ' ' and a bigram always does —
+        # the kind needs no tag column and no struct wrapper, and
+        # (doc_id, gram) alone is collision-free across kinds, so ONE
+        # count aggregation serves both
+        bi_arr = F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.get(F.col("toks"), i - 1),
+                    F.get(F.col("toks"), i),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        gc = (
+            docs.select(
+                "doc_id", F.explode(F.concat("toks", bi_arr)).alias("gram")
+            )
+            .groupBy("doc_id", "gram")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.length("gram")).alias("chars"),
+            )
+        )
+        k1 = F.col("gram").contains(" ")
+        k0 = ~k1
+        stats = gc.groupBy("doc_id").agg(
+            F.sum(F.when(k0, F.col("cnt"))).alias("n_tokens"),
+            F.sum(F.when(k0, F.col("chars"))).alias("n_chars_tok"),
+            F.min(
+                F.when(
+                    k0,
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("tok")),
+                )
+            ).alias("_topw"),
+            F.sum(F.when(k1, F.col("cnt"))).alias("n_bigrams"),
+            F.sum(F.when(k1, F.lit(1))).alias("n_distinct_bigrams"),
+            F.min(
+                F.when(
+                    k1,
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("gram").alias("bigram")
+                    ),
+                )
+            ).alias("_topb"),
+        )
+        out = (
+            d.join(stats, "doc_id", "left")
+            .select(
+                "doc_id",
+                "lang",
+                F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                F.col("_topw.tok").alias("top_word"),
+                (-F.col("_topw.nc")).alias("top_word_n"),
+                (
+                    (-F.col("_topw.nc")).cast("double")
+                    / F.col("n_tokens").cast("double")
+                ).alias("top_word_frac"),
+                F.col("_topb.bigram").alias("top_bigram"),
+                (-F.col("_topb.nc")).alias("top_bigram_n"),
+                (
+                    (-F.col("_topb.nc")).cast("double")
+                    / F.col("n_bigrams").cast("double")
+                ).alias("top_bigram_frac"),
+                (
+                    F.col("n_distinct_bigrams").cast("double")
+                    / F.col("n_bigrams").cast("double")
+                ).alias("distinct_bigram_ratio"),
+                (
+                    F.col("n_chars_tok").cast("double")
+                    / F.col("n_tokens").cast("double")
+                ).alias("mean_tok_len"),
+            )
+        )
+        return out.withColumn(
+            "repetitive",
+            F.coalesce(F.col("top_bigram_frac") > TOP_BIGRAM_MAX, F.lit(False))
+            | F.coalesce(F.col("top_word_frac") > TOP_WORD_MAX, F.lit(False)),
+        )
     if mode == "window":
         uni = load_table(spark, sf_dir, "documents").select(
             "doc_id",

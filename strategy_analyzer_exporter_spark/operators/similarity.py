@@ -85,9 +85,16 @@ def _spread(df: DataFrame) -> DataFrame:
     parallelism. A small single-file parquet read is ONE split, which
     would serialize the O(n·k) scoring stage onto one core; at real
     scale the scan already yields ≥ this many splits and this is a
-    no-op (the conditional keeps the shuffle out of the 100 TB plan)."""
+    no-op (the conditional keeps the shuffle out of the 100 TB plan).
+    The split count is metadata-derived (scan_split_count, ADVICE r14)
+    so the no-op decision stays plan-only."""
+    from strategy_analyzer_exporter_spark.sources.tables import scan_split_count
+
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    splits = scan_split_count(df)
+    if splits < 0:
+        splits = df.rdd.getNumPartitions()
+    if splits >= target:
         return df
     return df.repartition(target, "vec_id")
 

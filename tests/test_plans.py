@@ -656,3 +656,31 @@ def test_bucketed_tables_have_one_file_per_bucket(spark):
         )
         assert len(files) == N_BUCKETS, (tbl, files)
         assert buckets == list(range(N_BUCKETS)), (tbl, buckets)
+
+
+def test_scan_split_count_matches_planner(spark, tmp_path):
+    """scan_split_count replicates Spark's FilePartition packing from
+    file metadata alone (ADVICE r14: the spread_scan no-op path must
+    not force planning + an RDD conversion). Pinned against the
+    planner's own partition count for every fixture table layout plus
+    a staged multi-file table, so upstream packing changes are caught
+    here instead of silently diverging."""
+    from strategy_analyzer_exporter_spark.sources.tables import (
+        TABLES,
+        scan_split_count,
+    )
+
+    for sf in ("0.001", "0.01", "0.1"):
+        for name in TABLES:
+            df = load_table(spark, f"/root/testdata/sf{sf}", name)
+            assert scan_split_count(df) == df.rdd.getNumPartitions(), (
+                sf,
+                name,
+            )
+    # multi-file layout: 7 part files of range data
+    p = str(tmp_path / "multi.parquet")
+    spark.range(0, 200_000).repartition(7).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert scan_split_count(df) == df.rdd.getNumPartitions()
+    # non-file sources fall back (-1)
+    assert scan_split_count(spark.range(5)) == -1

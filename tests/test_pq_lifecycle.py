@@ -309,18 +309,32 @@ def test_ivfpq_tombstones_never_surface(spark):
 
 
 def test_pq_adc_cell_decision_equals_pairs_twin(spark):
-    """r14 optimization: the registered cell-decision ADC (decide on
-    distinct code cells, ≤ PQ_K^PQ_M rows per query) must produce
-    EXACTLY the all-pairs window shape's rows — including adc_dist,
-    which the oracle hashes — on sf0.001 AND sf0.01 (the latter has
-    query-cell collisions and self-match exclusions in play). The
-    registered plan must contain no per-candidate window: the only
-    row_number runs over the ≤ PQ_TOPK·(PQ_TOPK+1)-row exploded cells."""
-    from strategy_analyzer_exporter_spark.operators.pq import _q_pq_adc
+    """r14 optimization: the cell-decision ADC (decide on distinct
+    code cells, ≤ PQ_K^PQ_M rows per query) must produce EXACTLY the
+    all-pairs window shape's rows — including adc_dist, which the
+    oracle hashes — on sf0.001 AND sf0.01 (the latter has query-cell
+    collisions and self-match exclusions in play). r15: the registered
+    default is ``auto`` (metadata decision off the corpus count, the
+    spread_scan pattern), so the shape switch can never change rows —
+    both explicit shapes are pinned equal here and auto must equal
+    them too."""
+    from strategy_analyzer_exporter_spark.operators.pipeline import (
+        _corpus_rows,
+    )
+    from strategy_analyzer_exporter_spark.operators.pq import (
+        PQ_K,
+        PQ_M,
+        _q_pq_adc,
+    )
 
     for sf in (SF, "/root/testdata/sf0.01"):
-        cells = sorted(tuple(r) for r in _q_pq_adc(spark, sf).collect())
+        cells = sorted(
+            tuple(r) for r in _q_pq_adc(spark, sf, mode="cells").collect()
+        )
         pairs = sorted(
             tuple(r) for r in _q_pq_adc(spark, sf, mode="pairs").collect()
         )
-        assert cells == pairs
+        auto = sorted(tuple(r) for r in _q_pq_adc(spark, sf).collect())
+        assert cells == pairs == auto
+        # the auto decision at the gate SFs is pairs (n << K^M)
+        assert 0 < _corpus_rows(sf, "embeddings") <= PQ_K**PQ_M

@@ -301,18 +301,37 @@ def test_temperature_mixture_broadcasts_plan_not_corpus(spark):
 
 
 def test_repetition_signals_agg_equals_window_twin(spark):
-    """r14 optimization: the registered window-free _signals (array-side
-    bigrams + min-struct top-gram aggregation) must produce EXACTLY the
-    pre-r14 lead()/row_number shape's rows on the real corpora — the
-    (cnt DESC, gram ASC) tie-break is encoded as min(struct(-cnt, gram))
-    and any packing slip shows up here before the oracle gate. The
-    registered plan must be window-free."""
+    """r14/r15 optimization: the registered single-tokenize _signals
+    (r15 fused: one kind-tagged explode feeding one count aggregation
+    and one conditional per-doc aggregation) must produce EXACTLY the
+    r14 two-relation agg shape's rows AND the pre-r14
+    lead()/row_number shape's rows on the real corpora — the (cnt
+    DESC, gram ASC) tie-break is encoded as min(struct(-cnt, gram)),
+    and the fused NULL semantics (sum(when(kind...)) over an absent
+    kind) must reproduce the per-kind left joins'. The registered plan
+    must be window-free and must scan `documents` for tokenize ONCE
+    (two scans total: the gram pipeline + the doc_id/lang side)."""
     from strategy_analyzer_exporter_spark.operators.quality import _signals
 
     for sf in (SF, "/root/testdata/sf0.01"):
-        agg = sorted(tuple(r) for r in _signals(spark, sf).collect())
-        win = sorted(
-            tuple(r) for r in _signals(spark, sf, mode="window").collect()
+        by_mode = {
+            m: sorted(
+                tuple(r) for r in _signals(spark, sf, mode=m).collect()
+            )
+            for m in ("map", "fused", "agg", "window")
+        }
+        assert (
+            by_mode["map"]
+            == by_mode["fused"]
+            == by_mode["agg"]
+            == by_mode["window"]
         )
-        assert agg == win
-    assert "Window" not in P.physical_plan(_signals(spark, SF))
+        default = sorted(tuple(r) for r in _signals(spark, sf).collect())
+        assert default == by_mode["map"]
+    plan = P.physical_plan(_signals(spark, SF))
+    assert "Window" not in plan
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents" in ln
+    ]
+    assert len(scans) == 2, plan
