@@ -122,19 +122,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #: core): bigrams built array-side instead of lead()-over-window, and
 #: the two top-gram row_number windows became min(struct(-cnt, gram))
 #: aggregations — same rows, twin-tested.
+#: r15 (optimization round 2): similarity_pq_adc's registered mode
+#: became the metadata-driven pairs-vs-cells auto decision;
+#: text_repetition_signals / quality_gate_rollup moved to the one-pass
+#: Arrow map shape (quality._signals mode="map"). All three are
+#: output-identical (twin tests + oracle) but their r14 rows verified
+#: different implementations. (dedup_semdedup / kmeans_two_level are
+#: NOT in the band: the depth-3 hierarchy was measured and REJECTED —
+#: their registered implementations remain the r13-verified two-level
+#: shape; see OPTIMIZATION_r15.md.)
+#: Also r15: the windowed-feature stats stage moved from bounded
+#: rowsBetween frames (O(window) decimal re-aggregation per row) to
+#: running-sum + lag differences (O(1)/row) — exact-integer decimal
+#: arithmetic, bit-identical output (twin-pinned), but the
+#: implementation the features_* rows verified is no longer the one
+#: registered.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "text_paragraph_dedup",
     "similarity_pq_adc",
-    "similarity_ivfpq_topk",
-    "dedup_simhash",
     "text_repetition_signals",
     "quality_gate_rollup",
-    #: spread_scan (input-skew remedy, conditional no-op at scale) on
-    #: the single-split lineitem scan; exact-decimal aggs, identical
-    #: values
-    "agg_pricing_summary",
+    "features_flagship",
+    "features_flagship_full_ema",
+    "features_strict_reference_quirk",
 )
-CHANGED_AS_OF_ROUND = 14  # a row from round ≥ 14 post-dates the change
+CHANGED_AS_OF_ROUND = 15  # a row from round ≥ 15 post-dates the change
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -360,6 +360,12 @@ PROBE100_QUERIES = (
     # measures that claim where the block explode's fixed costs stop
     # dominating
     "text_paragraph_dedup",
+    # r15 (VERDICT r14 #2): pq-adc's pairs-vs-cells decision is now
+    # metadata-adaptive with the flip at PQ_K^PQ_M = 65,536 corpus
+    # rows — BETWEEN the 10× (20k → pairs) and 100× (200k → cells)
+    # tiers, so the third decade is the only driver-visible datum on
+    # the cells side of the crossover
+    "similarity_pq_adc",
 )
 # min-of-3 (was 2): this host shows intermittent noisy-neighbor bursts
 # that inflate ISOLATED probe entries 2-4× even on an idle box (r07:

@@ -252,6 +252,79 @@ def _window_stat_cols(
     }
 
 
+def _window_stat_cols_running(
+    ma_col: str, y_col: str, sfx: str, w_day, cfg: FeatureConfig
+) -> tuple[dict[str, Column], dict[str, Column]]:
+    """:func:`_window_stat_cols` with O(1)-per-row window frames (r15,
+    guide §2.4/§1.2 "per-task work"): Spark evaluates a bounded
+    ``rowsBetween(-20, 0)`` aggregate by RE-AGGREGATING the whole frame
+    for every row (SlidingWindowFunctionFrame), so the six decimal
+    sliding sums cost O(window) decimal adds per row. The quantized
+    sums are EXACT scaled integers, so each sliding sum equals the
+    difference of two RUNNING sums (UnboundedPreceding frames are
+    incrementally maintained, O(1)/row) picked up via ``lag`` — decimal
+    arithmetic has no rounding at these magnitudes (day-cumulative
+    ≤ ~1e21 ≪ the 10^26 capacity of decimal(38,12)), so every derived
+    value is bit-identical to the frame-aggregated form (twin-pinned in
+    tests/test_features_pipeline.py). first-of-frame becomes
+    ``lag(x, window-1)`` with the day's running first as fallback, and
+    the frame count is ``least(row_number, window)`` (x is never null).
+
+    Returns TWO projection-stage dicts (running sums, then stats from
+    them): referencing a running sum both directly and under ``lag``
+    in one projection makes Catalyst materialize it TWICE (it never
+    dedupes window expressions — see :func:`_window_stat_cols`), so
+    stage 1 names the cumulative columns and stage 2's lags/differences
+    reference plain columns. Both stages share one (day, time) sort —
+    two adjacent Window nodes, no extra exchange (plan-pinned in
+    plans/r15/features_flagship_after.txt).
+
+    The running sums are RE-CAST to decimal(30,12) before the
+    difference: a (38,12)−(38,12) result needs precision 39, which
+    Spark caps by REDUCING the scale to 11 — silently rounding the
+    12th decimal off the quantized grid (measured: 1 row differs at
+    sf0.01). (30,12) is exact for any day-cumulative here (integer
+    part ≤ 1e18 ≫ the ~1e9 bound of an 86400-bar day of ma² sums)
+    and subtracts to (31,12) — no precision-loss path, scale intact."""
+    wrun = w_day.rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(ma_col)
+    dec = "decimal(38,12)"
+    ndec = "decimal(30,12)"
+    zero = F.lit(0).cast(ndec)
+    y = F.col(y_col).cast(dec)
+    cums = {
+        f"_cs_{sfx}": F.sum(x.cast(dec)).over(wrun).cast(ndec),
+        f"_css_{sfx}": F.sum((x * x).cast(dec)).over(wrun).cast(ndec),
+        f"_cp_{sfx}": F.sum(y).over(wrun).cast(ndec),
+        f"_dayfirst_{sfx}": F.first(x).over(wrun),
+    }
+    cs, css, cp = (
+        F.col(f"_cs_{sfx}"),
+        F.col(f"_css_{sfx}"),
+        F.col(f"_cp_{sfx}"),
+    )
+    stats = {
+        f"_n_{sfx}": F.least(
+            F.row_number().over(w_day), F.lit(cfg.window)
+        ).cast("double"),
+        f"_s_{sfx}": _dec_to_double(
+            cs - F.coalesce(F.lag(cs, cfg.window).over(w_day), zero)
+        ),
+        f"_ss_{sfx}": _dec_to_double(
+            css - F.coalesce(F.lag(css, cfg.window).over(w_day), zero)
+        ),
+        f"_p_{sfx}": _dec_to_double(
+            F.coalesce(cp, zero)
+            - F.coalesce(F.lag(cp, cfg.window - 1).over(w_day), zero)
+        ),
+        f"_first_{sfx}": F.coalesce(
+            F.lag(x, cfg.window - 1).over(w_day),
+            F.col(f"_dayfirst_{sfx}"),
+        ),
+    }
+    return cums, stats
+
+
 def _autocorr_from_stats(ma_col: str, sfx: str, cfg: FeatureConfig) -> Column:
     """Lag-1 autocorrelation from the staged window stats.
 
@@ -447,6 +520,7 @@ def features_df(
     sf_dir: str,
     cfg: FeatureConfig = TESTDATA_CONFIG,
     ema_impl: str = "pandas",
+    stats_impl: str = "running",
 ) -> DataFrame:
     """bars → session filter → EMA → window features → warm-up gate →
     alphabetical float32 export projection (FIXTURES.md §2 schema).
@@ -483,24 +557,43 @@ def features_df(
                 * F.lag("slow_moving_average").over(w_day),
             }
         )
-    return _staged_to_export(ma, cfg)
+    return _staged_to_export(ma, cfg, stats_impl=stats_impl)
 
 
-def _staged_to_export(ma: DataFrame, cfg: FeatureConfig) -> DataFrame:
+def _staged_to_export(
+    ma: DataFrame, cfg: FeatureConfig, stats_impl: str = "running"
+) -> DataFrame:
     """Shared pipeline tail: per-day window stats → autocorr/slope/
     distance/location features → per-day warm-up gate → alphabetical
     float32 export projection. ``ma`` must carry day/time/OHLCV plus
     moving_average, slow_moving_average, _y_f, _y_s (within-day lag
-    products)."""
+    products). ``stats_impl="running"`` (registered default, r15) uses
+    O(1)-per-row running-sum/lag frames; ``"frame"`` is the pre-r15
+    bounded-frame shape — bit-identical (see
+    :func:`_window_stat_cols_running`), twin-pinned."""
     w_day = Window.partitionBy("day").orderBy("time")
-    # one Window stage with exactly 11 window expressions (5 stats × 2
-    # MAs + row_number), all sharing one (day, time) sort
-    stats = {
-        **_window_stat_cols("moving_average", "_y_f", "f", w_day, cfg),
-        **_window_stat_cols("slow_moving_average", "_y_s", "s", w_day, cfg),
-        "_rn": F.row_number().over(w_day),
-    }
-    staged = ma.withColumns(stats)
+    if stats_impl == "running":
+        cums_f, stats_f = _window_stat_cols_running(
+            "moving_average", "_y_f", "f", w_day, cfg
+        )
+        cums_s, stats_s = _window_stat_cols_running(
+            "slow_moving_average", "_y_s", "s", w_day, cfg
+        )
+        # two projection stages → two adjacent Window nodes sharing one
+        # (day, time) sort: running sums first, O(1) lags/diffs second
+        staged = ma.withColumns({**cums_f, **cums_s}).withColumns(
+            {**stats_f, **stats_s, "_rn": F.row_number().over(w_day)}
+        )
+    else:
+        # one Window stage, all expressions sharing one (day, time) sort
+        stats = {
+            **_window_stat_cols("moving_average", "_y_f", "f", w_day, cfg),
+            **_window_stat_cols(
+                "slow_moving_average", "_y_s", "s", w_day, cfg
+            ),
+            "_rn": F.row_number().over(w_day),
+        }
+        staged = ma.withColumns(stats)
 
     slope_tol = float(cfg.slope_tolerance)
     slope = (
