@@ -908,7 +908,13 @@ def main() -> None:
     # claims (old timings, rejected variants) into every future
     # BENCH_FULL.json alongside fresh numbers. The artifact now carries
     # only a pointer; the history file is keyed by round.
-    extras["notes"] = {"history": "docs/BENCH_NOTES.md"}
+    extras["notes"] = {
+        "history": "docs/BENCH_NOTES.md",
+        # VERDICT r14 ruling #5: stays registered and on the headline
+        # card as the measured anti-pattern CONTRAST for the packed/
+        # mixed shard shapes (exp ~0.96 vs 0.07/0.10); not a target
+        "multimodal_source_binaryfile": "anti-pattern contrast twin",
+    }
     # make each record self-classifying (VERDICT r09: a driver re-run on
     # a loaded host overwrote the committed idle record and the two
     # disagreed with nothing in the artifact saying which to trust):
